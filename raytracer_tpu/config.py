@@ -1,0 +1,84 @@
+"""Runtime configuration.
+
+TPU-native replacement for the reference's compile-time constant plane
+(SCENE_NUM src/main.cu:11, resolution src/camera.cu:4-5, RenderSettings
+src/main.cu:299-331, camera pose src/camera.cu:34-41). Everything the
+reference bakes into the binary is a frozen, hashable dataclass here: scalar
+knobs become static jit arguments, array-valued state (camera basis, scene)
+becomes device arrays. Changing a setting triggers a re-jit instead of a
+recompile of the whole program — same "upload once, read everywhere"
+semantics, strictly more flexible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+# Reference defaults (src/main.cu:13, src/main.cu:318-330).
+SKY_COLOUR = (0.8, 1.0, 1.0)
+
+# Antialias direction-jitter half-range (src/ray.cu:4).
+ANTIALIAS_OFFSET_RANGE = 0.001
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Quality knobs (reference: src/main.cu:299-331).
+
+    Quirk flags capture observed reference behaviours (SURVEY.md §5.1) so we
+    can render either reference-faithful or fixed images:
+
+    - ``emissive_terminates``: the reference keeps bouncing after hitting an
+      emissive surface (src/raytracer.cu:86-90); True terminates the path.
+    - ``fix_exit_ior``: the reference forgets the outer medium's IOR when a
+      ray exits glass (src/ray.cu:84-98 sets n2 = current, which was already
+      overwritten on entry), so exit refraction never bends. True restores
+      n2 = 1 (air) on exit.
+    - ``gamma``: the reference writes linear floats straight to u8
+      (src/main.cu:343-371); set e.g. 2.2 to gamma-correct the output.
+    """
+
+    reflect_limit: int = 5
+    rays_per_pixel: int = 100
+    antialias: bool = True
+    sky_colour: Tuple[float, float, float] = SKY_COLOUR
+
+    # Fidelity/deviation flags.
+    emissive_terminates: bool = False
+    fix_exit_ior: bool = False
+    gamma: Optional[float] = None
+
+    def with_sky(self, use_sky: bool) -> "RenderSettings":
+        """Cornell-box scenes zero the sky (src/main.cu:325-329)."""
+        sky = self.sky_colour if use_sky else (0.0, 0.0, 0.0)
+        return dataclasses.replace(self, sky_colour=sky)
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole camera pose and film size (reference: src/camera.cu:4-5,34-41)."""
+
+    width: int = 1000
+    height: int = 800
+
+    position: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    fov_deg: float = 60.0
+    focal_len: float = 0.1
+
+    x_rot: float = 0.0  # radians
+    y_rot: float = 0.0
+    z_rot: float = 0.0
+
+    @property
+    def aspect(self) -> float:
+        return self.width / self.height
+
+    @property
+    def fov_rad(self) -> float:
+        return self.fov_deg * math.pi / 180.0
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height

@@ -1,0 +1,316 @@
+"""Scene construction: host builders -> structure-of-arrays device pytree.
+
+TPU-native replacement for the reference's ``Object`` tagged union and scene
+upload (src/objects.cu:801-916, src/main.cu:290-295). Instead of a 6-way
+type-switch per ray (src/objects.cu:827-842), every primitive is lowered at
+build time to one of two dense SoA pools:
+
+- spheres: ``(centers, radii, material_ids)``
+- triangles: vertices, precomputed edges/normals, per-vertex UVs, a one-way
+  cull normal, material ids, and a precomputed world->barycentric ("Woop")
+  affine transform that turns ray-triangle intersection into two small
+  matmuls (MXU-friendly).
+
+Quads, one-way quads, cuboids and meshes all become triangles, mirroring how
+the reference itself composes them (src/objects.cu:203-350, 774-798). The
+result is a single pytree of padded, static-shape arrays — the analog of the
+``__constant__ const_objects`` upload (src/objects.cu:916) — replicated to
+every chip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .materials import Material, MaterialTable, compile_materials
+
+_PAD = 8  # pad primitive pools to a multiple of this
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SceneArrays:
+    """Device-side scene: padded, static-shape SoA pytree."""
+
+    # Spheres (reference: src/objects.cu:25-98)
+    sph_center: jax.Array   # (S, 3) f32
+    sph_radius: jax.Array   # (S,) f32; <= 0 marks padding
+    sph_mat: jax.Array      # (S,) i32
+
+    # Triangles (reference: src/objects.cu:101-200)
+    tri_v0: jax.Array       # (T, 3) f32
+    tri_e1: jax.Array       # (T, 3) f32  points[1] - points[0]
+    tri_e2: jax.Array       # (T, 3) f32  points[2] - points[0]
+    tri_normal: jax.Array   # (T, 3) f32 unit geometric normal
+    tri_uv0: jax.Array      # (T, 2) f32 per-vertex texture coords
+    tri_uv1: jax.Array      # (T, 2) f32
+    tri_uv2: jax.Array      # (T, 2) f32
+    tri_mat: jax.Array      # (T,) i32
+    tri_valid: jax.Array    # (T,) bool; False marks padding/degenerate
+    # One-way culling (reference OneWayQuad, src/objects.cu:257-290):
+    # zero vector = two-sided; otherwise a hit requires dot(dir, cull) >= 0.
+    tri_cull: jax.Array     # (T, 3) f32
+    # Woop affine rows: [row | -row.p0] so that for homogeneous o=[o,1],
+    # d=[d,0]:  t = -(o.ww)/(d.ww), u = o.wu + t*d.wu, v = o.wv + t*d.wv.
+    tri_wu: jax.Array       # (T, 4) f32
+    tri_wv: jax.Array       # (T, 4) f32
+    tri_ww: jax.Array       # (T, 4) f32
+
+    # Material table (reference: src/material.cu:128-186)
+    mat_type: jax.Array     # (M,) i32
+    mat_smooth: jax.Array   # (M,) f32
+    mat_ior: jax.Array      # (M,) f32
+    mat_emit: jax.Array     # (M, 3) f32
+
+    # Texture table + atlas (reference: src/material.cu:4-125)
+    tex_type: jax.Array     # (M,) i32
+    tex_colour: jax.Array   # (M, 3) f32
+    tex_light: jax.Array    # (M, 3) f32
+    tex_dark: jax.Array     # (M, 3) f32
+    tex_nsq: jax.Array      # (M,) f32
+    tex_offset: jax.Array   # (M,) i32
+    tex_width: jax.Array    # (M,) i32
+    tex_height: jax.Array   # (M,) i32
+    atlas: jax.Array        # (P, 3) f32
+
+    @property
+    def num_spheres(self) -> int:
+        return self.sph_center.shape[0]
+
+    @property
+    def num_triangles(self) -> int:
+        return self.tri_v0.shape[0]
+
+
+def _pad_to(arr: np.ndarray, n: int, fill=0.0) -> np.ndarray:
+    pad = n - arr.shape[0]
+    if pad <= 0:
+        return arr
+    pad_shape = (pad,) + arr.shape[1:]
+    return np.concatenate([arr, np.full(pad_shape, fill, dtype=arr.dtype)], axis=0)
+
+
+def _round_up(n: int, m: int) -> int:
+    return max(m, ((n + m - 1) // m) * m)
+
+
+@dataclasses.dataclass
+class _TriRecord:
+    v0: np.ndarray
+    v1: np.ndarray
+    v2: np.ndarray
+    uv: Optional[Tuple] = None            # ((u,v) per vertex) or None
+    cull: Optional[np.ndarray] = None     # one-way cull normal or None
+    mat_id: int = 0
+
+
+class SceneBuilder:
+    """Collects primitives, then compiles the SoA pytree.
+
+    API mirrors the reference's ``Object::create_*`` factories
+    (src/objects.cu:845-906) plus the composed shapes.
+    """
+
+    def __init__(self):
+        self._spheres: List[Tuple[np.ndarray, float, int]] = []
+        self._tris: List[_TriRecord] = []
+        self._materials: List[Material] = []
+        self._mat_index: dict = {}
+        self.use_sky: bool = True
+        # mesh_id per triangle index, and per-mesh triangle ranges —
+        # consumed by the BVH/cluster builder.
+        self._tri_mesh_id: List[int] = []
+        self.mesh_ranges: List[Tuple[int, int]] = []
+
+    # -- materials ---------------------------------------------------------
+    def material_id(self, mat: Material) -> int:
+        key = mat
+        if key not in self._mat_index:
+            self._mat_index[key] = len(self._materials)
+            self._materials.append(mat)
+        return self._mat_index[key]
+
+    # -- primitives --------------------------------------------------------
+    def add_sphere(self, center, radius: float, mat: Material) -> None:
+        self._spheres.append(
+            (np.asarray(center, np.float32), float(radius), self.material_id(mat))
+        )
+
+    def add_triangle(self, p0, p1, p2, mat: Material, uvs=None,
+                     cull: Optional[np.ndarray] = None, mesh_id: int = -1) -> None:
+        self._tris.append(
+            _TriRecord(
+                v0=np.asarray(p0, np.float32),
+                v1=np.asarray(p1, np.float32),
+                v2=np.asarray(p2, np.float32),
+                uv=uvs,
+                cull=cull,
+                mat_id=self.material_id(mat),
+            )
+        )
+        self._tri_mesh_id.append(mesh_id)
+
+    def add_quad(self, p1, p2, p3, p4, mat: Material,
+                 cull: Optional[np.ndarray] = None, mesh_id: int = -1) -> None:
+        """Two triangles with the reference's fixed corner UVs
+        (src/objects.cu:244-253): t1=(p1,p2,p3), t2=(p1,p4,p3)."""
+        uv1, uv2, uv3, uv4 = (0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)
+        self.add_triangle(p1, p2, p3, mat, uvs=(uv1, uv2, uv3), cull=cull, mesh_id=mesh_id)
+        self.add_triangle(p1, p4, p3, mat, uvs=(uv1, uv4, uv3), cull=cull, mesh_id=mesh_id)
+
+    def add_one_way_quad(self, p1, p2, p3, p4, invert_normal: bool, mat: Material) -> None:
+        """Quad whose hits require dot(ray_dir, normal) >= 0
+        (src/objects.cu:257-290). Both triangles cull against t1's normal."""
+        p1a = np.asarray(p1, np.float32)
+        e1 = np.asarray(p2, np.float32) - p1a
+        e2 = np.asarray(p3, np.float32) - p1a
+        n = np.cross(e1, e2)
+        n = n / np.linalg.norm(n)
+        if invert_normal:
+            n = -n
+        self.add_quad(p1, p2, p3, p4, mat, cull=n.astype(np.float32))
+
+    def add_cuboid(self, tl_near, width: float, height: float, depth: float,
+                   mat: Material) -> None:
+        """Six quads from the top-left-near corner (src/objects.cu:327-349)."""
+        tl_near = np.asarray(tl_near, np.float32)
+        w = np.array([width, 0, 0], np.float32)
+        h = np.array([0, height, 0], np.float32)
+        d = np.array([0, 0, depth], np.float32)
+
+        tr_near = tl_near + w
+        br_near = tr_near - h
+        bl_near = tl_near - h
+        tl_far = tl_near + d
+        tr_far = tl_far + w
+        br_far = tr_far - h
+        bl_far = tl_far - h
+
+        self.add_quad(tl_near, tr_near, br_near, bl_near, mat)  # front
+        self.add_quad(tl_far, tr_far, br_far, bl_far, mat)      # back
+        self.add_quad(tl_near, bl_near, bl_far, tl_far, mat)    # left
+        self.add_quad(tr_near, br_near, br_far, tr_far, mat)    # right
+        self.add_quad(bl_near, br_near, br_far, bl_far, mat)    # bottom
+        self.add_quad(tl_near, tr_near, tr_far, tl_far, mat)    # top
+
+    def add_mesh(self, faces: Sequence[np.ndarray], mat: Material) -> int:
+        """Add a triangle/quad-faced mesh (the OBJ path, src/main.cu:127-148).
+
+        ``faces`` is a sequence of (3,3) or (4,3) float arrays. Returns the
+        mesh id. Shading uses the mesh-level material for every face, which
+        is also the reference's behaviour (quirk #7: per-triangle materials
+        are ignored at shading time, src/raytracer.cu:41).
+        """
+        mesh_id = len(self.mesh_ranges)
+        start = len(self._tris)
+        for face in faces:
+            face = np.asarray(face, np.float32)
+            if face.shape[0] == 3:
+                self.add_triangle(face[0], face[1], face[2], mat, mesh_id=mesh_id)
+            elif face.shape[0] == 4:
+                self.add_quad(face[0], face[1], face[2], face[3], mat, mesh_id=mesh_id)
+            else:
+                raise ValueError("Only triangle or quad mesh faces are supported.")
+        self.mesh_ranges.append((start, len(self._tris)))
+        return mesh_id
+
+    # -- compile -----------------------------------------------------------
+    def build(self) -> SceneArrays:
+        if not self._materials:
+            # Guarantee a non-empty material table.
+            self.material_id(Material.default())
+
+        s = max(len(self._spheres), 0)
+        t = max(len(self._tris), 0)
+        s_pad = _round_up(s, _PAD)
+        t_pad = _round_up(t, _PAD)
+
+        sph_center = np.zeros((s_pad, 3), np.float32)
+        sph_radius = np.zeros(s_pad, np.float32)  # pad radius 0 => never hits
+        sph_mat = np.zeros(s_pad, np.int32)
+        for i, (c, r, m) in enumerate(self._spheres):
+            sph_center[i] = c
+            sph_radius[i] = r
+            sph_mat[i] = m
+
+        tri_v0 = np.zeros((t_pad, 3), np.float32)
+        tri_e1 = np.zeros((t_pad, 3), np.float32)
+        tri_e2 = np.zeros((t_pad, 3), np.float32)
+        tri_normal = np.zeros((t_pad, 3), np.float32)
+        tri_uv = np.zeros((3, t_pad, 2), np.float32)
+        tri_mat = np.zeros(t_pad, np.int32)
+        tri_valid = np.zeros(t_pad, bool)
+        tri_cull = np.zeros((t_pad, 3), np.float32)
+        tri_w = np.zeros((3, t_pad, 4), np.float32)
+
+        for i, rec in enumerate(self._tris):
+            e1 = rec.v1 - rec.v0
+            e2 = rec.v2 - rec.v0
+            n = np.cross(e1, e2)
+            n_len = np.linalg.norm(n)
+            tri_v0[i] = rec.v0
+            tri_e1[i] = e1
+            tri_e2[i] = e2
+            tri_mat[i] = rec.mat_id
+            if rec.uv is not None:
+                tri_uv[0, i] = rec.uv[0]
+                tri_uv[1, i] = rec.uv[1]
+                tri_uv[2, i] = rec.uv[2]
+            if rec.cull is not None:
+                tri_cull[i] = rec.cull
+            if n_len <= 0.0 or not np.isfinite(n_len):
+                # Degenerate triangle: leave invalid (the reference would
+                # propagate NaNs into a guaranteed miss, quirk #6).
+                continue
+            tri_normal[i] = (n / n_len).astype(np.float32)
+            tri_valid[i] = True
+            # Woop world->barycentric transform: solve [e1 e2 n] x = p - v0.
+            w_mat = np.stack([e1, e2, n / n_len], axis=1).astype(np.float64)
+            try:
+                inv = np.linalg.inv(w_mat)
+            except np.linalg.LinAlgError:
+                tri_valid[i] = False
+                tri_normal[i] = 0.0
+                continue
+            for row in range(3):
+                tri_w[row, i, :3] = inv[row]
+                tri_w[row, i, 3] = -inv[row] @ rec.v0.astype(np.float64)
+
+        table = compile_materials(self._materials)
+
+        return SceneArrays(
+            sph_center=jnp.asarray(sph_center),
+            sph_radius=jnp.asarray(sph_radius),
+            sph_mat=jnp.asarray(sph_mat),
+            tri_v0=jnp.asarray(tri_v0),
+            tri_e1=jnp.asarray(tri_e1),
+            tri_e2=jnp.asarray(tri_e2),
+            tri_normal=jnp.asarray(tri_normal),
+            tri_uv0=jnp.asarray(tri_uv[0]),
+            tri_uv1=jnp.asarray(tri_uv[1]),
+            tri_uv2=jnp.asarray(tri_uv[2]),
+            tri_mat=jnp.asarray(tri_mat),
+            tri_valid=jnp.asarray(tri_valid),
+            tri_cull=jnp.asarray(tri_cull),
+            tri_wu=jnp.asarray(tri_w[0]),
+            tri_wv=jnp.asarray(tri_w[1]),
+            tri_ww=jnp.asarray(tri_w[2]),
+            mat_type=jnp.asarray(table.mat_type),
+            mat_smooth=jnp.asarray(table.smoothness),
+            mat_ior=jnp.asarray(table.ior),
+            mat_emit=jnp.asarray(table.emitted),
+            tex_type=jnp.asarray(table.tex_type),
+            tex_colour=jnp.asarray(table.tex_colour),
+            tex_light=jnp.asarray(table.tex_light),
+            tex_dark=jnp.asarray(table.tex_dark),
+            tex_nsq=jnp.asarray(table.tex_nsq),
+            tex_offset=jnp.asarray(table.tex_offset),
+            tex_width=jnp.asarray(table.tex_width),
+            tex_height=jnp.asarray(table.tex_height),
+            atlas=jnp.asarray(table.atlas),
+        )

@@ -1,0 +1,71 @@
+"""Counter-based RNG for the renderer.
+
+TPU-native replacement for the reference's stateful PCG hash + Box-Muller
+(src/utils.cu:220-239). The reference seeds each pixel thread from wall-clock
+milliseconds (src/raytracer.cu:127), making renders non-reproducible; here
+every random draw is derived from a threefry key folded with
+``(frame, sample, pixel, bounce)``. Renders are therefore bitwise
+reproducible AND shard/chunk-invariant: a ray's random stream depends only on
+its *global* pixel index, not on which device or ray-chunk processes it —
+which is what lets the multi-chip tests assert sharded == single-device
+exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def frame_key(base_key: jax.Array, frame_num) -> jax.Array:
+    """Key for one progressive frame."""
+    return jax.random.fold_in(base_key, frame_num)
+
+
+def sample_key(fkey: jax.Array, sample_idx) -> jax.Array:
+    """Key for one of the spp samples inside a frame."""
+    return jax.random.fold_in(fkey, sample_idx)
+
+
+def per_ray_keys(key: jax.Array, ray_idx: jax.Array) -> jax.Array:
+    """One key per ray, folded with the ray's global pixel index: (N,) keys.
+
+    The analog of the reference's per-pixel seed
+    ``array_index*3145739 + time*6291469`` (src/raytracer.cu:127), but
+    collision-free and deterministic.
+    """
+    return jax.vmap(lambda i: jax.random.fold_in(key, i))(ray_idx)
+
+
+def bounce_randoms(ray_keys: jax.Array, bounce_idx) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """All randoms one bounce needs, drawn per-ray.
+
+    Returns (jitter_u3 (N, 3) uniform [0,1), gauss (N, 3) standard normal,
+    fresnel_u (N,) uniform [0,1)) — consumed by the antialias jitter
+    (src/ray.cu:130-142), the Lambertian sample (src/ray.cu:157-170), and the
+    Schlick reflection test (src/ray.cu:108).
+    """
+    def draw(k):
+        kb = jax.random.fold_in(k, bounce_idx)
+        k1, k2, k3 = jax.random.split(kb, 3)
+        return (jax.random.uniform(k1, (3,), jnp.float32),
+                jax.random.normal(k2, (3,), jnp.float32),
+                jax.random.uniform(k3, (), jnp.float32))
+
+    return jax.vmap(draw)(ray_keys)
+
+
+def uniform3(key: jax.Array, shape) -> jax.Array:
+    """Uniform [0, 1) triples, shape ``shape + (3,)``."""
+    return jax.random.uniform(key, tuple(shape) + (3,), dtype=jnp.float32)
+
+
+def normal3(key: jax.Array, shape) -> jax.Array:
+    """Standard normal triples (replaces Box-Muller, src/utils.cu:234-239)."""
+    return jax.random.normal(key, tuple(shape) + (3,), dtype=jnp.float32)
+
+
+def uniform1(key: jax.Array, shape) -> jax.Array:
+    return jax.random.uniform(key, tuple(shape), dtype=jnp.float32)

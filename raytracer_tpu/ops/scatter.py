@@ -1,0 +1,120 @@
+"""Scattering / BSDF sampling as branchless masked math.
+
+TPU-native replacement for ``Ray::reflect`` / ``Ray::refract`` and friends
+(src/ray.cu:67-196). Every ray evaluates every scattering model on the VPU
+and selects by material type — the wavefront answer to the reference's
+per-thread ``switch`` (``update_ray``, src/raytracer.cu:49-64).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ANTIALIAS_OFFSET_RANGE
+from ..models.materials import MAT_REFRACTIVE
+from ..utils.vec import dot, lerp, normalize
+
+
+def antialias_jitter(u3: jax.Array, d: jax.Array) -> jax.Array:
+    """Jitter ray *directions* by ±0.001 per axis, renormalised.
+
+    ``u3`` is per-ray uniform [0,1) triples. The reference applies this every
+    bounce, not just on primary rays (src/ray.cu:130-142, called at
+    src/raytracer.cu:72) — it acts as added roughness as much as
+    antialiasing; we reproduce it exactly.
+    """
+    offset = (u3 - 0.5) * (2.0 * ANTIALIAS_OFFSET_RANGE)
+    return normalize(d + offset)
+
+
+def _diffuse_dir(gauss: jax.Array, normal: jax.Array) -> jax.Array:
+    """True Lambertian: hemisphere-flipped Gaussian + normal
+    (src/ray.cu:157-178). ``gauss`` is per-ray standard normal triples."""
+    flip = jnp.where(dot(gauss, normal) < 0.0, -1.0, 1.0)
+    rand_unit = normalize(gauss * flip[..., None])
+    return normalize(normal + rand_unit)
+
+
+def _specular_dir(d: jax.Array, normal: jax.Array) -> jax.Array:
+    """Mirror reflection r = d - 2(d·n)n (src/ray.cu:180-186)."""
+    return normalize(d - normal * (2.0 * dot(d, normal))[..., None])
+
+
+def _schlick(cos_theta: jax.Array, n1: jax.Array, n2: jax.Array) -> jax.Array:
+    """Schlick reflectance approximation (src/ray.cu:188-196)."""
+    sqrt_r0 = (n1 - n2) / (n1 + n2)
+    r0 = sqrt_r0 * sqrt_r0
+    return r0 + (1.0 - r0) * jnp.power(1.0 - cos_theta, 5.0)
+
+
+def scatter(
+    gauss: jax.Array,        # (N, 3) standard-normal draws (diffuse sample)
+    fresnel_u: jax.Array,    # (N,) uniform draws (Schlick reflection test)
+    d: jax.Array,            # (N, 3) incoming unit directions
+    normal: jax.Array,       # (N, 3) hit normals (reference orientation)
+    mat_type: jax.Array,     # (N,) i32
+    smoothness: jax.Array,   # (N,) f32
+    mat_ior: jax.Array,      # (N,) f32
+    cur_ior: jax.Array,      # (N,) f32 medium the ray is travelling in
+    fix_exit_ior: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Sample outgoing directions for all rays; returns (new_dir, new_cur_ior).
+
+    Standard & emissive materials reflect via lerp(diffuse, specular,
+    smoothness) (src/ray.cu:67-75); refractives follow Snell + Schlick with
+    probabilistic reflection (src/ray.cu:77-128). Randoms are passed in
+    pre-drawn (per-ray counter-based streams — see ops.rng).
+    """
+    # -- reflection family (STANDARD / EMISSIVE; also Fresnel bounce) -------
+    diffuse = _diffuse_dir(gauss, normal)
+    specular = _specular_dir(d, normal)
+    reflect_dir = normalize(lerp(diffuse, specular, smoothness[..., None]))
+
+    # -- refraction (REFRACTIVE) --------------------------------------------
+    # Sphere normals stay outward, so dot(n, d) > 0 means the ray is exiting
+    # (src/ray.cu:84-96). The reference forgets the outer medium on exit:
+    # n2 = current (already the glass IOR after entry), so exit rays never
+    # bend (quirk documented in config.RenderSettings.fix_exit_ior).
+    exiting = dot(normal, d) > 0.0
+    n1 = jnp.where(exiting, mat_ior, cur_ior)
+    exit_ior = jnp.ones_like(cur_ior) if fix_exit_ior else cur_ior
+    n2 = jnp.where(exiting, exit_ior, mat_ior)
+    ref_n = jnp.where(exiting[..., None], normal, -normal)
+
+    cos1 = jnp.minimum(dot(d, ref_n), 1.0)
+    theta1 = jnp.arccos(cos1)
+    sin1 = jnp.sin(theta1)
+    # min() corrects float error as in the reference (src/ray.cu:101-102).
+    theta2 = jnp.arcsin(jnp.minimum(n1 * sin1 / n2, 1.0))
+    # arcsin(>1) is NaN; `theta1 > NaN` is False — entering a denser medium
+    # never triggers the TIR branch, matching C++ (src/ray.cu:104-108).
+    critical = jnp.arcsin(n2 / n1)
+    refl_coeff = _schlick(jnp.cos(theta1), n1, n2)
+    do_reflect = (theta1 > critical) | (refl_coeff > fresnel_u)
+
+    # Normal-incidence special case theta1 == 0 (src/ray.cu:116-121).
+    safe_sin1 = jnp.where(sin1 == 0.0, 1.0, sin1)
+    perp = jnp.where(
+        (theta1 != 0.0)[..., None],
+        (d - ref_n * cos1[..., None]) / safe_sin1[..., None],
+        0.0,
+    )
+    refr_dir = normalize(
+        ref_n * jnp.cos(theta2)[..., None] + perp * jnp.sin(theta2)[..., None]
+    )
+    # Refractive smoothness is forced to 1 (src/material.cu:182), so the
+    # Fresnel/TIR bounce is exactly the specular lerp the reference takes.
+    refractive_dir = jnp.where(do_reflect[..., None], reflect_dir, refr_dir)
+
+    is_refr = mat_type == MAT_REFRACTIVE
+    new_dir = jnp.where(is_refr[..., None], refractive_dir, reflect_dir)
+
+    # The reference updates the medium IOR before deciding reflect-vs-refract
+    # (src/ray.cu:98), so even a Fresnel reflection switches medium; with
+    # fix_exit_ior we only switch when light actually crosses the interface.
+    ior_update = is_refr & (~do_reflect if fix_exit_ior else jnp.bool_(True))
+    new_cur_ior = jnp.where(ior_update, n2, cur_ior)
+    return new_dir, new_cur_ior

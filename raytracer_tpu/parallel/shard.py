@@ -1,0 +1,91 @@
+"""shard_map'd multi-chip render steps.
+
+Two sharding strategies (SURVEY.md §2.3):
+
+- ``pixel_sharded_render_frame``: pixel tiles sharded over the mesh, scene
+  replicated. Zero collectives in the steady state — each chip traces and
+  accumulates its own tile; the only cross-chip op is a scalar ``psum`` of
+  the segment counter (stats only). This is the default, matching the
+  reference's embarrassingly-parallel pixel grid (src/raytracer.cu:118-119)
+  scaled across chips.
+- ``spp_sharded_render_frame``: every chip traces *all* pixels with a
+  distinct slice of the sample budget, and one ``psum`` over ICI averages the
+  frame. Useful when the image is too small to shard but the sample budget is
+  large.
+
+Because RNG streams are keyed by global pixel index (ops.rng), the
+pixel-sharded result is bitwise identical to the single-device render.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import RenderSettings
+from ..models.scene import SceneArrays
+from ..ops import rng
+from ..ops.integrator import render_frame, render_sample_mean
+from .mesh import PIXEL_AXIS
+
+
+def make_pixel_sharded_step(mesh: Mesh, settings: RenderSettings,
+                            backend: str = "woop"):
+    """Build a jitted sharded frame step.
+
+    Signature of the returned function:
+    ``(scene, ray_idx, o, d, accum, frame_num, base_key) -> (accum', segs)``
+    where ray_idx/o/d/accum are sharded along their leading axis and the
+    scene pytree is replicated.
+    """
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(PIXEL_AXIS), P(PIXEL_AXIS), P(PIXEL_AXIS),
+                  P(PIXEL_AXIS), P(), P()),
+        out_specs=(P(PIXEL_AXIS), P()),
+    )
+    def step(scene, ray_idx, o, d, accum, frame_num, base_key):
+        new_accum, segs = render_frame(
+            scene, settings, ray_idx, o, d, accum, frame_num, base_key,
+            backend=backend)
+        return new_accum, jax.lax.psum(segs, PIXEL_AXIS)
+
+    return jax.jit(step, donate_argnums=(4,))
+
+
+def make_spp_sharded_step(mesh: Mesh, settings: RenderSettings,
+                          backend: str = "woop"):
+    """Sample-parallel mode: shard spp over chips, one psum-mean per frame.
+
+    Each chip runs ``rays_per_pixel`` samples with a chip-specific key, so a
+    mesh of D chips renders D * rays_per_pixel samples per frame.
+    """
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P()),
+    )
+    def step(scene, ray_idx, o, d, accum, frame_num, base_key):
+        shard_i = jax.lax.axis_index(PIXEL_AXIS)
+        n_shards = jax.lax.axis_size(PIXEL_AXIS)
+        # Inputs are replicated in this mode but the per-shard key makes the
+        # computation varying; mark the ray inputs varying up front.
+        ray_idx, o, d = jax.lax.pcast((ray_idx, o, d), (PIXEL_AXIS,),
+                                      to="varying")
+        fkey = rng.frame_key(
+            jax.random.fold_in(base_key, shard_i), frame_num)
+        mean, segs = render_sample_mean(
+            scene, settings, ray_idx, o, d, fkey, backend=backend)
+        mean = jax.lax.psum(mean, PIXEL_AXIS) / jnp.float32(n_shards)
+        segs = jax.lax.psum(segs, PIXEL_AXIS)
+        fn = frame_num.astype(jnp.float32)
+        return (mean + accum * fn) / (fn + 1.0), segs
+
+    return jax.jit(step, donate_argnums=(4,))

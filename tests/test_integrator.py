@@ -1,0 +1,156 @@
+"""Integrator behaviour tests (reference raytracer.cu semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracer_tpu.config import RenderSettings
+from raytracer_tpu.models.materials import Material, Texture
+from raytracer_tpu.models.scene import SceneBuilder
+from raytracer_tpu.ops.integrator import render_frame, render_sample_mean, trace
+
+WHITE = Material.standard(Texture.const_colour((1, 1, 1)), 0)
+
+
+def _straight_rays(n=64):
+    o = jnp.zeros((n, 3))
+    d = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (n, 3))
+    idx = jnp.arange(n, dtype=jnp.int32)
+    return idx, o, d
+
+
+def test_miss_gives_sky():
+    b = SceneBuilder()
+    b.add_sphere((100, 0, 0), 1.0, WHITE)  # far away
+    scene = b.build()
+    settings = RenderSettings(rays_per_pixel=1, reflect_limit=5,
+                              antialias=False, sky_colour=(0.8, 1.0, 1.0))
+    idx, o, d = _straight_rays()
+    rad, segs = trace(scene, settings, idx, o, d, jax.random.key(0))
+    np.testing.assert_allclose(np.asarray(rad),
+                               np.tile([0.8, 1.0, 1.0], (64, 1)), rtol=1e-6)
+    # each ray dies after its first (miss) segment
+    assert float(segs) == 64
+
+
+def test_emissive_direct_hit():
+    b = SceneBuilder()
+    b.add_sphere((0, 0, 2), 0.5, Material.emissive((1.0, 0.5, 0.25), 6.0))
+    scene = b.build()
+    settings = RenderSettings(rays_per_pixel=1, reflect_limit=5,
+                              antialias=False, sky_colour=(0, 0, 0))
+    idx, o, d = _straight_rays()
+    rad, _ = trace(scene, settings, idx, o, d, jax.random.key(0))
+    # emitted_light = colour * strength, throughput 1 on first hit
+    # (src/material.cu:170, src/raytracer.cu:86-88)
+    assert np.asarray(rad)[0] @ np.ones(3) >= 6.0 * (1 + 0.5 + 0.25) - 1e-3
+
+
+def test_throughput_multiplies_texture():
+    """A grey wall lit by the sky behind the camera: radiance = sky * colour."""
+    b = SceneBuilder()
+    b.add_triangle((-50, -50, 2), (50, -50, 2), (0, 50, 2),
+                   Material.standard(Texture.const_colour((0.5, 0.25, 1.0)), 1))
+    scene = b.build()
+    settings = RenderSettings(rays_per_pixel=1, reflect_limit=5,
+                              antialias=False, sky_colour=(1.0, 1.0, 1.0))
+    idx, o, d = _straight_rays()
+    rad, _ = trace(scene, settings, idx, o, d, jax.random.key(0))
+    # mirror bounce (smoothness 1) goes straight back and escapes to sky
+    np.testing.assert_allclose(np.asarray(rad),
+                               np.tile([0.5, 0.25, 1.0], (64, 1)), rtol=1e-5)
+
+
+def test_reflect_limit_caps_bounces():
+    """Two parallel mirrors: ray never escapes, radiance stays 0 and
+    segments = N * reflect_limit."""
+    mirror = Material.standard(Texture.const_colour((1, 1, 1)), 1)
+    b = SceneBuilder()
+    b.add_triangle((-50, -50, 2), (50, -50, 2), (0, 50, 2), mirror)
+    b.add_triangle((-50, -50, -2), (50, -50, -2), (0, 50, -2), mirror)
+    scene = b.build()
+    settings = RenderSettings(rays_per_pixel=1, reflect_limit=4,
+                              antialias=False, sky_colour=(1, 1, 1))
+    idx, o, d = _straight_rays(8)
+    rad, segs = trace(scene, settings, idx, o, d, jax.random.key(0))
+    np.testing.assert_allclose(np.asarray(rad), 0.0)
+    assert float(segs) == 8 * 4
+
+
+def test_emissive_does_not_terminate_by_default():
+    """Reference quirk #4: emissive surfaces keep bouncing
+    (src/raytracer.cu:86-90). With a mirror behind an emissive pane...
+    simpler: segments show paths continue after the emissive hit."""
+    b = SceneBuilder()
+    b.add_triangle((-50, -50, 2), (50, -50, 2), (0, 50, 2),
+                   Material.emissive((1, 1, 1), 1.0))
+    scene = b.build()
+    idx, o, d = _straight_rays(8)
+    base = RenderSettings(rays_per_pixel=1, reflect_limit=5, antialias=False,
+                          sky_colour=(0, 0, 0))
+    _, segs_quirk = trace(scene, base, idx, o, d, jax.random.key(0))
+    _, segs_fixed = trace(
+        scene,
+        RenderSettings(rays_per_pixel=1, reflect_limit=5, antialias=False,
+                       sky_colour=(0, 0, 0), emissive_terminates=True),
+        idx, o, d, jax.random.key(0))
+    assert float(segs_quirk) > float(segs_fixed)
+    assert float(segs_fixed) == 8  # exactly one segment each
+
+
+def test_reproducible_same_key():
+    b = SceneBuilder()
+    b.add_sphere((0, 0, 2), 0.5, WHITE)
+    # checkered wall behind the camera: bounced rays see different colours
+    # depending on direction, so the result is key-dependent
+    b.add_triangle((-50, -50, -4), (50, -50, -4), (0, 50, -4),
+                   Material.standard(
+                       Texture.checkerboard((1, 1, 1), (0, 0, 0), 64), 0),
+                   uvs=((0, 0), (1, 0), (0.5, 1)))
+    scene = b.build()
+    settings = RenderSettings(rays_per_pixel=4, reflect_limit=3,
+                              antialias=True)
+    idx, o, d = _straight_rays(16)
+    r1, _ = render_sample_mean(scene, settings, idx, o, d, jax.random.key(9))
+    r2, _ = render_sample_mean(scene, settings, idx, o, d, jax.random.key(9))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    r3, _ = render_sample_mean(scene, settings, idx, o, d, jax.random.key(10))
+    assert not np.array_equal(np.asarray(r1), np.asarray(r3))
+
+
+def test_progressive_accumulation_converges():
+    """Frame accumulation equals the running mean of per-frame means
+    (src/raytracer.cu:109-113)."""
+    b = SceneBuilder()
+    b.add_sphere((0, 0, 2), 0.5, WHITE)
+    scene = b.build()
+    settings = RenderSettings(rays_per_pixel=2, reflect_limit=3)
+    idx, o, d = _straight_rays(16)
+    key = jax.random.key(0)
+
+    accum = jnp.zeros((16, 3))
+    means = []
+    for f in range(3):
+        mean, _ = render_sample_mean(
+            scene, settings, idx, o, d,
+            jax.random.fold_in(key, jnp.int32(f)))
+        means.append(np.asarray(mean))
+        accum, _ = render_frame(scene, settings, idx, o, d, accum,
+                                jnp.int32(f), key)
+    np.testing.assert_allclose(np.asarray(accum),
+                               np.mean(means, axis=0), rtol=1e-5)
+
+
+def test_backends_agree():
+    b = SceneBuilder()
+    b.add_sphere((0.2, 0, 3), 1.0, WHITE)
+    b.add_triangle((-2, -2, 5), (2, -2, 5), (0, 3, 5), WHITE)
+    scene = b.build()
+    settings = RenderSettings(rays_per_pixel=8, reflect_limit=4)
+    idx, o, d = _straight_rays(32)
+    r_xla, _ = render_sample_mean(scene, settings, idx, o, d,
+                                  jax.random.key(3), backend="xla")
+    r_woop, _ = render_sample_mean(scene, settings, idx, o, d,
+                                   jax.random.key(3), backend="woop")
+    np.testing.assert_allclose(np.asarray(r_xla), np.asarray(r_woop),
+                               rtol=1e-3, atol=1e-3)

@@ -1,0 +1,94 @@
+"""Multi-chip sharding tests on a simulated 8-device CPU mesh.
+
+Per SURVEY.md §4(d): asserts the pixel-sharded render is *bitwise identical*
+to the single-device render (RNG streams are global-pixel-keyed), and that
+the spp-sharded mode averages correctly across the mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import raytracer_tpu as rt
+from raytracer_tpu.models.camera import build_camera, primary_rays
+from raytracer_tpu.ops.integrator import render_frame
+from raytracer_tpu.parallel.mesh import make_mesh, pixel_sharding
+from raytracer_tpu.parallel.shard import (make_pixel_sharded_step,
+                                          make_spp_sharded_step)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multi-device (virtual) backend")
+
+
+def _setup(width=32, height=16):
+    scene, use_sky = rt.build_scene(1)
+    settings = rt.RenderSettings(rays_per_pixel=2, reflect_limit=3
+                                 ).with_sky(use_sky)
+    cam = build_camera(rt.CameraConfig(width=width, height=height))
+    o, d = primary_rays(cam, width, height)
+    idx = jnp.arange(width * height, dtype=jnp.int32)
+    return scene, settings, idx, o, d
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_pixel_sharded_equals_single_device():
+    scene, settings, idx, o, d = _setup()
+    n = o.shape[0]
+    key = jax.random.key(0)
+
+    # single device reference
+    ref, ref_segs = render_frame(scene, settings, idx, o, d,
+                                 jnp.zeros((n, 3)), jnp.int32(0), key)
+
+    mesh = make_mesh()
+    sh = pixel_sharding(mesh)
+    step = make_pixel_sharded_step(mesh, settings)
+    accum = jax.device_put(jnp.zeros((n, 3)), sh)
+    out, segs = step(scene, jax.device_put(idx, sh), jax.device_put(o, sh),
+                     jax.device_put(d, sh), accum, jnp.int32(0), key)
+
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+    assert float(ref_segs) == float(segs)
+
+
+def test_pixel_sharded_two_frames_progress():
+    scene, settings, idx, o, d = _setup()
+    n = o.shape[0]
+    key = jax.random.key(1)
+    mesh = make_mesh()
+    sh = pixel_sharding(mesh)
+    step = make_pixel_sharded_step(mesh, settings)
+    idx_s, o_s, d_s = (jax.device_put(x, sh) for x in (idx, o, d))
+
+    accum = jax.device_put(jnp.zeros((n, 3)), sh)
+    accum, _ = step(scene, idx_s, o_s, d_s, accum, jnp.int32(0), key)
+    f1 = np.asarray(accum)
+    accum, _ = step(scene, idx_s, o_s, d_s, accum, jnp.int32(1), key)
+    f2 = np.asarray(accum)
+    assert not np.array_equal(f1, f2)
+    assert np.isfinite(f2).all()
+
+    # matches the single-device two-frame sequence exactly
+    ref, _ = render_frame(scene, settings, idx, o, d, jnp.zeros((n, 3)),
+                          jnp.int32(0), key)
+    ref, _ = render_frame(scene, settings, idx, o, d, ref, jnp.int32(1), key)
+    np.testing.assert_array_equal(np.asarray(ref), f2)
+
+
+def test_spp_sharded_mode():
+    scene, settings, idx, o, d = _setup(16, 8)
+    n = o.shape[0]
+    key = jax.random.key(2)
+    mesh = make_mesh()
+    step = make_spp_sharded_step(mesh, settings)
+    accum = jnp.zeros((n, 3))
+    out, segs = step(scene, idx, o, d, accum, jnp.int32(0), key)
+    out = np.asarray(out)
+    assert np.isfinite(out).all()
+    assert out.max() > 0
+    # 8 shards x spp traces: segments at least 8 * N (first bounces)
+    assert float(segs) >= 8 * settings.rays_per_pixel * n

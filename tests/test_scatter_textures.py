@@ -1,0 +1,176 @@
+"""Scattering and texture sampling tests (reference ray.cu / material.cu)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracer_tpu.models.materials import (
+    MAT_REFRACTIVE, MAT_STANDARD, Material, Texture)
+from raytracer_tpu.models.scene import SceneBuilder
+from raytracer_tpu.ops.scatter import (_diffuse_dir, _schlick, _specular_dir,
+                                       antialias_jitter, scatter)
+from raytracer_tpu.ops.textures import sample_texture
+
+
+def test_specular_reflection_law():
+    d = jnp.array([[0.0, -1.0, 0.0], [0.6, -0.8, 0.0]])
+    n = jnp.array([[0.0, 1.0, 0.0], [0.0, 1.0, 0.0]])
+    r = _specular_dir(d, n)
+    np.testing.assert_allclose(np.asarray(r[0]), [0, 1, 0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r[1]), [0.6, 0.8, 0], atol=1e-6)
+
+
+def test_diffuse_lobe_matches_reference_sampler():
+    """The reference flips the random unit vector to the upper hemisphere
+    BEFORE adding the normal (src/ray.cu:157-178), so the lobe is tighter
+    than true Lambertian: every direction is within 45 deg of the normal
+    (|n + u| with u in the upper hemisphere) and E[cos] ~ 0.861."""
+    gauss = jax.random.normal(jax.random.key(0), (20000, 3))
+    n = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (20000, 3))
+    dirs = np.asarray(_diffuse_dir(gauss, n))
+    assert (dirs[:, 2] >= np.sqrt(0.5) - 1e-5).all()
+    assert abs(dirs[:, 2].mean() - 0.8615) < 0.01
+    np.testing.assert_allclose(np.linalg.norm(dirs, axis=1), 1.0, rtol=1e-5)
+
+
+def test_schlick_limits():
+    # normal incidence: r0 = ((n1-n2)/(n1+n2))^2
+    r = float(_schlick(jnp.array(1.0), jnp.array(1.0), jnp.array(1.5)))
+    np.testing.assert_allclose(r, 0.04, atol=1e-3)
+    # grazing: -> 1
+    r = float(_schlick(jnp.array(0.0), jnp.array(1.0), jnp.array(1.5)))
+    np.testing.assert_allclose(r, 1.0, atol=1e-6)
+
+
+def test_antialias_jitter_small_and_unit():
+    u3 = jax.random.uniform(jax.random.key(1), (1000, 3))
+    d = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (1000, 3))
+    j = np.asarray(antialias_jitter(u3, d))
+    np.testing.assert_allclose(np.linalg.norm(j, axis=1), 1.0, rtol=1e-5)
+    assert np.abs(j[:, :2]).max() <= 0.002  # +-0.001 per axis, normalised
+
+
+def test_refraction_snells_law():
+    """With fix_exit_ior, entering glass obeys Snell's law when it refracts."""
+    key = jax.random.key(2)
+    n_rays = 4000
+    # 45 degrees onto a z-facing surface
+    d = jnp.broadcast_to(
+        jnp.array([np.sin(np.pi / 4), 0.0, np.cos(np.pi / 4)],
+                  jnp.float32), (n_rays, 3))
+    normal = jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), (n_rays, 3))
+    new_d, new_ior = scatter(
+        jax.random.normal(key, (n_rays, 3)),
+        jax.random.uniform(jax.random.fold_in(key, 1), (n_rays,)),
+        d, normal,
+        jnp.full((n_rays,), MAT_REFRACTIVE, jnp.int32),
+        jnp.ones((n_rays,)),          # smoothness (forced 1 for refractive)
+        jnp.full((n_rays,), 1.5),     # glass
+        jnp.ones((n_rays,)),          # in air
+        fix_exit_ior=True,
+    )
+    new_d = np.asarray(new_d)
+    refracted = new_d[:, 2] > 0      # continued through the surface
+    assert refracted.mean() > 0.8    # Schlick at 45deg reflects ~5%
+    # sin(theta2) = sin(45)/1.5
+    sin2 = np.abs(new_d[refracted, 0])
+    np.testing.assert_allclose(sin2, np.sin(np.pi / 4) / 1.5, atol=1e-4)
+    # medium switched to glass for refracted rays
+    assert np.allclose(np.asarray(new_ior)[refracted], 1.5)
+
+
+def test_refraction_exit_quirk_straight_through():
+    """Reference quirk: a ray exiting glass has n1 == n2 (src/ray.cu:84-98),
+    so it exits unbent. cur_ior already glass, normal points outward along
+    the ray."""
+    key = jax.random.key(3)
+    n_rays = 100
+    d = jnp.broadcast_to(jnp.array([0.6, 0.0, 0.8]), (n_rays, 3))
+    normal = jnp.broadcast_to(jnp.array([0.6, 0.0, 0.8]), (n_rays, 3))
+    new_d, _ = scatter(
+        jax.random.normal(key, (n_rays, 3)),
+        jax.random.uniform(jax.random.fold_in(key, 1), (n_rays,)),
+        d, normal,
+        jnp.full((n_rays,), MAT_REFRACTIVE, jnp.int32),
+        jnp.ones((n_rays,)),
+        jnp.full((n_rays,), 1.5),
+        jnp.full((n_rays,), 1.5),   # reference state after entering
+        fix_exit_ior=False,
+    )
+    new_d = np.asarray(new_d)
+    # with n1 == n2, schlick r0 = 0 and theta2 = theta1: straight through
+    np.testing.assert_allclose(new_d, np.tile([0.6, 0.0, 0.8], (n_rays, 1)),
+                               atol=1e-4)
+
+
+def test_standard_smoothness_blend():
+    """smoothness=1 must equal the perfect mirror direction."""
+    key = jax.random.key(4)
+    d = jnp.broadcast_to(jnp.array([0.6, -0.8, 0.0]), (64, 3))
+    n = jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), (64, 3))
+    new_d, _ = scatter(
+        jax.random.normal(key, (64, 3)),
+        jax.random.uniform(jax.random.fold_in(key, 1), (64,)),
+        d, n,
+        jnp.full((64,), MAT_STANDARD, jnp.int32),
+        jnp.ones((64,)), jnp.ones((64,)), jnp.ones((64,)))
+    np.testing.assert_allclose(np.asarray(new_d),
+                               np.tile([0.6, 0.8, 0.0], (64, 1)), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# textures
+# ---------------------------------------------------------------------------
+
+def _scene_with_materials(mats):
+    b = SceneBuilder()
+    for i, m in enumerate(mats):
+        b.add_sphere((i * 3.0, 0, 5), 1.0, m)
+    return b.build()
+
+
+def test_const_and_gradient_textures():
+    scene = _scene_with_materials([
+        Material.standard(Texture.const_colour((0.2, 0.4, 0.6)), 0),
+        Material.standard(Texture.gradient(), 0),
+    ])
+    uv = jnp.array([[0.25, 0.75], [0.25, 0.75]])
+    out = np.asarray(sample_texture(scene, jnp.array([0, 1]), uv))
+    np.testing.assert_allclose(out[0], [0.2, 0.4, 0.6], rtol=1e-6)
+    np.testing.assert_allclose(out[1], [0.25, 0.75, 0.0], rtol=1e-6)
+
+
+def test_checkerboard_parity():
+    scene = _scene_with_materials([
+        Material.standard(Texture.checkerboard((1, 1, 1), (0, 0, 0), 4), 0)])
+    # (int(u*4) + int(v*4)) % 2 == 0 -> light (src/material.cu:90-99)
+    uv = jnp.array([[0.1, 0.1], [0.3, 0.1], [0.3, 0.3], [0.9, 0.1]])
+    out = np.asarray(sample_texture(scene, jnp.zeros(4, jnp.int32), uv))
+    np.testing.assert_allclose(out[:, 0], [1, 0, 1, 0])
+
+
+def test_image_texture_nearest():
+    img = np.zeros((2, 3, 3), np.float32)
+    img[0, 0] = [1, 0, 0]
+    img[1, 2] = [0, 1, 0]
+    scene = _scene_with_materials([
+        Material.standard(Texture.from_image(img), 0)])
+    # u_coord = (w-1)*u trunc, v_coord = (h-1)*v (src/material.cu:119-124)
+    uv = jnp.array([[0.0, 0.0], [1.0, 1.0], [0.4, 0.0]])
+    out = np.asarray(sample_texture(scene, jnp.zeros(3, jnp.int32), uv))
+    np.testing.assert_allclose(out[0], [1, 0, 0])
+    np.testing.assert_allclose(out[1], [0, 1, 0])
+    np.testing.assert_allclose(out[2], [1, 0, 0])  # (w-1)*0.4 = 0.8 -> 0
+
+
+def test_image_atlas_multiple_textures():
+    img1 = np.full((2, 2, 3), 0.25, np.float32)
+    img2 = np.full((4, 4, 3), 0.75, np.float32)
+    scene = _scene_with_materials([
+        Material.standard(Texture.from_image(img1), 0),
+        Material.standard(Texture.from_image(img2), 0),
+    ])
+    uv = jnp.array([[0.9, 0.9], [0.1, 0.1]])
+    out = np.asarray(sample_texture(scene, jnp.array([0, 1]), uv))
+    np.testing.assert_allclose(out[0], [0.25] * 3)
+    np.testing.assert_allclose(out[1], [0.75] * 3)
