@@ -78,6 +78,12 @@ class SceneArrays:
     tex_height: jax.Array   # (M,) i32
     atlas: jax.Array        # (P, 3) f32
 
+    # Static metadata (not traced): True when any sphere has a UV-dependent
+    # texture — lets the integrator skip per-ray lat/long transcendentals
+    # (the analog of the reference's need_uv flag, src/material.cu:142).
+    needs_sphere_uv: bool = dataclasses.field(
+        default=True, metadata=dict(static=True))
+
     @property
     def num_spheres(self) -> int:
         return self.sph_center.shape[0]
@@ -283,7 +289,11 @@ class SceneBuilder:
 
         table = compile_materials(self._materials)
 
+        needs_sphere_uv = bool(
+            np.any(table.tex_type[sph_mat[:s]] != 0)) if s > 0 else False
+
         return SceneArrays(
+            needs_sphere_uv=needs_sphere_uv,
             sph_center=jnp.asarray(sph_center),
             sph_radius=jnp.asarray(sph_radius),
             sph_mat=jnp.asarray(sph_mat),

@@ -31,6 +31,7 @@ from ..models.scene import SceneArrays
 from . import rng
 from .intersect import nearest_hit, resolve_hit
 from .scatter import antialias_jitter, scatter
+from .tables import lookup_material
 from .textures import sample_texture
 
 
@@ -49,9 +50,27 @@ def trace(
     ``segments`` counts live ray segments actually traced (the Mrays metric
     the dormant BVH debug counter hints at, src/objects.cu:534-584).
     """
-    n = o.shape[0]
+    rad, segs = _trace_soa(scene, settings, ray_idx, o.T, d.T, key, backend)
+    return rad.T, segs
+
+
+def _trace_soa(
+    scene: SceneArrays,
+    settings: RenderSettings,
+    ray_idx: jax.Array,
+    o: jax.Array,         # (3, N) — SoA: components on the sublane axis,
+    d: jax.Array,         # rays on the lane axis. An (N, 3) layout would pad
+                          # its trailing 3 to 128 lanes (~40x bandwidth waste).
+    key: jax.Array,
+    backend: str = "woop",
+):
+    """SoA core of ``trace``; returns (radiance (3, N), segments)."""
     sky = jnp.asarray(settings.sky_colour, jnp.float32)
     ray_keys = rng.per_ray_keys(key, ray_idx)
+    # Static: does any sphere carry a UV-dependent texture? (The analog of
+    # the reference's need_uv flag, src/material.cu:142 — skips per-ray
+    # arcsin/arccos when no sphere is textured.)
+    need_sphere_uv = scene.needs_sphere_uv
 
     def bounce(carry, bounce_i):
         o, d, thru, rad, alive, cur_ior = carry
@@ -61,34 +80,39 @@ def trace(
         if settings.antialias:
             d = antialias_jitter(jitter_u3, d)
 
-        rec = nearest_hit(o, d, scene, backend=backend)
+        if backend == "pallas":
+            from .intersect_pallas import hit_and_resolve_pallas
+            rec, shade = hit_and_resolve_pallas(
+                o, d, scene, need_sphere_uv=need_sphere_uv)
+        else:
+            rec = nearest_hit(o, d, scene, backend=backend)
+            shade = resolve_hit(o, d, scene, rec)
 
         # Miss => sky contribution, path dies (src/raytracer.cu:76-80).
         miss = alive & ~rec.hit
-        rad = rad + jnp.where(miss[:, None], thru * sky, 0.0)
+        rad = rad + jnp.where(miss[None, :], thru * sky[:, None], 0.0)
 
-        shade = resolve_hit(o, d, scene, rec)
-        mat_type = scene.mat_type[shade.mat_id]
-        is_emissive = mat_type == MAT_EMISSIVE
+        cols = lookup_material(scene, shade.mat_id)
+        is_emissive = cols.mat_type == MAT_EMISSIVE
         live_hit = alive & rec.hit
 
         # Emission adds, otherwise throughput multiplies by the texture
         # colour (src/raytracer.cu:86-90).
-        emit = scene.mat_emit[shade.mat_id]
-        rad = rad + jnp.where((live_hit & is_emissive)[:, None], thru * emit, 0.0)
-        tex = sample_texture(scene, shade.mat_id, shade.uv)
-        thru = jnp.where((live_hit & ~is_emissive)[:, None], thru * tex, thru)
+        rad = rad + jnp.where((live_hit & is_emissive)[None, :],
+                              thru * cols.emit, 0.0)
+        tex = sample_texture(scene, cols, shade.u, shade.v)
+        thru = jnp.where((live_hit & ~is_emissive)[None, :], thru * tex, thru)
 
         new_d, new_ior = scatter(
             gauss, fresnel_u, d, shade.normal,
-            mat_type,
-            scene.mat_smooth[shade.mat_id],
-            scene.mat_ior[shade.mat_id],
+            cols.mat_type,
+            cols.smooth,
+            cols.ior,
             cur_ior,
             fix_exit_ior=settings.fix_exit_ior,
         )
-        o = jnp.where(live_hit[:, None], shade.point, o)
-        d = jnp.where(live_hit[:, None], new_d, d)
+        o = jnp.where(live_hit[None, :], shade.point, o)
+        d = jnp.where(live_hit[None, :], new_d, d)
         cur_ior = jnp.where(live_hit, new_ior, cur_ior)
 
         alive = live_hit
@@ -103,8 +127,8 @@ def trace(
         d,
         jnp.ones_like(o),                    # throughput
         jnp.zeros_like(o),                   # radiance
-        jnp.ones_like(o[:, 0], dtype=bool),  # alive
-        jnp.ones_like(o[:, 0]),              # current IOR = air (src/ray.cu:58)
+        jnp.ones_like(o[0], dtype=bool),     # alive
+        jnp.ones_like(o[0]),                 # current IOR = air (src/ray.cu:58)
     )
     bounce_idx = jnp.arange(settings.reflect_limit, dtype=jnp.int32)
     (_, _, _, rad, _, _), seg_counts = jax.lax.scan(bounce, init, bounce_idx)
@@ -123,19 +147,21 @@ def render_sample_mean(
     """Average ``rays_per_pixel`` independent traces of the same primary rays
     (src/raytracer.cu:97-107). Returns ((N, 3) mean, segment count)."""
 
+    o3, d3 = o.T, d.T  # SoA once, outside the sample loop
+
     def sample(carry, s_idx):
         acc, segs = carry
         s_key = rng.sample_key(frame_key, s_idx)
-        rad, n_segs = trace(scene, settings, ray_idx, o, d, s_key,
-                            backend=backend)
+        rad, n_segs = _trace_soa(scene, settings, ray_idx, o3, d3, s_key,
+                                 backend=backend)
         return (acc + rad, segs + n_segs), None
 
-    # zeros_like(o[0, 0]) keeps the scalar's varying type aligned with the
+    # zeros_like(o3[0, 0]) keeps the scalar's varying type aligned with the
     # sharded inputs under shard_map.
     (total, segs), _ = jax.lax.scan(
-        sample, (jnp.zeros_like(o), jnp.zeros_like(o[0, 0])),
+        sample, (jnp.zeros_like(o3), jnp.zeros_like(o3[0, 0])),
         jnp.arange(settings.rays_per_pixel, dtype=jnp.int32))
-    return total / jnp.float32(settings.rays_per_pixel), segs
+    return (total / jnp.float32(settings.rays_per_pixel)).T, segs
 
 
 def render_frame(

@@ -40,21 +40,27 @@ def per_ray_keys(key: jax.Array, ray_idx: jax.Array) -> jax.Array:
 
 
 def bounce_randoms(ray_keys: jax.Array, bounce_idx) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """All randoms one bounce needs, drawn per-ray.
+    """All randoms one bounce needs, drawn per-ray (SoA).
 
-    Returns (jitter_u3 (N, 3) uniform [0,1), gauss (N, 3) standard normal,
+    Returns (jitter_u3 (3, N) uniform [0,1), gauss (3, N) standard normal,
     fresnel_u (N,) uniform [0,1)) — consumed by the antialias jitter
     (src/ray.cu:130-142), the Lambertian sample (src/ray.cu:157-170), and the
-    Schlick reflection test (src/ray.cu:108).
+    Schlick reflection test (src/ray.cu:108). Component-scalar draws keep
+    every array lane-major (no (N, 3) layouts).
     """
     def draw(k):
         kb = jax.random.fold_in(k, bounce_idx)
-        k1, k2, k3 = jax.random.split(kb, 3)
-        return (jax.random.uniform(k1, (3,), jnp.float32),
-                jax.random.normal(k2, (3,), jnp.float32),
-                jax.random.uniform(k3, (), jnp.float32))
+        ks = jax.random.split(kb, 7)
+        return (jax.random.uniform(ks[0], (), jnp.float32),
+                jax.random.uniform(ks[1], (), jnp.float32),
+                jax.random.uniform(ks[2], (), jnp.float32),
+                jax.random.normal(ks[3], (), jnp.float32),
+                jax.random.normal(ks[4], (), jnp.float32),
+                jax.random.normal(ks[5], (), jnp.float32),
+                jax.random.uniform(ks[6], (), jnp.float32))
 
-    return jax.vmap(draw)(ray_keys)
+    ux, uy, uz, gx, gy, gz, fres = jax.vmap(draw)(ray_keys)
+    return jnp.stack([ux, uy, uz]), jnp.stack([gx, gy, gz]), fres
 
 
 def uniform3(key: jax.Array, shape) -> jax.Array:

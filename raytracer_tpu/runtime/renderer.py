@@ -42,13 +42,17 @@ class Renderer:
         scene: SceneArrays,
         camera: CameraConfig = CameraConfig(),
         settings: RenderSettings = RenderSettings(),
-        backend: str = "woop",
+        backend: str | None = None,
         seed: int = 0,
         sharding=None,
     ):
         self.scene = scene
         self.camera_cfg = camera
         self.settings = settings
+        if backend is None:
+            # Pallas sweep kernel on real TPUs; XLA matmul path elsewhere
+            # (the Pallas interpreter is far too slow for real renders).
+            backend = "pallas" if jax.default_backend() == "tpu" else "woop"
         self.backend = backend
 
         cam = build_camera(camera)

@@ -1,5 +1,8 @@
 """Intersection unit tests: sphere quadratic, Möller–Trumbore, Woop
-equivalence, one-way culling, nearest-hit merge, shading resolution."""
+equivalence, one-way culling, nearest-hit merge, shading resolution.
+
+Ops use the SoA (3, N) ray layout; helpers here build rays in that form.
+"""
 
 import jax.numpy as jnp
 import numpy as np
@@ -12,10 +15,18 @@ WHITE = Material.standard(Texture.const_colour((1, 1, 1)), 0)
 
 
 def _rays(o_list, d_list):
-    o = jnp.asarray(o_list, jnp.float32)
-    d = jnp.asarray(d_list, jnp.float32)
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    """Returns (3, N) origins and unit directions."""
+    o = jnp.asarray(o_list, jnp.float32).T
+    d = jnp.asarray(d_list, jnp.float32).T
+    d = d / jnp.linalg.norm(d, axis=0, keepdims=True)
     return o, d
+
+
+def _homog(o, d):
+    n = o.shape[1]
+    o_h = jnp.concatenate([o, jnp.ones((1, n))], axis=0)
+    d_h = jnp.concatenate([d, jnp.zeros((1, n))], axis=0)
+    return o_h, d_h
 
 
 def test_sphere_basic_hit_miss():
@@ -51,15 +62,14 @@ def test_triangle_mt_and_woop_agree():
     scene = b.build()
 
     n = 256
-    o = jnp.asarray(rng.normal(size=(n, 3)) * 2, jnp.float32)
-    d = rng.normal(size=(n, 3)).astype(np.float32)
-    d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+    o = jnp.asarray(rng.normal(size=(n, 3)).T * 2, jnp.float32)
+    dn = rng.normal(size=(n, 3)).astype(np.float32)
+    d = jnp.asarray((dn / np.linalg.norm(dn, axis=1, keepdims=True)).T)
 
     ts_mt = np.asarray(I.triangle_hit_ts_mt(o, d, scene))
-    o_h = jnp.concatenate([o, jnp.ones((n, 1))], -1)
-    d_h = jnp.concatenate([d, jnp.zeros((n, 1))], -1)
+    o_h, d_h = _homog(o, d)
     ts_wp = np.asarray(I._woop_tile_ts(
-        o_h, d_h, d, scene.tri_wu, scene.tri_wv, scene.tri_ww,
+        o_h, d_h, scene.tri_wu, scene.tri_wv, scene.tri_ww,
         scene.tri_cull, scene.tri_valid))
 
     hit_mt, hit_wp = ts_mt < 1e29, ts_wp < 1e29
@@ -87,7 +97,6 @@ def test_one_way_quad_culling():
     scene = b.build()
     o, d = _rays([[0, 0, 0], [0, 0, 4]], [[0, 0, 1], [0, 0, -1]])
     rec = I.nearest_hit(o, d, scene, backend="xla")
-    # normal = e1 x e2 for t1: (+x) x (+x-y...) — one side passes, other culled
     hits = np.asarray(rec.hit)
     assert hits.sum() == 1
 
@@ -137,11 +146,11 @@ def test_ray_chunking_consistent():
     scene = b.build()
     rng = np.random.default_rng(7)
     n = I.RAY_CHUNK + 37
-    o = jnp.zeros((n, 3))
-    d = rng.normal(size=(n, 3)).astype(np.float32)
-    d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+    o = jnp.zeros((3, n))
+    dn = rng.normal(size=(n, 3)).astype(np.float32)
+    d = jnp.asarray((dn / np.linalg.norm(dn, axis=1, keepdims=True)).T)
     rec = I.nearest_hit(o, d, scene)
-    rec_small = I.nearest_hit(o[:100], d[:100], scene)
+    rec_small = I.nearest_hit(o[:, :100], d[:, :100], scene)
     np.testing.assert_allclose(np.asarray(rec.t[:100]),
                                np.asarray(rec_small.t), rtol=1e-6)
     assert rec.t.shape == (n,)
@@ -154,12 +163,15 @@ def test_resolve_hit_sphere_normal_uv():
     o, d = _rays([[0, 0, 0]], [[0, 0, 1]])
     rec = I.nearest_hit(o, d, scene)
     sd = I.resolve_hit(o, d, scene, rec)
-    np.testing.assert_allclose(np.asarray(sd.point[0]), [0, 0, 1.5], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sd.point[:, 0]), [0, 0, 1.5],
+                               atol=1e-6)
     # outward normal, NOT flipped toward ray (src/objects.cu:66)
-    np.testing.assert_allclose(np.asarray(sd.normal[0]), [0, 0, -1], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sd.normal[:, 0]), [0, 0, -1],
+                               atol=1e-6)
     # hit point at equator front: theta=0 => u=0.5; x=center => phi=pi/2;
     # front (z < center z) => v = v_ratio = 0.25 (src/objects.cu:82-97)
-    np.testing.assert_allclose(np.asarray(sd.uv[0]), [0.5, 0.25], atol=1e-5)
+    np.testing.assert_allclose([float(sd.u[0]), float(sd.v[0])],
+                               [0.5, 0.25], atol=1e-5)
 
 
 def test_resolve_hit_triangle_normal_flips():
@@ -170,8 +182,8 @@ def test_resolve_hit_triangle_normal_flips():
     rec = I.nearest_hit(o, d, scene)
     sd = I.resolve_hit(o, d, scene, rec)
     # normal faces against each ray (src/objects.cu:158)
-    assert float(jnp.sum(sd.normal[0] * d[0])) < 0
-    assert float(jnp.sum(sd.normal[1] * d[1])) < 0
+    for i in range(2):
+        assert float(jnp.sum(sd.normal[:, i] * d[:, i])) < 0
 
 
 def test_triangle_uv_interpolation():
@@ -186,5 +198,7 @@ def test_triangle_uv_interpolation():
                  [[0, 0, 1], [0, 0, 1]])
     rec = I.nearest_hit(o, d, scene)
     sd = I.resolve_hit(o, d, scene, rec)
-    np.testing.assert_allclose(np.asarray(sd.uv[0]), [0, 0], atol=0.02)
-    np.testing.assert_allclose(np.asarray(sd.uv[1]), [0.5, 1 / 3], atol=1e-4)
+    np.testing.assert_allclose([float(sd.u[0]), float(sd.v[0])], [0, 0],
+                               atol=0.02)
+    np.testing.assert_allclose([float(sd.u[1]), float(sd.v[1])],
+                               [0.5, 1 / 3], atol=1e-4)

@@ -1,0 +1,76 @@
+"""Pallas kernel tests (interpreter mode on the CPU backend)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import raytracer_tpu as rt
+from raytracer_tpu.ops import intersect as I
+from raytracer_tpu.ops.integrator import render_sample_mean
+from raytracer_tpu.ops.intersect_pallas import (RAY_TILE,
+                                                hit_and_resolve_pallas,
+                                                nearest_hit_pallas)
+
+
+def _rand_rays(n, seed=0, spread=0.2):
+    rng = np.random.default_rng(seed)
+    o = jnp.asarray(rng.normal(size=(3, n)) * spread, jnp.float32)
+    d = rng.normal(size=(3, n)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=0, keepdims=True))
+    return o, d
+
+
+def test_pallas_matches_xla_nearest_hit():
+    scene, _ = rt.build_scene(1)
+    o, d = _rand_rays(RAY_TILE + 100)
+    rec_p = nearest_hit_pallas(o, d, scene)
+    rec_x = I.nearest_hit(o, d, scene, backend="xla")
+    np.testing.assert_array_equal(np.asarray(rec_p.hit), np.asarray(rec_x.hit))
+    both = np.asarray(rec_p.hit)
+    np.testing.assert_allclose(np.asarray(rec_p.t)[both],
+                               np.asarray(rec_x.t)[both], rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(rec_p.is_tri)[both],
+                                  np.asarray(rec_x.is_tri)[both])
+    np.testing.assert_array_equal(np.asarray(rec_p.idx)[both],
+                                  np.asarray(rec_x.idx)[both])
+
+
+def test_pallas_resolve_matches_xla():
+    scene, _ = rt.build_scene(2)  # textured sphere => sphere UV exercised
+    o, d = _rand_rays(512, seed=3)
+    rec_p, sd_p = hit_and_resolve_pallas(o, d, scene, need_sphere_uv=True)
+    rec_x = I.nearest_hit(o, d, scene, backend="xla")
+    sd_x = I.resolve_hit(o, d, scene, rec_x)
+    hit = np.asarray(rec_x.hit)
+    np.testing.assert_allclose(np.asarray(sd_p.point)[:, hit],
+                               np.asarray(sd_x.point)[:, hit],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sd_p.normal)[:, hit],
+                               np.asarray(sd_x.normal)[:, hit],
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(sd_p.u)[hit], np.asarray(sd_x.u)[hit],
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(sd_p.v)[hit], np.asarray(sd_x.v)[hit],
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(sd_p.mat_id)[hit],
+                                  np.asarray(sd_x.mat_id)[hit])
+
+
+def test_pallas_backend_full_trace_agrees():
+    scene, use_sky = rt.build_scene(1)
+    settings = rt.RenderSettings(rays_per_pixel=4, reflect_limit=4
+                                 ).with_sky(use_sky)
+    n = 256
+    idx = jnp.arange(n, dtype=jnp.int32)
+    o = jnp.zeros((n, 3))
+    d = np.zeros((n, 3), np.float32)
+    d[:, 2] = 1.0
+    d[:, 0] = np.linspace(-0.3, 0.3, n)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    r_p, _ = render_sample_mean(scene, settings, idx, o, d, jax.random.key(5),
+                                backend="pallas")
+    r_x, _ = render_sample_mean(scene, settings, idx, o, d, jax.random.key(5),
+                                backend="xla")
+    np.testing.assert_allclose(np.asarray(r_p), np.asarray(r_x),
+                               rtol=2e-3, atol=2e-3)

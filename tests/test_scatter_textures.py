@@ -9,15 +9,20 @@ from raytracer_tpu.models.materials import (
 from raytracer_tpu.models.scene import SceneBuilder
 from raytracer_tpu.ops.scatter import (_diffuse_dir, _schlick, _specular_dir,
                                        antialias_jitter, scatter)
+from raytracer_tpu.ops.tables import lookup_material
 from raytracer_tpu.ops.textures import sample_texture
 
 
+def _sample(scene, mat_id, u, v):
+    return sample_texture(scene, lookup_material(scene, mat_id), u, v)
+
+
 def test_specular_reflection_law():
-    d = jnp.array([[0.0, -1.0, 0.0], [0.6, -0.8, 0.0]])
-    n = jnp.array([[0.0, 1.0, 0.0], [0.0, 1.0, 0.0]])
+    d = jnp.array([[0.0, -1.0, 0.0], [0.6, -0.8, 0.0]]).T  # (3, N)
+    n = jnp.array([[0.0, 1.0, 0.0], [0.0, 1.0, 0.0]]).T
     r = _specular_dir(d, n)
-    np.testing.assert_allclose(np.asarray(r[0]), [0, 1, 0], atol=1e-6)
-    np.testing.assert_allclose(np.asarray(r[1]), [0.6, 0.8, 0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r[:, 0]), [0, 1, 0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r[:, 1]), [0.6, 0.8, 0], atol=1e-6)
 
 
 def test_diffuse_lobe_matches_reference_sampler():
@@ -25,12 +30,12 @@ def test_diffuse_lobe_matches_reference_sampler():
     BEFORE adding the normal (src/ray.cu:157-178), so the lobe is tighter
     than true Lambertian: every direction is within 45 deg of the normal
     (|n + u| with u in the upper hemisphere) and E[cos] ~ 0.861."""
-    gauss = jax.random.normal(jax.random.key(0), (20000, 3))
-    n = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (20000, 3))
+    gauss = jax.random.normal(jax.random.key(0), (3, 20000))
+    n = jnp.zeros((3, 20000)).at[2].set(1.0)
     dirs = np.asarray(_diffuse_dir(gauss, n))
-    assert (dirs[:, 2] >= np.sqrt(0.5) - 1e-5).all()
-    assert abs(dirs[:, 2].mean() - 0.8615) < 0.01
-    np.testing.assert_allclose(np.linalg.norm(dirs, axis=1), 1.0, rtol=1e-5)
+    assert (dirs[2] >= np.sqrt(0.5) - 1e-5).all()
+    assert abs(dirs[2].mean() - 0.8615) < 0.01
+    np.testing.assert_allclose(np.linalg.norm(dirs, axis=0), 1.0, rtol=1e-5)
 
 
 def test_schlick_limits():
@@ -43,11 +48,11 @@ def test_schlick_limits():
 
 
 def test_antialias_jitter_small_and_unit():
-    u3 = jax.random.uniform(jax.random.key(1), (1000, 3))
-    d = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (1000, 3))
+    u3 = jax.random.uniform(jax.random.key(1), (3, 1000))
+    d = jnp.zeros((3, 1000)).at[2].set(1.0)
     j = np.asarray(antialias_jitter(u3, d))
-    np.testing.assert_allclose(np.linalg.norm(j, axis=1), 1.0, rtol=1e-5)
-    assert np.abs(j[:, :2]).max() <= 0.002  # +-0.001 per axis, normalised
+    np.testing.assert_allclose(np.linalg.norm(j, axis=0), 1.0, rtol=1e-5)
+    assert np.abs(j[:2]).max() <= 0.002  # +-0.001 per axis, normalised
 
 
 def test_refraction_snells_law():
@@ -57,10 +62,11 @@ def test_refraction_snells_law():
     # 45 degrees onto a z-facing surface
     d = jnp.broadcast_to(
         jnp.array([np.sin(np.pi / 4), 0.0, np.cos(np.pi / 4)],
-                  jnp.float32), (n_rays, 3))
-    normal = jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), (n_rays, 3))
+                  jnp.float32)[:, None], (3, n_rays))
+    normal = jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0])[:, None],
+                              (3, n_rays))
     new_d, new_ior = scatter(
-        jax.random.normal(key, (n_rays, 3)),
+        jax.random.normal(key, (3, n_rays)),
         jax.random.uniform(jax.random.fold_in(key, 1), (n_rays,)),
         d, normal,
         jnp.full((n_rays,), MAT_REFRACTIVE, jnp.int32),
@@ -70,10 +76,10 @@ def test_refraction_snells_law():
         fix_exit_ior=True,
     )
     new_d = np.asarray(new_d)
-    refracted = new_d[:, 2] > 0      # continued through the surface
+    refracted = new_d[2] > 0         # continued through the surface
     assert refracted.mean() > 0.8    # Schlick at 45deg reflects ~5%
     # sin(theta2) = sin(45)/1.5
-    sin2 = np.abs(new_d[refracted, 0])
+    sin2 = np.abs(new_d[0, refracted])
     np.testing.assert_allclose(sin2, np.sin(np.pi / 4) / 1.5, atol=1e-4)
     # medium switched to glass for refracted rays
     assert np.allclose(np.asarray(new_ior)[refracted], 1.5)
@@ -85,10 +91,11 @@ def test_refraction_exit_quirk_straight_through():
     the ray."""
     key = jax.random.key(3)
     n_rays = 100
-    d = jnp.broadcast_to(jnp.array([0.6, 0.0, 0.8]), (n_rays, 3))
-    normal = jnp.broadcast_to(jnp.array([0.6, 0.0, 0.8]), (n_rays, 3))
+    d = jnp.broadcast_to(jnp.array([0.6, 0.0, 0.8])[:, None], (3, n_rays))
+    normal = jnp.broadcast_to(jnp.array([0.6, 0.0, 0.8])[:, None],
+                              (3, n_rays))
     new_d, _ = scatter(
-        jax.random.normal(key, (n_rays, 3)),
+        jax.random.normal(key, (3, n_rays)),
         jax.random.uniform(jax.random.fold_in(key, 1), (n_rays,)),
         d, normal,
         jnp.full((n_rays,), MAT_REFRACTIVE, jnp.int32),
@@ -99,23 +106,24 @@ def test_refraction_exit_quirk_straight_through():
     )
     new_d = np.asarray(new_d)
     # with n1 == n2, schlick r0 = 0 and theta2 = theta1: straight through
-    np.testing.assert_allclose(new_d, np.tile([0.6, 0.0, 0.8], (n_rays, 1)),
-                               atol=1e-4)
+    np.testing.assert_allclose(new_d, np.tile([[0.6], [0.0], [0.8]],
+                                              (1, n_rays)), atol=1e-4)
 
 
 def test_standard_smoothness_blend():
     """smoothness=1 must equal the perfect mirror direction."""
     key = jax.random.key(4)
-    d = jnp.broadcast_to(jnp.array([0.6, -0.8, 0.0]), (64, 3))
-    n = jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), (64, 3))
+    d = jnp.broadcast_to(jnp.array([0.6, -0.8, 0.0])[:, None], (3, 64))
+    n = jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0])[:, None], (3, 64))
     new_d, _ = scatter(
-        jax.random.normal(key, (64, 3)),
+        jax.random.normal(key, (3, 64)),
         jax.random.uniform(jax.random.fold_in(key, 1), (64,)),
         d, n,
         jnp.full((64,), MAT_STANDARD, jnp.int32),
         jnp.ones((64,)), jnp.ones((64,)), jnp.ones((64,)))
     np.testing.assert_allclose(np.asarray(new_d),
-                               np.tile([0.6, 0.8, 0.0], (64, 1)), atol=1e-5)
+                               np.tile([[0.6], [0.8], [0.0]], (1, 64)),
+                               atol=1e-5)
 
 
 # ---------------------------------------------------------------------------
@@ -134,19 +142,19 @@ def test_const_and_gradient_textures():
         Material.standard(Texture.const_colour((0.2, 0.4, 0.6)), 0),
         Material.standard(Texture.gradient(), 0),
     ])
-    uv = jnp.array([[0.25, 0.75], [0.25, 0.75]])
-    out = np.asarray(sample_texture(scene, jnp.array([0, 1]), uv))
-    np.testing.assert_allclose(out[0], [0.2, 0.4, 0.6], rtol=1e-6)
-    np.testing.assert_allclose(out[1], [0.25, 0.75, 0.0], rtol=1e-6)
+    u = jnp.array([0.25, 0.25]); v = jnp.array([0.75, 0.75])
+    out = np.asarray(_sample(scene, jnp.array([0, 1]), u, v))
+    np.testing.assert_allclose(out[:, 0], [0.2, 0.4, 0.6], rtol=1e-6)
+    np.testing.assert_allclose(out[:, 1], [0.25, 0.75, 0.0], rtol=1e-6)
 
 
 def test_checkerboard_parity():
     scene = _scene_with_materials([
         Material.standard(Texture.checkerboard((1, 1, 1), (0, 0, 0), 4), 0)])
     # (int(u*4) + int(v*4)) % 2 == 0 -> light (src/material.cu:90-99)
-    uv = jnp.array([[0.1, 0.1], [0.3, 0.1], [0.3, 0.3], [0.9, 0.1]])
-    out = np.asarray(sample_texture(scene, jnp.zeros(4, jnp.int32), uv))
-    np.testing.assert_allclose(out[:, 0], [1, 0, 1, 0])
+    u = jnp.array([0.1, 0.3, 0.3, 0.9]); v = jnp.array([0.1, 0.1, 0.3, 0.1])
+    out = np.asarray(_sample(scene, jnp.zeros(4, jnp.int32), u, v))
+    np.testing.assert_allclose(out[0], [1, 0, 1, 0])
 
 
 def test_image_texture_nearest():
@@ -156,11 +164,11 @@ def test_image_texture_nearest():
     scene = _scene_with_materials([
         Material.standard(Texture.from_image(img), 0)])
     # u_coord = (w-1)*u trunc, v_coord = (h-1)*v (src/material.cu:119-124)
-    uv = jnp.array([[0.0, 0.0], [1.0, 1.0], [0.4, 0.0]])
-    out = np.asarray(sample_texture(scene, jnp.zeros(3, jnp.int32), uv))
-    np.testing.assert_allclose(out[0], [1, 0, 0])
-    np.testing.assert_allclose(out[1], [0, 1, 0])
-    np.testing.assert_allclose(out[2], [1, 0, 0])  # (w-1)*0.4 = 0.8 -> 0
+    u = jnp.array([0.0, 1.0, 0.4]); v = jnp.array([0.0, 1.0, 0.0])
+    out = np.asarray(_sample(scene, jnp.zeros(3, jnp.int32), u, v))
+    np.testing.assert_allclose(out[:, 0], [1, 0, 0])
+    np.testing.assert_allclose(out[:, 1], [0, 1, 0])
+    np.testing.assert_allclose(out[:, 2], [1, 0, 0])  # (w-1)*0.4 = 0.8 -> 0
 
 
 def test_image_atlas_multiple_textures():
@@ -170,7 +178,7 @@ def test_image_atlas_multiple_textures():
         Material.standard(Texture.from_image(img1), 0),
         Material.standard(Texture.from_image(img2), 0),
     ])
-    uv = jnp.array([[0.9, 0.9], [0.1, 0.1]])
-    out = np.asarray(sample_texture(scene, jnp.array([0, 1]), uv))
-    np.testing.assert_allclose(out[0], [0.25] * 3)
-    np.testing.assert_allclose(out[1], [0.75] * 3)
+    u = jnp.array([0.9, 0.1]); v = jnp.array([0.9, 0.1])
+    out = np.asarray(_sample(scene, jnp.array([0, 1]), u, v))
+    np.testing.assert_allclose(out[:, 0], [0.25] * 3)
+    np.testing.assert_allclose(out[:, 1], [0.75] * 3)
