@@ -1,0 +1,120 @@
+"""CLI entry point: `python -m raytracer_tpu [options]`.
+
+The app layer of the framework — what the reference's ``main()`` + SFML
+window is (src/main.cu:401-432), but runtime-configurable instead of
+compile-time constants (SCENE_NUM src/main.cu:11, resolution
+src/camera.cu:4-5, quality knobs src/main.cu:318-330).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="raytracer_tpu",
+        description="TPU-native progressive Monte-Carlo path tracer",
+    )
+    sub = p.add_subparsers(dest="cmd")
+
+    r = sub.add_parser("render", help="render a scene progressively")
+    r.add_argument("--scene", type=int, default=0,
+                   help="test scene number 0-4 (src/main.cu:100-122)")
+    r.add_argument("--width", type=int, default=1000)
+    r.add_argument("--height", type=int, default=800)
+    r.add_argument("--spp", type=int, default=100,
+                   help="rays per pixel per frame")
+    r.add_argument("--bounces", type=int, default=5, help="reflect limit")
+    r.add_argument("--frames", type=int, default=1,
+                   help="progressive frames (0 = until Ctrl-C)")
+    r.add_argument("--no-antialias", action="store_true")
+    r.add_argument("--sampler", choices=("regen", "scan"), default="regen")
+    r.add_argument("--backend", choices=("pallas", "woop", "xla"),
+                   default=None)
+    r.add_argument("--gamma", type=float, default=None)
+    r.add_argument("--fix-exit-ior", action="store_true")
+    r.add_argument("--emissive-terminates", action="store_true")
+    r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--cam-pos", type=float, nargs=3, default=None)
+    r.add_argument("--cam-rot", type=float, nargs=3, default=None,
+                   help="Euler XYZ rotation, radians")
+    r.add_argument("--fov", type=float, default=60.0)
+    r.add_argument("--out", type=str, default="render.png")
+    r.add_argument("--view", action="store_true",
+                   help="live display (matplotlib window if available)")
+    r.add_argument("--checkpoint", type=str, default=None)
+    r.add_argument("--resume", type=str, default=None)
+    r.add_argument("--checkpoint-every", type=int, default=0)
+    r.add_argument("--stats", type=str, default=None,
+                   help="JSONL stats sink path")
+
+    c = sub.add_parser("convert-textures",
+                       help="pack a directory of images into a texture "
+                            "library (.npz)")
+    c.add_argument("src_dir")
+    c.add_argument("out", nargs="?", default="textures.npz")
+    return p
+
+
+def cmd_render(args) -> int:
+    import raytracer_tpu as rt
+    from raytracer_tpu.runtime.viewer import run_render_loop
+
+    scene, use_sky = rt.build_scene(args.scene)
+    settings = rt.RenderSettings(
+        reflect_limit=args.bounces,
+        rays_per_pixel=args.spp,
+        antialias=not args.no_antialias,
+        sampler=args.sampler,
+        gamma=args.gamma,
+        fix_exit_ior=args.fix_exit_ior,
+        emissive_terminates=args.emissive_terminates,
+    ).with_sky(use_sky)
+
+    cam_kwargs = dict(width=args.width, height=args.height,
+                      fov_deg=args.fov)
+    if args.cam_pos is not None:
+        cam_kwargs["position"] = tuple(args.cam_pos)
+    elif args.scene == 4:
+        cam_kwargs["position"] = (0.0, 0.5, -6.0)  # scene 4 needs distance
+    if args.cam_rot is not None:
+        cam_kwargs["x_rot"], cam_kwargs["y_rot"], cam_kwargs["z_rot"] = \
+            args.cam_rot
+    camera = rt.CameraConfig(**cam_kwargs)
+
+    renderer = rt.Renderer(scene, camera, settings, backend=args.backend,
+                           seed=args.seed)
+    if args.resume:
+        renderer.load_checkpoint(args.resume)
+
+    run_render_loop(renderer, frames=args.frames, out_path=args.out,
+                    display=args.view, checkpoint=args.checkpoint,
+                    checkpoint_every=args.checkpoint_every)
+    if args.stats:
+        renderer.write_stats(args.stats)
+    print(f"wrote {args.out} ({renderer.frame_num} frames, "
+          f"{renderer.frame_num * settings.rays_per_pixel} spp)")
+    return 0
+
+
+def cmd_convert(args) -> int:
+    from raytracer_tpu.utils.image import convert_textures
+    n = convert_textures(args.src_dir, args.out)
+    print(f"packed {n} textures into {args.out}")
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cmd == "render":
+        return cmd_render(args)
+    if args.cmd == "convert-textures":
+        return cmd_convert(args)
+    build_parser().print_help()
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -45,6 +45,13 @@ class RenderSettings:
     antialias: bool = True
     sky_colour: Tuple[float, float, float] = SKY_COLOUR
 
+    # Sampler strategy: "regen" keeps every lane busy by restarting finished
+    # paths on the pixel's next sample (path regeneration, one while_loop);
+    # "scan" is the direct spp x bounce nested-scan transcription of the
+    # reference (src/raytracer.cu:71,102). Both compute the same estimator
+    # with different (equally deterministic) RNG stream assignments.
+    sampler: str = "regen"
+
     # Fidelity/deviation flags.
     emissive_terminates: bool = False
     fix_exit_ior: bool = False

@@ -30,6 +30,26 @@ import numpy as np
 from .materials import Material, MaterialTable, compile_materials
 
 _PAD = 8  # pad primitive pools to a multiple of this
+_CLUSTER_LEAF = 64  # BVH leaf size for tile-sweep culling
+
+
+def _leaf_clusters(bounds: np.ndarray, meta: np.ndarray) -> np.ndarray:
+    """(num_nodes, 6) bounds + (num_nodes, 4) meta -> (C, 8) leaf rows.
+
+    Bounds are epsilon-padded so flat leaves (e.g. an axis-aligned quad)
+    survive the strict slab test.
+    """
+    leaf = meta[:, 0] == -1
+    bmin = bounds[leaf, :3]
+    bmax = bounds[leaf, 3:]
+    pad = 1e-4 * np.maximum(np.linalg.norm(bmax - bmin, axis=1,
+                                           keepdims=True), 1.0) + 1e-6
+    return np.column_stack([
+        bmin - pad,
+        bmax + pad,
+        meta[leaf, 2].astype(np.float32),
+        meta[leaf, 3].astype(np.float32),
+    ]).astype(np.float32)
 
 
 @jax.tree_util.register_dataclass
@@ -77,6 +97,15 @@ class SceneArrays:
     tex_width: jax.Array    # (M,) i32
     tex_height: jax.Array   # (M,) i32
     atlas: jax.Array        # (P, 3) f32
+
+    # BVH leaf clusters for tile-sweep culling (reference BVH,
+    # src/objects.cu:448-771, redesigned: leaf-only storage, primitives
+    # reordered so each leaf is a contiguous range). Rows per cluster:
+    # [min_x, min_y, min_z, max_x, max_y, max_z, start, count] (f32; start
+    # and count are exact small integers). Shape (C, 8); C == 0 disables
+    # culling for that pool.
+    tri_clusters: jax.Array
+    sph_clusters: jax.Array
 
     # Static metadata (not traced): True when any sphere has a UV-dependent
     # texture — lets the integrator skip per-ray lat/long transcendentals
@@ -287,12 +316,48 @@ class SceneBuilder:
                 tri_w[row, i, :3] = inv[row]
                 tri_w[row, i, 3] = -inv[row] @ rec.v0.astype(np.float64)
 
+        # --- BVH leaf clustering for tile-sweep culling -------------------
+        # Reorder each primitive pool so BVH leaves are contiguous ranges;
+        # the Pallas kernel slab-tests each leaf AABB per ray tile and skips
+        # its primitives when no ray can improve on the current best
+        # (redesign of src/objects.cu:448-771 — hierarchy as tile-level
+        # culling instead of per-ray pointer-chasing).
+        tri_clusters = np.zeros((0, 8), np.float32)
+        sph_clusters = np.zeros((0, 8), np.float32)
+        if t > 2 * _CLUSTER_LEAF:
+            from ..runtime.loader import build_bvh_clusters
+            verts = np.stack(
+                [tri_v0[:t], tri_v0[:t] + tri_e1[:t], tri_v0[:t] + tri_e2[:t]],
+                axis=1)
+            order, bounds, meta = build_bvh_clusters(verts, _CLUSTER_LEAF)
+            for arr in (tri_v0, tri_e1, tri_e2, tri_normal, tri_mat,
+                        tri_valid, tri_cull):
+                arr[:t] = arr[:t][order]
+            for k in range(3):
+                tri_uv[k, :t] = tri_uv[k, :t][order]
+                tri_w[k, :t] = tri_w[k, :t][order]
+            tri_clusters = _leaf_clusters(bounds, meta)
+        if s > 2 * _CLUSTER_LEAF:
+            from ..runtime.loader import build_bvh_clusters
+            c = sph_center[:s]
+            r = sph_radius[:s, None]
+            # spheres as degenerate triangles: bounds = center +- r,
+            # centroid = center — reuses the same BVH builder.
+            verts = np.stack([c - r, c + r, c], axis=1)
+            order, bounds, meta = build_bvh_clusters(verts, _CLUSTER_LEAF)
+            sph_center[:s] = sph_center[:s][order]
+            sph_radius[:s] = sph_radius[:s][order]
+            sph_mat[:s] = sph_mat[:s][order]
+            sph_clusters = _leaf_clusters(bounds, meta)
+
         table = compile_materials(self._materials)
 
         needs_sphere_uv = bool(
             np.any(table.tex_type[sph_mat[:s]] != 0)) if s > 0 else False
 
         return SceneArrays(
+            tri_clusters=jnp.asarray(tri_clusters),
+            sph_clusters=jnp.asarray(sph_clusters),
             needs_sphere_uv=needs_sphere_uv,
             sph_center=jnp.asarray(sph_center),
             sph_radius=jnp.asarray(sph_radius),

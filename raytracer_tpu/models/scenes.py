@@ -160,6 +160,17 @@ def texture_test_scene(b: SceneBuilder,
     create_cornell_box(b, (-0.5, 0.5, 1.2), 1, 1, 1, 0.5)
 
     if earth_image is None:
+        # Prefer a packed texture library (the parse_textures.txt analog,
+        # src/main.cu:42); fall back to the procedural stand-in (quirk #10 —
+        # the reference's earth.png is gitignored).
+        from ..utils.image import TextureLibrary, find_texture_library
+        lib_path = find_texture_library()
+        if lib_path is not None:
+            try:
+                earth_image = TextureLibrary(lib_path).get("earth.png")
+            except (FileNotFoundError, KeyError):
+                earth_image = None
+    if earth_image is None:
         earth_image = procedural_earth_texture()
     earth_mat = Material.standard(Texture.from_image(earth_image), 0)
     b.add_sphere((0, 0, 1.7), 0.25, earth_mat)

@@ -3,11 +3,16 @@
 TPU-native replacement for the reference megakernel
 (``trace_ray``/``get_ray_colour``/``get_pixel_colour``,
 src/raytracer.cu:67-136). One thread-per-pixel with divergent loops becomes:
-the whole frame's rays as flat ``(N, 3)`` arrays, a ``lax.scan`` of fixed
-depth over bounces carrying ``(origin, dir, throughput, radiance, alive,
-cur_ior)`` live-ray state, and a ``lax.scan`` over samples-per-pixel. The
-entire frame — spp x bounces x intersection x shading — is a single jitted
-XLA program.
+the whole frame's rays as flat SoA ``(3, N)`` arrays and masked branchless
+shading. Two samplers share the same per-bounce physics:
+
+- ``scan``: a ``lax.scan`` of fixed depth over bounces, wrapped in a scan
+  over samples-per-pixel — the direct wavefront transcription of the
+  reference's nested loops (src/raytracer.cu:71,102).
+- ``regen`` (default): path regeneration — one ``lax.while_loop`` in which a
+  lane whose path ends (sky miss or bounce limit) immediately restarts on
+  its pixel's next sample. Dead-lane waste drops to the final tail, so
+  sustained live-ray throughput approaches the kernel's lane throughput.
 
 Randomness is counter-based per *global* pixel index (``ray_idx``), so the
 result is bitwise identical regardless of device sharding or ray chunking —
@@ -33,6 +38,57 @@ from .intersect import nearest_hit, resolve_hit
 from .scatter import antialias_jitter, scatter
 from .tables import lookup_material
 from .textures import sample_texture
+
+
+def _bounce_physics(scene, settings, backend, o, d, thru, rad, alive,
+                    cur_ior, jitter_u3, gauss, fresnel_u):
+    """One bounce for all lanes; the shared body of both samplers.
+
+    Returns (o, d, thru, rad, cur_ior, path_continues). ``rad`` has sky and
+    emission contributions added; ``path_continues`` is False where the path
+    ended this bounce by missing (sky) or terminating on an emissive (when
+    that quirk-fix is enabled).
+    """
+    if settings.antialias:
+        d = antialias_jitter(jitter_u3, d)
+
+    if backend == "pallas":
+        from .intersect_pallas import hit_and_resolve_pallas
+        rec, shade = hit_and_resolve_pallas(
+            o, d, scene, need_sphere_uv=scene.needs_sphere_uv)
+    else:
+        rec = nearest_hit(o, d, scene, backend=backend)
+        shade = resolve_hit(o, d, scene, rec)
+
+    # Miss => sky contribution, path dies (src/raytracer.cu:76-80).
+    miss = alive & ~rec.hit
+    rad = rad + jnp.where(miss[None, :], thru * jnp.asarray(
+        settings.sky_colour, jnp.float32)[:, None], 0.0)
+
+    cols = lookup_material(scene, shade.mat_id)
+    is_emissive = cols.mat_type == MAT_EMISSIVE
+    live_hit = alive & rec.hit
+
+    # Emission adds, otherwise throughput multiplies by the texture colour
+    # (src/raytracer.cu:86-90).
+    rad = rad + jnp.where((live_hit & is_emissive)[None, :],
+                          thru * cols.emit, 0.0)
+    tex = sample_texture(scene, cols, shade.u, shade.v)
+    thru = jnp.where((live_hit & ~is_emissive)[None, :], thru * tex, thru)
+
+    new_d, new_ior = scatter(
+        gauss, fresnel_u, d, shade.normal,
+        cols.mat_type, cols.smooth, cols.ior, cur_ior,
+        fix_exit_ior=settings.fix_exit_ior,
+    )
+    o = jnp.where(live_hit[None, :], shade.point, o)
+    d = jnp.where(live_hit[None, :], new_d, d)
+    cur_ior = jnp.where(live_hit, new_ior, cur_ior)
+
+    path_continues = live_hit
+    if settings.emissive_terminates:
+        path_continues = path_continues & ~is_emissive
+    return o, d, thru, rad, cur_ior, path_continues
 
 
 def trace(
@@ -65,59 +121,15 @@ def _trace_soa(
     backend: str = "woop",
 ):
     """SoA core of ``trace``; returns (radiance (3, N), segments)."""
-    sky = jnp.asarray(settings.sky_colour, jnp.float32)
     ray_keys = rng.per_ray_keys(key, ray_idx)
-    # Static: does any sphere carry a UV-dependent texture? (The analog of
-    # the reference's need_uv flag, src/material.cu:142 — skips per-ray
-    # arcsin/arccos when no sphere is textured.)
-    need_sphere_uv = scene.needs_sphere_uv
 
     def bounce(carry, bounce_i):
         o, d, thru, rad, alive, cur_ior = carry
         live_count = jnp.sum(alive.astype(jnp.float32))
         jitter_u3, gauss, fresnel_u = rng.bounce_randoms(ray_keys, bounce_i)
-
-        if settings.antialias:
-            d = antialias_jitter(jitter_u3, d)
-
-        if backend == "pallas":
-            from .intersect_pallas import hit_and_resolve_pallas
-            rec, shade = hit_and_resolve_pallas(
-                o, d, scene, need_sphere_uv=need_sphere_uv)
-        else:
-            rec = nearest_hit(o, d, scene, backend=backend)
-            shade = resolve_hit(o, d, scene, rec)
-
-        # Miss => sky contribution, path dies (src/raytracer.cu:76-80).
-        miss = alive & ~rec.hit
-        rad = rad + jnp.where(miss[None, :], thru * sky[:, None], 0.0)
-
-        cols = lookup_material(scene, shade.mat_id)
-        is_emissive = cols.mat_type == MAT_EMISSIVE
-        live_hit = alive & rec.hit
-
-        # Emission adds, otherwise throughput multiplies by the texture
-        # colour (src/raytracer.cu:86-90).
-        rad = rad + jnp.where((live_hit & is_emissive)[None, :],
-                              thru * cols.emit, 0.0)
-        tex = sample_texture(scene, cols, shade.u, shade.v)
-        thru = jnp.where((live_hit & ~is_emissive)[None, :], thru * tex, thru)
-
-        new_d, new_ior = scatter(
-            gauss, fresnel_u, d, shade.normal,
-            cols.mat_type,
-            cols.smooth,
-            cols.ior,
-            cur_ior,
-            fix_exit_ior=settings.fix_exit_ior,
-        )
-        o = jnp.where(live_hit[None, :], shade.point, o)
-        d = jnp.where(live_hit[None, :], new_d, d)
-        cur_ior = jnp.where(live_hit, new_ior, cur_ior)
-
-        alive = live_hit
-        if settings.emissive_terminates:
-            alive = alive & ~is_emissive
+        o, d, thru, rad, cur_ior, alive = _bounce_physics(
+            scene, settings, backend, o, d, thru, rad, alive, cur_ior,
+            jitter_u3, gauss, fresnel_u)
         return (o, d, thru, rad, alive, cur_ior), live_count
 
     # Derive the init carry from ``o`` so its sharding/varying type matches
@@ -135,6 +147,79 @@ def _trace_soa(
     return rad, jnp.sum(seg_counts)
 
 
+def _render_regen_soa(
+    scene: SceneArrays,
+    settings: RenderSettings,
+    ray_idx: jax.Array,
+    o0: jax.Array,        # (3, N) primary origins
+    d0: jax.Array,        # (3, N) primary directions
+    frame_key: jax.Array,
+    backend: str = "woop",
+):
+    """Path-regeneration sampler: all spp samples in one while_loop.
+
+    Each lane owns one pixel. When its current path ends, the lane restarts
+    on the pixel's next sample, so lanes stay ~100% live until the final
+    tail — the wavefront alternative to stream compaction for taming
+    divergence. Returns ((3, N) mean, segments).
+    """
+    spp = settings.rays_per_pixel
+    limit = settings.reflect_limit
+    base_keys = rng.per_ray_keys(frame_key, ray_idx)
+
+    def cond(state):
+        (_, _, _, _, _, sample_i, _, _, _, it) = state
+        return (it < spp * limit) & jnp.any(sample_i < spp)
+
+    def body(state):
+        (o, d, thru, rad, bounce_i, sample_i, cur_ior, pixel_sum, segs,
+         it) = state
+        active = sample_i < spp
+        segs = segs + jnp.sum(active.astype(jnp.float32))
+
+        jitter_u3, gauss, fresnel_u = rng.lane_randoms(
+            base_keys, sample_i, bounce_i)
+        o, d, thru, rad, cur_ior, continues = _bounce_physics(
+            scene, settings, backend, o, d, thru, rad, active, cur_ior,
+            jitter_u3, gauss, fresnel_u)
+
+        # Path ends on miss/termination or at the bounce limit
+        # (src/raytracer.cu:71: fixed reflect_limit iterations).
+        at_limit = bounce_i + 1 >= limit
+        path_end = active & (~continues | at_limit)
+
+        pixel_sum = pixel_sum + jnp.where(path_end[None, :], rad, 0.0)
+
+        # Regenerate finished lanes onto their next sample.
+        sample_i = jnp.where(path_end, sample_i + 1, sample_i)
+        bounce_i = jnp.where(path_end, 0, jnp.where(active, bounce_i + 1,
+                                                    bounce_i))
+        restart = path_end[None, :]
+        o = jnp.where(restart, o0, o)
+        d = jnp.where(restart, d0, d)
+        thru = jnp.where(restart, 1.0, thru)
+        rad = jnp.where(restart, 0.0, rad)
+        cur_ior = jnp.where(path_end, 1.0, cur_ior)
+        return (o, d, thru, rad, bounce_i, sample_i, cur_ior, pixel_sum,
+                segs, it + 1)
+
+    zero_i = jnp.zeros_like(ray_idx)
+    state = (
+        o0, d0,
+        jnp.ones_like(o0),        # throughput
+        jnp.zeros_like(o0),       # current-path radiance
+        zero_i,                   # bounce index
+        zero_i,                   # sample index
+        jnp.ones_like(o0[0]),     # current IOR
+        jnp.zeros_like(o0),       # per-pixel radiance sum
+        jnp.zeros_like(o0[0, 0]),  # segments
+        jnp.zeros((), jnp.int32),  # iteration counter (safety bound)
+    )
+    state = jax.lax.while_loop(cond, body, state)
+    pixel_sum, segs = state[7], state[8]
+    return pixel_sum / jnp.float32(spp), segs
+
+
 def render_sample_mean(
     scene: SceneArrays,
     settings: RenderSettings,
@@ -146,8 +231,12 @@ def render_sample_mean(
 ):
     """Average ``rays_per_pixel`` independent traces of the same primary rays
     (src/raytracer.cu:97-107). Returns ((N, 3) mean, segment count)."""
-
     o3, d3 = o.T, d.T  # SoA once, outside the sample loop
+
+    if settings.sampler == "regen":
+        mean, segs = _render_regen_soa(scene, settings, ray_idx, o3, d3,
+                                       frame_key, backend=backend)
+        return mean.T, segs
 
     def sample(carry, s_idx):
         acc, segs = carry

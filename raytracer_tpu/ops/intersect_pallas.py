@@ -60,7 +60,7 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def pack_scene(scene: SceneArrays) -> Tuple[jax.Array, jax.Array]:
+def pack_scene(scene: SceneArrays):
     """Pack primitive SoA into kernel-friendly row matrices (SMEM-resident)."""
     z = jnp.zeros_like(scene.sph_radius)
     sph = jnp.stack([
@@ -86,12 +86,19 @@ def pack_scene(scene: SceneArrays) -> Tuple[jax.Array, jax.Array]:
         scene.tri_normal.T,                                # 22-24
         scene.tri_mat.astype(jnp.float32)[None, :],        # 25
     ], axis=0)
-    return sph, tri
+
+    def clusters_or_dummy(c):
+        return c if c.shape[0] > 0 else jnp.zeros((1, 8), jnp.float32)
+
+    return (sph, tri, clusters_or_dummy(scene.sph_clusters),
+            clusters_or_dummy(scene.tri_clusters))
 
 
-def _kernel(sph_ref, tri_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+def _kernel(sph_ref, tri_ref, sphc_ref, tric_ref,
+            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             t_ref, code_ref, u_ref, v_ref, n0_ref, n1_ref, n2_ref, aux_ref,
-            mat_ref, *, num_spheres: int, num_tris: int):
+            mat_ref, *, num_spheres: int, num_tris: int,
+            num_sph_clusters: int, num_tri_clusters: int):
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
 
@@ -100,6 +107,35 @@ def _kernel(sph_ref, tri_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     osq = ox * ox + oy * oy + oz * oz
     a = dx * dx + dy * dy + dz * dz
     inv_2a = 0.5 / a
+    if num_sph_clusters > 0 or num_tri_clusters > 0:
+        inv_dx, inv_dy, inv_dz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+
+    def cluster_gate(cl_ref, c, carry, inner):
+        """Slab-test cluster c's AABB (branchless slab method, as
+        src/objects.cu:404-434); run ``inner`` over its primitive range only
+        if some ray in the tile can beat its current best inside the box."""
+        bt = carry[0]
+        t1 = (cl_ref[c, 0] - ox) * inv_dx
+        t2 = (cl_ref[c, 3] - ox) * inv_dx
+        tmin = jnp.minimum(t1, t2)
+        tmax = jnp.maximum(t1, t2)
+        t1 = (cl_ref[c, 1] - oy) * inv_dy
+        t2 = (cl_ref[c, 4] - oy) * inv_dy
+        tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+        tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+        t1 = (cl_ref[c, 2] - oz) * inv_dz
+        t2 = (cl_ref[c, 5] - oz) * inv_dz
+        tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+        tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+        tmin = jnp.maximum(tmin, 0.0)
+        enter = jnp.any((tmin <= tmax) & (tmax > 0.0) & (tmin < bt))
+        start = cl_ref[c, 6].astype(jnp.int32)
+        count = cl_ref[c, 7].astype(jnp.int32)
+        return jax.lax.cond(
+            enter,
+            lambda cr: jax.lax.fori_loop(start, start + count, inner, cr),
+            lambda cr: cr,
+            carry)
 
     shape = (ROWS, LANES)
     zero = jnp.zeros(shape, jnp.float32)
@@ -139,7 +175,11 @@ def _kernel(sph_ref, tri_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         bm = jnp.where(better, mat.astype(jnp.int32), bm)
         return bt, bc, bu, bv, b0, b1, b2, br, bm
 
-    if num_spheres > 0:
+    if num_sph_clusters > 0:
+        init = jax.lax.fori_loop(
+            0, num_sph_clusters,
+            lambda c, cr: cluster_gate(sphc_ref, c, cr, sph_body), init)
+    elif num_spheres > 0:
         init = jax.lax.fori_loop(0, num_spheres, sph_body, init)
 
     def tri_body(k, carry):
@@ -185,7 +225,11 @@ def _kernel(sph_ref, tri_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         bm = jnp.where(better, tri_ref[_T_MAT, k].astype(jnp.int32), bm)
         return bt, bc, bu, bv, b0, b1, b2, br, bm
 
-    if num_tris > 0:
+    if num_tri_clusters > 0:
+        init = jax.lax.fori_loop(
+            0, num_tri_clusters,
+            lambda c, cr: cluster_gate(tric_ref, c, cr, tri_body), init)
+    elif num_tris > 0:
         init = jax.lax.fori_loop(0, num_tris, tri_body, init)
 
     bt, bc, bu, bv, b0, b1, b2, br, bm = init
@@ -213,9 +257,11 @@ def _run_kernel(o: jax.Array, d: jax.Array, scene: SceneArrays):
     planes = [p.reshape(rows, LANES)
               for p in (o[0], o[1], o[2], d[0], d[1], d[2])]
 
-    sph, tri = pack_scene(scene)
+    sph, tri, sphc, tric = pack_scene(scene)
     num_spheres = int(scene.sph_center.shape[0])
     num_tris = int(scene.tri_v0.shape[0])
+    num_sph_clusters = int(scene.sph_clusters.shape[0])
+    num_tri_clusters = int(scene.tri_clusters.shape[0])
 
     ray_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -227,9 +273,11 @@ def _run_kernel(o: jax.Array, d: jax.Array, scene: SceneArrays):
     f32 = jnp.float32
     outs = pl.pallas_call(
         functools.partial(_kernel, num_spheres=num_spheres,
-                          num_tris=num_tris),
+                          num_tris=num_tris,
+                          num_sph_clusters=num_sph_clusters,
+                          num_tri_clusters=num_tri_clusters),
         grid=(rows // ROWS,),
-        in_specs=[scene_spec, scene_spec] + [ray_spec] * 6,
+        in_specs=[scene_spec] * 4 + [ray_spec] * 6,
         out_specs=(ray_spec,) * 9,
         out_shape=tuple(
             jax.ShapeDtypeStruct((rows, LANES), dt)
@@ -241,7 +289,7 @@ def _run_kernel(o: jax.Array, d: jax.Array, scene: SceneArrays):
             transcendentals=n_pad * num_spheres,
         ),
         interpret=_interpret(),
-    )(sph, tri, *planes)
+    )(sph, tri, sphc, tric, *planes)
 
     return [x.reshape(-1)[:n] for x in outs]
 

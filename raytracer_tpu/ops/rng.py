@@ -63,6 +63,31 @@ def bounce_randoms(ray_keys: jax.Array, bounce_idx) -> Tuple[jax.Array, jax.Arra
     return jnp.stack([ux, uy, uz]), jnp.stack([gx, gy, gz]), fres
 
 
+def lane_randoms(base_keys: jax.Array, sample_i: jax.Array,
+                 bounce_i: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-lane randoms for the regeneration sampler.
+
+    Like ``bounce_randoms`` but the sample and bounce indices vary per lane
+    (each lane may be on a different sample of its pixel). Streams stay
+    functions of (pixel, sample, bounce) only — deterministic and
+    shard-invariant.
+    """
+    def draw(k, s, b):
+        kb = jax.random.fold_in(jax.random.fold_in(k, s), b)
+        ks = jax.random.split(kb, 7)
+        return (jax.random.uniform(ks[0], (), jnp.float32),
+                jax.random.uniform(ks[1], (), jnp.float32),
+                jax.random.uniform(ks[2], (), jnp.float32),
+                jax.random.normal(ks[3], (), jnp.float32),
+                jax.random.normal(ks[4], (), jnp.float32),
+                jax.random.normal(ks[5], (), jnp.float32),
+                jax.random.uniform(ks[6], (), jnp.float32))
+
+    ux, uy, uz, gx, gy, gz, fres = jax.vmap(draw)(base_keys, sample_i,
+                                                  bounce_i)
+    return jnp.stack([ux, uy, uz]), jnp.stack([gx, gy, gz]), fres
+
+
 def uniform3(key: jax.Array, shape) -> jax.Array:
     """Uniform [0, 1) triples, shape ``shape + (3,)``."""
     return jax.random.uniform(key, tuple(shape) + (3,), dtype=jnp.float32)

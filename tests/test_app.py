@@ -1,0 +1,71 @@
+"""App layer: CLI, texture pipeline, viewer loop."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from raytracer_tpu.utils.image import (TextureLibrary, convert_textures,
+                                       load_image, save_png)
+
+
+def test_texture_convert_roundtrip(tmp_path):
+    src = tmp_path / "tex"
+    src.mkdir()
+    img = np.zeros((4, 6, 3), np.uint8)
+    img[0, 0] = [255, 0, 0]
+    save_png(str(src / "a.png"), img)
+    save_png(str(src / "b.png"), img[:, :, ::-1])
+    (src / "notes.txt").write_text("ignored")
+
+    out = tmp_path / "textures.npz"
+    n = convert_textures(str(src), str(out))
+    assert n == 2
+
+    lib = TextureLibrary(str(out))
+    assert sorted(lib.names()) == ["a.png", "b.png"]
+    a = lib.get("a.png")
+    assert a.shape == (4, 6, 3) and a.dtype == np.float32
+    # /256 normalisation (textures/parse_textures.py:35)
+    np.testing.assert_allclose(a[0, 0], [255 / 256, 0, 0], rtol=1e-6)
+    with pytest.raises(FileNotFoundError):
+        lib.get("missing.png")
+
+
+def test_cli_render_small(tmp_path):
+    out = tmp_path / "cli.png"
+    stats = tmp_path / "stats.jsonl"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "-m", "raytracer_tpu", "render",
+         "--scene", "1", "--width", "32", "--height", "16",
+         "--spp", "2", "--bounces", "3", "--frames", "2",
+         "--out", str(out), "--stats", str(stats)],
+        capture_output=True, text=True, env=env, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert out.exists()
+    img = load_image(str(out))
+    assert img.shape == (16, 32, 3)
+    lines = [json.loads(l) for l in stats.read_text().splitlines()]
+    assert len(lines) == 2
+    assert lines[1]["spp_total"] == 4
+
+
+def test_cli_convert_textures(tmp_path):
+    src = tmp_path / "tex"
+    src.mkdir()
+    save_png(str(src / "x.png"), np.zeros((2, 2, 3), np.uint8))
+    out = tmp_path / "lib.npz"
+    proc = subprocess.run(
+        [sys.executable, "-m", "raytracer_tpu", "convert-textures",
+         str(src), str(out)],
+        capture_output=True, text=True, timeout=120,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert out.exists()

@@ -1,0 +1,73 @@
+"""Path-regeneration sampler: statistical agreement with the scan sampler."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import raytracer_tpu as rt
+from raytracer_tpu.models.camera import build_camera, primary_rays
+from raytracer_tpu.ops.integrator import render_sample_mean
+
+
+def _setup(spp):
+    scene, use_sky = rt.build_scene(1)
+    settings = rt.RenderSettings(rays_per_pixel=spp, reflect_limit=5
+                                 ).with_sky(use_sky)
+    cam = build_camera(rt.CameraConfig(width=24, height=16))
+    o, d = primary_rays(cam, 24, 16)
+    idx = jnp.arange(24 * 16, dtype=jnp.int32)
+    return scene, settings, idx, o, d
+
+
+def test_regen_matches_scan_statistically():
+    scene, settings, idx, o, d = _setup(spp=48)
+    regen = dataclasses.replace(settings, sampler="regen")
+    scan = dataclasses.replace(settings, sampler="scan")
+    m_r, segs_r = render_sample_mean(scene, regen, idx, o, d,
+                                     jax.random.key(0))
+    m_s, segs_s = render_sample_mean(scene, scan, idx, o, d,
+                                     jax.random.key(0))
+    m_s2, _ = render_sample_mean(scene, scan, idx, o, d, jax.random.key(1))
+    m_r, m_s, m_s2 = np.asarray(m_r), np.asarray(m_s), np.asarray(m_s2)
+    assert np.isfinite(m_r).all()
+    # Same estimator, different RNG assignment: the regen-vs-scan error must
+    # be the same order as pure Monte-Carlo noise (scan-vs-scan with a
+    # different key).
+    err = np.abs(m_r - m_s).mean()
+    noise = np.abs(m_s - m_s2).mean()
+    assert err < 2.0 * noise + 1e-3, (err, noise)
+    # Both trace the same expected number of segments (same paths
+    # statistically); allow a few percent.
+    assert abs(float(segs_r) - float(segs_s)) / float(segs_s) < 0.1
+
+
+def test_regen_deterministic():
+    scene, settings, idx, o, d = _setup(spp=8)
+    m1, s1 = render_sample_mean(scene, settings, idx, o, d, jax.random.key(3))
+    m2, s2 = render_sample_mean(scene, settings, idx, o, d, jax.random.key(3))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    assert float(s1) == float(s2)
+
+
+def test_regen_early_exit_segment_count():
+    """Sky-only scene: every path is 1 segment; regen must do ~spp
+    iterations of work, not spp * reflect_limit."""
+    from raytracer_tpu.models.scene import SceneBuilder
+    from raytracer_tpu.models.materials import Material, Texture
+    b = SceneBuilder()
+    b.add_sphere((1000, 0, 0), 1.0,
+                 Material.standard(Texture.const_colour((1, 1, 1)), 0))
+    scene = b.build()
+    settings = rt.RenderSettings(rays_per_pixel=16, reflect_limit=5,
+                                 antialias=False)
+    n = 64
+    idx = jnp.arange(n, dtype=jnp.int32)
+    o = jnp.zeros((n, 3))
+    d = jnp.zeros((n, 3)).at[:, 2].set(1.0)
+    mean, segs = render_sample_mean(scene, settings, idx, o, d,
+                                    jax.random.key(0))
+    assert float(segs) == n * 16  # exactly one segment per sample
+    np.testing.assert_allclose(np.asarray(mean),
+                               np.tile([0.8, 1.0, 1.0], (n, 1)), rtol=1e-6)
