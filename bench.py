@@ -28,8 +28,9 @@ def main() -> None:
     settings = rt.RenderSettings(
         rays_per_pixel=spp, reflect_limit=5, antialias=True
     ).with_sky(use_sky)
-    cam = rt.CameraConfig(width=1000, height=800,
-                          position=(0.0, 0.5, -6.0))
+    # Reference workload: fixed 1000x800, default camera at the origin
+    # (src/camera.cu:4-5,34), 5 bounces, scene 4.
+    cam = rt.CameraConfig(width=1000, height=800)
     r = rt.Renderer(scene, cam, settings)
 
     # warmup / compile

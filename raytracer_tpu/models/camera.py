@@ -12,6 +12,7 @@ src/ray.cu:147-155).
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -79,16 +80,24 @@ def pixel_to_world(cam: CameraArrays, x: jax.Array, y: jax.Array) -> jax.Array:
     return cam.tl_pixel + cam.delta_u * xf + cam.delta_v * yf
 
 
-def primary_rays(cam: CameraArrays, width: int, height: int):
-    """Generate primary rays for every pixel, flattened row-major.
+def primary_rays(cam: CameraArrays, width: int, height: int,
+                 pixel_order: Optional[np.ndarray] = None):
+    """Generate primary rays for every pixel.
 
     Returns ``(origins, directions)`` each of shape ``(H*W, 3)``. Matches the
     reference's per-pixel ray setup (src/ray.cu:147-155): direction from
     camera position to the pixel's world point, normalised; no sub-pixel
     jitter (the reference antialiases by jittering direction per bounce
     instead).
+
+    ``pixel_order`` optionally permutes the flattened row-major pixel index
+    (e.g. Morton order, so consecutive rays — and therefore kernel ray
+    tiles — are spatially compact, which makes BVH cluster culling far more
+    effective on primary rays).
     """
     idx = jnp.arange(width * height, dtype=jnp.int32)
+    if pixel_order is not None:
+        idx = jnp.asarray(pixel_order, jnp.int32)
     x = idx % width
     y = idx // width
     view = pixel_to_world(cam, x, y)
@@ -96,3 +105,25 @@ def primary_rays(cam: CameraArrays, width: int, height: int):
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     o = jnp.broadcast_to(cam.position, d.shape)
     return o, d
+
+
+def morton_order(width: int, height: int) -> np.ndarray:
+    """Row-major pixel indices sorted by Morton (Z-curve) code.
+
+    Any consecutive run of rays covers a compact screen region — the
+    wavefront analog of the reference's 8x8 thread blocks
+    (src/dispatch.cu:136).
+    """
+    x, y = np.meshgrid(np.arange(width, dtype=np.uint64),
+                       np.arange(height, dtype=np.uint64))
+
+    def spread(v):
+        v = (v | (v << 16)) & np.uint64(0x0000FFFF0000FFFF)
+        v = (v | (v << 8)) & np.uint64(0x00FF00FF00FF00FF)
+        v = (v | (v << 4)) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        v = (v | (v << 2)) & np.uint64(0x3333333333333333)
+        v = (v | (v << 1)) & np.uint64(0x5555555555555555)
+        return v
+
+    code = spread(x) | (spread(y) << np.uint64(1))
+    return np.argsort(code.reshape(-1), kind="stable").astype(np.int32)

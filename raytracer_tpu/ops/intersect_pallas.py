@@ -97,8 +97,9 @@ def pack_scene(scene: SceneArrays):
 def _kernel(sph_ref, tri_ref, sphc_ref, tric_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             t_ref, code_ref, u_ref, v_ref, n0_ref, n1_ref, n2_ref, aux_ref,
-            mat_ref, *, num_spheres: int, num_tris: int,
-            num_sph_clusters: int, num_tri_clusters: int):
+            mat_ref, *extra_refs, num_spheres: int, num_tris: int,
+            num_sph_clusters: int, num_tri_clusters: int,
+            with_stats: bool = False):
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
 
@@ -109,6 +110,12 @@ def _kernel(sph_ref, tri_ref, sphc_ref, tric_ref,
     inv_2a = 0.5 / a
     if num_sph_clusters > 0 or num_tri_clusters > 0:
         inv_dx, inv_dy, inv_dz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+
+    # Per-ray primitive-test counter (the BVH::debug_stats analog,
+    # src/objects.cu:534-584) — accumulated directly in the stats output ref
+    # when with_stats is set.
+    if with_stats:
+        extra_refs[0][:] = jnp.zeros((ROWS, LANES), jnp.float32)
 
     def cluster_gate(cl_ref, c, carry, inner):
         """Slab-test cluster c's AABB (branchless slab method, as
@@ -128,9 +135,13 @@ def _kernel(sph_ref, tri_ref, sphc_ref, tric_ref,
         tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
         tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
         tmin = jnp.maximum(tmin, 0.0)
-        enter = jnp.any((tmin <= tmax) & (tmax > 0.0) & (tmin < bt))
+        hit_box = (tmin <= tmax) & (tmax > 0.0) & (tmin < bt)
+        enter = jnp.any(hit_box)
         start = cl_ref[c, 6].astype(jnp.int32)
         count = cl_ref[c, 7].astype(jnp.int32)
+        if with_stats:
+            extra_refs[0][:] = extra_refs[0][:] + jnp.where(
+                hit_box, cl_ref[c, 7], 0.0)
         return jax.lax.cond(
             enter,
             lambda cr: jax.lax.fori_loop(start, start + count, inner, cr),
@@ -233,6 +244,13 @@ def _kernel(sph_ref, tri_ref, sphc_ref, tric_ref,
         init = jax.lax.fori_loop(0, num_tris, tri_body, init)
 
     bt, bc, bu, bv, b0, b1, b2, br, bm = init
+    if with_stats:
+        flat_adjust = 0.0
+        if num_sph_clusters == 0:
+            flat_adjust += float(num_spheres)
+        if num_tri_clusters == 0:
+            flat_adjust += float(num_tris)
+        extra_refs[0][:] = extra_refs[0][:] + flat_adjust
     t_ref[:] = bt
     code_ref[:] = bc
     u_ref[:] = bu
@@ -244,7 +262,8 @@ def _kernel(sph_ref, tri_ref, sphc_ref, tric_ref,
     mat_ref[:] = bm
 
 
-def _run_kernel(o: jax.Array, d: jax.Array, scene: SceneArrays):
+def _run_kernel(o: jax.Array, d: jax.Array, scene: SceneArrays,
+                with_stats: bool = False):
     n = o.shape[1]
     n_pad = max(RAY_TILE, ((n + RAY_TILE - 1) // RAY_TILE) * RAY_TILE)
     if n_pad != n:
@@ -271,18 +290,20 @@ def _run_kernel(o: jax.Array, d: jax.Array, scene: SceneArrays):
     scene_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     f32 = jnp.float32
+    out_dts = [f32, jnp.int32, f32, f32, f32, f32, f32, f32, jnp.int32]
+    if with_stats:
+        out_dts.append(f32)
     outs = pl.pallas_call(
         functools.partial(_kernel, num_spheres=num_spheres,
                           num_tris=num_tris,
                           num_sph_clusters=num_sph_clusters,
-                          num_tri_clusters=num_tri_clusters),
+                          num_tri_clusters=num_tri_clusters,
+                          with_stats=with_stats),
         grid=(rows // ROWS,),
         in_specs=[scene_spec] * 4 + [ray_spec] * 6,
-        out_specs=(ray_spec,) * 9,
+        out_specs=(ray_spec,) * len(out_dts),
         out_shape=tuple(
-            jax.ShapeDtypeStruct((rows, LANES), dt)
-            for dt in (f32, jnp.int32, f32, f32, f32, f32, f32, f32,
-                       jnp.int32)),
+            jax.ShapeDtypeStruct((rows, LANES), dt) for dt in out_dts),
         cost_estimate=pl.CostEstimate(
             flops=n_pad * (num_spheres * 28 + num_tris * 54),
             bytes_accessed=n_pad * 4 * 15,
@@ -358,3 +379,16 @@ def hit_and_resolve_pallas(o: jax.Array, d: jax.Array, scene: SceneArrays,
     shade = ShadeData(point=point, normal=normal, u=out_u, v=out_v,
                       mat_id=mat_id)
     return rec, shade
+
+
+def intersection_stats(o: jax.Array, d: jax.Array, scene: SceneArrays):
+    """Per-ray primitive-test counts (the BVH::debug_stats analog,
+    src/objects.cu:534-584). Returns (tests (N,), box_tests_per_ray scalar).
+
+    ``tests`` counts primitives actually swept after cluster culling;
+    box tests are the (constant) number of cluster AABB evaluations.
+    """
+    outs = _run_kernel(o, d, scene, with_stats=True)
+    boxes = (max(int(scene.sph_clusters.shape[0]), 0)
+             + max(int(scene.tri_clusters.shape[0]), 0))
+    return outs[9], boxes

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import CameraConfig, RenderSettings
-from ..models.camera import build_camera, primary_rays
+from ..models.camera import build_camera, morton_order, primary_rays
 from ..models.scene import SceneArrays
 from ..ops import film
 from ..ops.integrator import render_frame
@@ -55,16 +55,12 @@ class Renderer:
             backend = "pallas" if jax.default_backend() == "tpu" else "woop"
         self.backend = backend
 
-        cam = build_camera(camera)
-        o, d = primary_rays(cam, camera.width, camera.height)
-        ray_idx = jnp.arange(camera.num_pixels, dtype=jnp.int32)
-        if sharding is not None:
-            # Pixel rows sharded across the mesh; the scene pytree stays
-            # replicated (it is broadcast on first use).
-            o = jax.device_put(o, sharding)
-            d = jax.device_put(d, sharding)
-            ray_idx = jax.device_put(ray_idx, sharding)
-        self._o, self._d, self._ray_idx = o, d, ray_idx
+        self._sharding = sharding
+        # Morton pixel order: kernel ray tiles become compact screen blocks
+        # (the wavefront analog of the reference's 8x8 thread grid,
+        # src/dispatch.cu:136) — primary-ray coherence for cluster culling.
+        self._pixel_order = morton_order(camera.width, camera.height)
+        self._set_rays(camera)
 
         self.frame_num = 0
         self.accum = film.new_accumulator(camera.num_pixels)
@@ -75,8 +71,10 @@ class Renderer:
         self.last_frame_ms = float("nan")
         self.stats_log: list = []
 
-        @functools.partial(jax.jit, donate_argnums=(1,), static_argnums=())
-        def _step(scene_arrays, accum, frame_num, base_key):
+        # Rays are runtime args so moving the camera (set_camera) reuses the
+        # compiled step instead of recompiling — needed for fly-throughs.
+        @functools.partial(jax.jit, donate_argnums=(4,), static_argnums=())
+        def _step(scene_arrays, ray_idx, o, d, accum, frame_num, base_key):
             return render_frame(
                 scene_arrays, settings, ray_idx, o, d, accum, frame_num,
                 base_key, backend=backend,
@@ -84,12 +82,39 @@ class Renderer:
 
         self._step = _step
 
+    def _set_rays(self, camera: CameraConfig) -> None:
+        cam = build_camera(camera)
+        o, d = primary_rays(cam, camera.width, camera.height,
+                            pixel_order=self._pixel_order)
+        ray_idx = jnp.asarray(self._pixel_order, jnp.int32)
+        if self._sharding is not None:
+            # Pixel rows sharded across the mesh; the scene pytree stays
+            # replicated (it is broadcast on first use).
+            o = jax.device_put(o, self._sharding)
+            d = jax.device_put(d, self._sharding)
+            ray_idx = jax.device_put(ray_idx, self._sharding)
+        self._o, self._d, self._ray_idx = o, d, ray_idx
+
+    def set_camera(self, camera: CameraConfig) -> None:
+        """Move the camera: restart progressive accumulation, reuse the
+        compiled step (resolution must stay fixed)."""
+        assert (camera.width, camera.height) == (self.camera_cfg.width,
+                                                 self.camera_cfg.height), \
+            "set_camera keeps the film size; build a new Renderer to resize"
+        self.camera_cfg = camera
+        self._set_rays(camera)
+        self.accum = film.new_accumulator(camera.num_pixels)
+        if self._sharding is not None:
+            self.accum = jax.device_put(self.accum, self._sharding)
+        self.frame_num = 0
+
     # -- frame loop ----------------------------------------------------------
     def render_frame(self, block: bool = False) -> jax.Array:
         """Render one progressive frame; returns the (device) accumulator."""
         t0 = time.perf_counter()
         self.accum, segs = self._step(
-            self.scene, self.accum, jnp.int32(self.frame_num), self.base_key
+            self.scene, self._ray_idx, self._o, self._d, self.accum,
+            jnp.int32(self.frame_num), self.base_key
         )
         if block:
             self.accum.block_until_ready()
@@ -117,7 +142,9 @@ class Renderer:
     # -- output --------------------------------------------------------------
     def image(self) -> np.ndarray:
         """Current render as (H, W, 3) u8."""
-        return film.to_u8(self.accum, self.camera_cfg.width,
+        flat = np.empty((self.camera_cfg.num_pixels, 3), np.float32)
+        flat[self._pixel_order] = np.asarray(self.accum)  # undo Morton order
+        return film.to_u8(flat, self.camera_cfg.width,
                           self.camera_cfg.height, gamma=self.settings.gamma)
 
     def save_png(self, path: str) -> None:
