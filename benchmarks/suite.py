@@ -1,0 +1,104 @@
+"""Benchmark suite: every BASELINE.json config, one JSON line each.
+
+Usage:  python benchmarks/suite.py [--quick]
+
+Configs (BASELINE.md):
+  1. RTiOW trio (ground + diffuse/metal/glass), 640x360, 100 spp, 5 bounces
+  2. cube.obj textured + checkered floor, 720p, 200 spp
+  3. low_poly_monkey.obj + emissive area light + dielectric, 1080p
+  4. 10k random-sphere stress (BVH cluster sweep)
+  5. progressive 4K camera fly-through (temporal accumulation restart per
+     move), spp 1/frame
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import raytracer_tpu as rt
+from raytracer_tpu.models import bench_scenes
+
+
+def run_config(name, scene, use_sky, cam, spp, bounces, frames):
+    settings = rt.RenderSettings(rays_per_pixel=spp, reflect_limit=bounces
+                                 ).with_sky(use_sky)
+    r = rt.Renderer(scene, cam, settings)
+    r.render_frame(block=True)  # compile + warm
+    t0 = time.perf_counter()
+    segs = 0.0
+    for _ in range(frames):
+        r.render_frame(block=True)
+        segs += r.stats_log[-1]["segments"]
+    dt = time.perf_counter() - t0
+    rec = {
+        "metric": name,
+        "value": round(segs / dt / 1e6, 3),
+        "unit": "Mrays/s",
+        "frame_ms": round(dt / frames * 1000.0, 1),
+        "spp": spp,
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def run_flythrough(width, height, positions, spp=1):
+    scene, use_sky = bench_scenes.stress_10k_scene(2000)
+    settings = rt.RenderSettings(rays_per_pixel=spp, reflect_limit=5
+                                 ).with_sky(use_sky)
+    cam = rt.CameraConfig(width=width, height=height, position=(0, 1, -4))
+    r = rt.Renderer(scene, cam, settings)
+    r.render_frame(block=True)  # compile
+    t0 = time.perf_counter()
+    segs = 0.0
+    for i in range(positions):
+        r.set_camera(rt.CameraConfig(
+            width=width, height=height,
+            position=(0.0, 1.0, -4.0 + 0.25 * i), y_rot=0.02 * i))
+        r.render_frame(block=True)
+        segs += r.stats_log[-1]["segments"]
+    dt = time.perf_counter() - t0
+    rec = {
+        "metric": f"flythrough_{width}x{height}_{spp}spp",
+        "value": round(positions / dt, 2),
+        "unit": "fps",
+        "mrays_per_sec": round(segs / dt / 1e6, 1),
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="reduced spp/frames for smoke runs")
+    args = ap.parse_args()
+    q = args.quick
+
+    scene, sky = bench_scenes.rtiow_trio_scene()
+    run_config("rtiow_trio_640x360_100spp", scene, sky,
+               rt.CameraConfig(width=640, height=360),
+               spp=10 if q else 100, bounces=5, frames=2)
+
+    scene, sky = bench_scenes.cube_scene()
+    run_config("cube_1280x720_200spp", scene, sky,
+               rt.CameraConfig(width=1280, height=720),
+               spp=10 if q else 200, bounces=5, frames=2)
+
+    scene, sky = bench_scenes.monkey_light_scene()
+    run_config("monkey_1920x1080_100spp", scene, sky,
+               rt.CameraConfig(width=1920, height=1080),
+               spp=5 if q else 100, bounces=5, frames=2)
+
+    scene, sky = bench_scenes.stress_10k_scene()
+    run_config("stress10k_1000x800_20spp", scene, sky,
+               rt.CameraConfig(width=1000, height=800, position=(0, 1, -4)),
+               spp=5 if q else 20, bounces=5, frames=2)
+
+    run_flythrough(1024 if q else 3840, 512 if q else 2160,
+                   positions=4 if q else 16)
+
+
+if __name__ == "__main__":
+    main()

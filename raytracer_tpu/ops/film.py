@@ -26,6 +26,17 @@ def progressive_update(accum: jax.Array, frame_mean: jax.Array,
     return (frame_mean + accum * fn) / (fn + 1.0)
 
 
+def psnr(a: np.ndarray, b: np.ndarray, peak: float = 1.0) -> float:
+    """Peak signal-to-noise ratio in dB — the fidelity metric BASELINE.json
+    specifies for comparing renders (within Monte-Carlo variance)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(peak * peak / mse))
+
+
 def to_u8(accum: jax.Array, width: int, height: int,
           gamma: Optional[float] = None) -> np.ndarray:
     """Float RGB -> (H, W, 3) u8 image.

@@ -37,7 +37,7 @@ _EPS = 1e-6
 _INF = 1e30
 
 LANES = 128
-ROWS = 16          # rays per tile = ROWS * LANES = 2048
+ROWS = 32          # rays per tile = ROWS * LANES = 4096 (measured best)
 RAY_TILE = ROWS * LANES
 
 # sphere pack rows

@@ -1,0 +1,85 @@
+"""Golden-image regression tests (SURVEY.md §4(b)-(c)).
+
+Each reference scene renders at low resolution with a fixed key; the result
+is compared by PSNR against a stored golden. Goldens are regenerated with
+``python tests/test_golden.py regen`` after an intentional change.
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import raytracer_tpu as rt
+from raytracer_tpu.models.camera import build_camera, primary_rays
+from raytracer_tpu.ops.film import psnr
+from raytracer_tpu.ops.integrator import render_sample_mean
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+W, H, SPP = 48, 32, 24
+
+
+def _render(scene_num):
+    kwargs = {}
+    cam_kwargs = dict(width=W, height=H)
+    if scene_num == 4:
+        cam_kwargs["position"] = (0.0, 0.5, -6.0)
+        kwargs["seed"] = 0
+    scene, use_sky = rt.build_scene(scene_num, **kwargs)
+    settings = rt.RenderSettings(rays_per_pixel=SPP, reflect_limit=5
+                                 ).with_sky(use_sky)
+    cam = build_camera(rt.CameraConfig(**cam_kwargs))
+    o, d = primary_rays(cam, W, H)
+    idx = jnp.arange(W * H, dtype=jnp.int32)
+    mean, _ = render_sample_mean(scene, settings, idx, o, d,
+                                 jax.random.key(0))
+    return np.asarray(mean).reshape(H, W, 3)
+
+
+def _golden_path(i):
+    return os.path.join(GOLDEN_DIR, f"scene{i}.npy")
+
+
+@pytest.mark.parametrize("scene_num", range(5))
+def test_scene_matches_golden(scene_num):
+    path = _golden_path(scene_num)
+    if not os.path.exists(path):
+        pytest.skip("golden not generated")
+    golden = np.load(path).astype(np.float32)
+    img = _render(scene_num)
+    # Same key => near-bitwise; generous tolerance absorbs compiler and
+    # platform drift while still catching semantic regressions.
+    p = psnr(np.clip(img, 0, 1), np.clip(golden, 0, 1))
+    assert p > 35.0, f"scene {scene_num} PSNR {p:.1f} dB vs golden"
+
+
+def test_progressive_variance_decreases():
+    """Statistical check (SURVEY.md §4(c)): accumulating frames reduces
+    noise — RMS difference to a high-spp render shrinks."""
+    scene, use_sky = rt.build_scene(1)
+    cam_cfg = rt.CameraConfig(width=24, height=16)
+    base = rt.RenderSettings(rays_per_pixel=8, reflect_limit=4
+                             ).with_sky(use_sky)
+    r = rt.Renderer(scene, cam_cfg, base, seed=1)
+    ref = rt.Renderer(scene, cam_cfg,
+                      rt.RenderSettings(rays_per_pixel=128, reflect_limit=4
+                                        ).with_sky(use_sky), seed=2)
+    ref.render_frame(block=True)
+    ref_img = np.asarray(ref.accum)
+
+    r.render_frame(block=True)
+    err1 = np.sqrt(np.mean((np.asarray(r.accum) - ref_img) ** 2))
+    for _ in range(7):
+        r.render_frame(block=True)
+    err8 = np.sqrt(np.mean((np.asarray(r.accum) - ref_img) ** 2))
+    assert err8 < err1 * 0.7, (err1, err8)
+
+
+if __name__ == "__main__" and "regen" in sys.argv:
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for i in range(5):
+        np.save(_golden_path(i), _render(i).astype(np.float16))
+        print(f"wrote golden scene {i}")
