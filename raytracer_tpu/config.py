@@ -45,12 +45,17 @@ class RenderSettings:
     antialias: bool = True
     sky_colour: Tuple[float, float, float] = SKY_COLOUR
 
-    # Sampler strategy: "regen" keeps every lane busy by restarting finished
-    # paths on the pixel's next sample (path regeneration, one while_loop);
-    # "scan" is the direct spp x bounce nested-scan transcription of the
-    # reference (src/raytracer.cu:71,102). Both compute the same estimator
-    # with different (equally deterministic) RNG stream assignments.
-    sampler: str = "regen"
+    # Sampler strategy:
+    # - "auto" (default): the full Pallas megakernel when the backend is
+    #   pallas and the scene supports it, else path regeneration.
+    # - "mega": whole spp x bounce loop in one Pallas kernel with tile-local
+    #   early exit and on-core PRNG — the fastest path.
+    # - "regen": wavefront path regeneration (one while_loop).
+    # - "scan": the direct spp x bounce nested-scan transcription of the
+    #   reference (src/raytracer.cu:71,102).
+    # All compute the same estimator with different (equally deterministic)
+    # RNG stream assignments.
+    sampler: str = "auto"
 
     # Fidelity/deviation flags.
     emissive_terminates: bool = False

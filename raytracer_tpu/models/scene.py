@@ -112,6 +112,10 @@ class SceneArrays:
     # (the analog of the reference's need_uv flag, src/material.cu:142).
     needs_sphere_uv: bool = dataclasses.field(
         default=True, metadata=dict(static=True))
+    # Static: any image texture present? (The megakernel has no per-lane
+    # atlas gather; it is auto-disabled for such scenes.)
+    has_image_tex: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
 
     @property
     def num_spheres(self) -> int:
@@ -359,6 +363,7 @@ class SceneBuilder:
             tri_clusters=jnp.asarray(tri_clusters),
             sph_clusters=jnp.asarray(sph_clusters),
             needs_sphere_uv=needs_sphere_uv,
+            has_image_tex=bool(np.any(table.tex_type == 3)),
             sph_center=jnp.asarray(sph_center),
             sph_radius=jnp.asarray(sph_radius),
             sph_mat=jnp.asarray(sph_mat),

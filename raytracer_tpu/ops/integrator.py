@@ -228,12 +228,30 @@ def render_sample_mean(
     d: jax.Array,
     frame_key: jax.Array,
     backend: str = "woop",
+    tile_offset=0,
 ):
     """Average ``rays_per_pixel`` independent traces of the same primary rays
-    (src/raytracer.cu:97-107). Returns ((N, 3) mean, segment count)."""
+    (src/raytracer.cu:97-107). Returns ((N, 3) mean, segment count).
+
+    ``tile_offset`` globalises megakernel RNG tile ids under shard_map.
+    """
     o3, d3 = o.T, d.T  # SoA once, outside the sample loop
 
-    if settings.sampler == "regen":
+    sampler = settings.sampler
+    if sampler == "auto":
+        # megakernel needs the on-core PRNG => real TPUs only (no CPU
+        # lowering even in pallas interpret mode)
+        use_mega = (backend == "pallas" and not scene.has_image_tex
+                    and jax.default_backend() == "tpu")
+        sampler = "mega" if use_mega else "regen"
+    if sampler == "mega":
+        from .megakernel import render_sample_mean_mega
+        mean, segs = render_sample_mean_mega(scene, settings, o3, d3,
+                                             frame_key,
+                                             tile_offset=tile_offset)
+        return mean.T, segs
+
+    if sampler == "regen":
         mean, segs = _render_regen_soa(scene, settings, ray_idx, o3, d3,
                                        frame_key, backend=backend)
         return mean.T, segs
@@ -263,6 +281,7 @@ def render_frame(
     frame_num: jax.Array,  # scalar i32 (frames already accumulated)
     base_key: jax.Array,
     backend: str = "woop",
+    tile_offset=0,
 ):
     """One progressive frame: new running mean of all frames so far.
 
@@ -275,6 +294,6 @@ def render_frame(
     """
     fkey = rng.frame_key(base_key, frame_num)
     mean, segs = render_sample_mean(scene, settings, ray_idx, o, d, fkey,
-                                    backend=backend)
+                                    backend=backend, tile_offset=tile_offset)
     fn = frame_num.astype(jnp.float32)
     return (mean + accum * fn) / (fn + 1.0), segs

@@ -1,0 +1,550 @@
+"""Full-frame Pallas megakernel: spp x bounces x shading in one kernel.
+
+The reference's ``get_pixel_colour`` (src/raytracer.cu:116-136) is a true
+megakernel: one thread per pixel runs its entire sample/bounce loop. The
+wavefront pipeline (ops/integrator.py) splits that across XLA ops with a
+global synchronisation per bounce; this kernel puts the whole loop back on
+chip, TPU-style:
+
+- one grid step owns a Morton-ordered tile of rays (pixels);
+- a ``while_loop`` advances every lane through its path, regenerating a
+  finished lane onto its pixel's next sample immediately (path regeneration);
+- the loop exits when *this tile's* lanes have finished all their samples —
+  sky tiles retire in a handful of iterations while busy tiles keep running,
+  with no cross-tile synchronisation at all;
+- randomness comes from the on-core PRNG (pltpu.prng_*), seeded per
+  (frame key, global tile index), a counter-based scheme that keeps renders
+  deterministic and shard-invariant;
+- material parameters are fetched with a per-material masked loop gated by
+  "does any lane in this tile use material m" — the tile-level analog of the
+  reference's per-thread switch.
+
+Limitations (statically checked; the caller falls back to the wavefront
+pipeline): image textures (per-lane atlas gathers don't vectorise on TPU) —
+const/gradient/checkerboard textures are supported.
+
+Outputs per pixel: the mean radiance over ``rays_per_pixel`` samples plus
+the traced segment count, i.e. exactly ``render_sample_mean``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import ANTIALIAS_OFFSET_RANGE, RenderSettings
+from ..models.materials import (MAT_EMISSIVE, MAT_REFRACTIVE, TEX_CHECKERBOARD,
+                                TEX_COLOUR, TEX_GRADIENT, TEX_IMAGE)
+from ..models.scene import SceneArrays
+from .intersect_pallas import (LANES, _S_CR2, _S_CX, _S_CY, _S_CZ, _S_MAT,
+                               _S_OK, _S_R, _T_CULL, _T_MAT, _T_NRM, _T_OK,
+                               _T_UV, _T_WU, _T_WV, _T_WW, _interpret,
+                               pack_scene)
+
+_EPS = 1e-6
+_INF = 1e30
+
+MROWS = 32                   # lanes per tile = MROWS * LANES = 4096 (measured best)
+MEGA_TILE = MROWS * LANES
+
+# material table rows (packed for SMEM)
+(_M_TYPE, _M_SMOOTH, _M_IOR, _M_EMR, _M_EMG, _M_EMB, _M_TEXTYPE,
+ _M_CR, _M_CG, _M_CB, _M_LR, _M_LG, _M_LB, _M_DR, _M_DG, _M_DB,
+ _M_NSQ) = range(17)
+_M_ROWS = 17
+
+
+def supports(scene: SceneArrays) -> bool:
+    """Megakernel preconditions: no image textures in the scene
+    (per-lane atlas gathers don't vectorise on TPU)."""
+    return not scene.has_image_tex
+
+
+def pack_materials(scene: SceneArrays) -> jax.Array:
+    return jnp.concatenate([
+        scene.mat_type.astype(jnp.float32)[None, :],
+        scene.mat_smooth[None, :],
+        scene.mat_ior[None, :],
+        scene.mat_emit.T,
+        scene.tex_type.astype(jnp.float32)[None, :],
+        scene.tex_colour.T,
+        scene.tex_light.T,
+        scene.tex_dark.T,
+        scene.tex_nsq[None, :],
+    ], axis=0)
+
+
+def _asin(x):
+    """Abramowitz-Stegun 4.4.45 arcsin approximation (|err| < 7e-5).
+
+    Mosaic has no asin/acos primitive; texture UVs tolerate the error.
+    """
+    ax = jnp.abs(x)
+    r = (1.5707288 + ax * (-0.2121144 + ax * (0.0742610 + ax * -0.0187293)))
+    v = jnp.pi / 2.0 - jnp.sqrt(jnp.maximum(1.0 - ax, 0.0)) * r
+    return jnp.where(x < 0.0, -v, v)
+
+
+def _uniform(shape):
+    """Uniform [0,1) from the on-core PRNG.
+
+    Bits arrive as signed int32 — bitcast to uint32 before the shift or the
+    arithmetic shift leaks the sign into the mantissa.
+    """
+    bits = pltpu.prng_random_bits(shape)
+    # low 24 bits as a non-negative int32 (uint32->f32 casts are
+    # unsupported in Mosaic) -> [0, 1) with full mantissa precision
+    return (bits & jnp.int32(0x00FFFFFF)).astype(jnp.float32) * (
+        1.0 / 16777216.0)
+
+
+def _kernel(seed_ref, sph_ref, tri_ref, sphc_ref, tric_ref, mat_ref,
+            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+            sum_r_ref, sum_g_ref, sum_b_ref, segs_ref,
+            *, num_spheres: int, num_tris: int, num_sph_clusters: int,
+            num_tri_clusters: int, num_materials: int, spp: int,
+            limit: int, antialias: bool, sky: tuple,
+            emissive_terminates: bool, fix_exit_ior: bool,
+            need_sphere_uv: bool):
+    tile = pl.program_id(0)
+    # counter-based seeding: (frame key material, global tile index)
+    # two 32-bit seed words max: fold (frame key, global tile) together
+    # (golden-ratio multiplier, int32 wraparound)
+    pltpu.prng_seed(
+        seed_ref[0],
+        seed_ref[1] + (seed_ref[2] + tile) * jnp.int32(-1640531527))
+
+    o0x, o0y, o0z = ox_ref[:], oy_ref[:], oz_ref[:]
+    d0x, d0y, d0z = dx_ref[:], dy_ref[:], dz_ref[:]
+
+    shape = (MROWS, LANES)
+    # Derive loop-carry seeds from loaded data: broadcast constants get a
+    # "replicated" Mosaic layout that is invalid as a while_loop carry.
+    f0 = o0x * 0.0
+    i0 = f0.astype(jnp.int32)
+
+    def sweep(ox, oy, oz, dx, dy, dz):
+        """Nearest hit + winner shade params (mirrors intersect_pallas)."""
+        ddo = dx * ox + dy * oy + dz * oz
+        osq = ox * ox + oy * oy + oz * oz
+        a = dx * dx + dy * dy + dz * dz
+        inv_2a = 0.5 / a
+        if num_sph_clusters > 0 or num_tri_clusters > 0:
+            inv_dx, inv_dy, inv_dz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+
+        def cluster_gate(cl_ref, c, carry, inner):
+            bt = carry[0]
+            t1 = (cl_ref[c, 0] - ox) * inv_dx
+            t2 = (cl_ref[c, 3] - ox) * inv_dx
+            tmin = jnp.minimum(t1, t2)
+            tmax = jnp.maximum(t1, t2)
+            t1 = (cl_ref[c, 1] - oy) * inv_dy
+            t2 = (cl_ref[c, 4] - oy) * inv_dy
+            tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+            tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+            t1 = (cl_ref[c, 2] - oz) * inv_dz
+            t2 = (cl_ref[c, 5] - oz) * inv_dz
+            tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+            tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+            tmin = jnp.maximum(tmin, 0.0)
+            enter = jnp.any((tmin <= tmax) & (tmax > 0.0) & (tmin < bt))
+            start = cl_ref[c, 6].astype(jnp.int32)
+            count = cl_ref[c, 7].astype(jnp.int32)
+            return jax.lax.cond(
+                enter,
+                lambda cr: jax.lax.fori_loop(start, start + count, inner, cr),
+                lambda cr: cr, carry)
+
+        init = (jnp.full(shape, _INF, jnp.float32), i0, f0, f0,
+                f0, f0, f0, f0, i0)
+
+        def sph_body(s, carry):
+            bt, bc, bu, bv, b0, b1, b2, br, bm = carry
+            cx = sph_ref[_S_CX, s]
+            cy = sph_ref[_S_CY, s]
+            cz = sph_ref[_S_CZ, s]
+            cr2 = sph_ref[_S_CR2, s]
+            ok = sph_ref[_S_OK, s]
+            dc = dx * cx + dy * cy + dz * cz
+            oc = ox * cx + oy * cy + oz * cz
+            b = -2.0 * (dc - ddo)
+            c = cr2 - 2.0 * oc + osq
+            disc = b * b - 4.0 * a * c
+            t = (-b - jnp.sqrt(jnp.maximum(disc, 0.0))) * inv_2a
+            valid = (disc >= 0.0) & (t > _EPS) & (ok > 0.0)
+            t = jnp.where(valid, t, _INF)
+            better = t < bt
+            bt = jnp.where(better, t, bt)
+            bc = jnp.where(better, s * 2, bc)
+            b0 = jnp.where(better, cx, b0)
+            b1 = jnp.where(better, cy, b1)
+            b2 = jnp.where(better, cz, b2)
+            br = jnp.where(better, sph_ref[_S_R, s], br)
+            bm = jnp.where(better, sph_ref[_S_MAT, s].astype(jnp.int32), bm)
+            return bt, bc, bu, bv, b0, b1, b2, br, bm
+
+        if num_sph_clusters > 0:
+            init = jax.lax.fori_loop(
+                0, num_sph_clusters,
+                lambda c, cr: cluster_gate(sphc_ref, c, cr, sph_body), init)
+        elif num_spheres > 0:
+            init = jax.lax.fori_loop(0, num_spheres, sph_body, init)
+
+        def tri_body(k, carry):
+            bt, bc, bu, bv, b0, b1, b2, br, bm = carry
+            wu0, wu1, wu2, wu3 = (tri_ref[_T_WU + r, k] for r in range(4))
+            wv0, wv1, wv2, wv3 = (tri_ref[_T_WV + r, k] for r in range(4))
+            ww0, ww1, ww2, ww3 = (tri_ref[_T_WW + r, k] for r in range(4))
+            ow = ww0 * ox + ww1 * oy + ww2 * oz + ww3
+            dw = ww0 * dx + ww1 * dy + ww2 * dz
+            t = -ow / dw
+            ou = wu0 * ox + wu1 * oy + wu2 * oz + wu3
+            du = wu0 * dx + wu1 * dy + wu2 * dz
+            u = ou + t * du
+            ov = wv0 * ox + wv1 * oy + wv2 * oz + wv3
+            dv = wv0 * dx + wv1 * dy + wv2 * dz
+            v = ov + t * dv
+            cull = (tri_ref[_T_CULL, k] * dx + tri_ref[_T_CULL + 1, k] * dy
+                    + tri_ref[_T_CULL + 2, k] * dz)
+            valid = ((t > _EPS) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                     & (cull >= 0.0) & (tri_ref[_T_OK, k] > 0.0))
+            t = jnp.where(valid, t, _INF)
+            better = t < bt
+            w = 1.0 - u - v
+            tex_u = (tri_ref[_T_UV, k] * w + tri_ref[_T_UV + 2, k] * u
+                     + tri_ref[_T_UV + 4, k] * v)
+            tex_v = (tri_ref[_T_UV + 1, k] * w + tri_ref[_T_UV + 3, k] * u
+                     + tri_ref[_T_UV + 5, k] * v)
+            bt = jnp.where(better, t, bt)
+            bc = jnp.where(better, k * 2 + 1, bc)
+            bu = jnp.where(better, tex_u, bu)
+            bv = jnp.where(better, tex_v, bv)
+            b0 = jnp.where(better, tri_ref[_T_NRM, k], b0)
+            b1 = jnp.where(better, tri_ref[_T_NRM + 1, k], b1)
+            b2 = jnp.where(better, tri_ref[_T_NRM + 2, k], b2)
+            bm = jnp.where(better, tri_ref[_T_MAT, k].astype(jnp.int32), bm)
+            return bt, bc, bu, bv, b0, b1, b2, br, bm
+
+        if num_tri_clusters > 0:
+            init = jax.lax.fori_loop(
+                0, num_tri_clusters,
+                lambda c, cr: cluster_gate(tric_ref, c, cr, tri_body), init)
+        elif num_tris > 0:
+            init = jax.lax.fori_loop(0, num_tris, tri_body, init)
+        return init
+
+    def body(state):
+        (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, bounce_i, sample_i,
+         ior, sr, sg, sb, segs) = state
+        active = sample_i < spp
+        segs = segs + jnp.where(active, 1.0, 0.0)
+
+        # --- randoms (on-core PRNG) ---
+        if antialias:
+            jx = (_uniform(shape) - 0.5) * (2 * ANTIALIAS_OFFSET_RANGE)
+            jy = (_uniform(shape) - 0.5) * (2 * ANTIALIAS_OFFSET_RANGE)
+            jz = (_uniform(shape) - 0.5) * (2 * ANTIALIAS_OFFSET_RANGE)
+            dx, dy, dz = dx + jx, dy + jy, dz + jz
+            inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+            dx, dy, dz = dx * inv, dy * inv, dz * inv
+        # Box-Muller gaussian triple (the reference's normally_dist_num,
+        # src/utils.cu:234-239)
+        u1 = jnp.maximum(_uniform(shape), 1e-12)
+        u2 = _uniform(shape)
+        u3 = jnp.maximum(_uniform(shape), 1e-12)
+        u4 = _uniform(shape)
+        r1 = jnp.sqrt(-2.0 * jnp.log(u1))
+        r2 = jnp.sqrt(-2.0 * jnp.log(u3))
+        gx = r1 * jnp.cos(2 * jnp.pi * u2)
+        gy = r1 * jnp.sin(2 * jnp.pi * u2)
+        gz = r2 * jnp.cos(2 * jnp.pi * u4)
+        fres_u = _uniform(shape)
+
+        # --- nearest hit + shade params ---
+        bt, bc, bu, bv, n0, n1, n2, srad, mid = sweep(ox, oy, oz, dx, dy, dz)
+        hit = bt < _INF
+        is_tri = (bc & 1) == 1
+        safe_t = jnp.where(hit, bt, 0.0)
+        px = ox + dx * safe_t
+        py = oy + dy * safe_t
+        pz = oz + dz * safe_t
+
+        # sphere outward normal (src/objects.cu:66)
+        inv_r = 1.0 / jnp.maximum(srad, 1e-12)
+        rx = (px - n0) * inv_r
+        ry = (py - n1) * inv_r
+        rz = (pz - n2) * inv_r
+        rmag = jax.lax.rsqrt(jnp.maximum(rx * rx + ry * ry + rz * rz, 1e-24))
+        # sphere UV (lat/long, src/objects.cu:82-97); statically skipped
+        # when no sphere carries a UV-dependent texture
+        if need_sphere_uv:
+            theta = _asin(jnp.clip(ry, -1.0, 1.0))
+            phi = jnp.pi / 2.0 - _asin(jnp.clip(rx, -1.0, 1.0))
+            sph_u = (theta + jnp.pi / 2.0) / jnp.pi
+            v_ratio = (1.0 - phi / jnp.pi) / 2.0
+            behind = jnp.where(pz > n2, 1.0, 0.0)
+            sph_v = behind + (1.0 - 2.0 * behind) * v_ratio
+        else:
+            sph_u = f0
+            sph_v = f0
+
+        # triangle normal flipped against the ray (src/objects.cu:158)
+        ndd = n0 * dx + n1 * dy + n2 * dz
+        flip = jnp.where(ndd > 0.0, -1.0, 1.0)
+        nx = jnp.where(is_tri, n0 * flip, rx * rmag)
+        ny = jnp.where(is_tri, n1 * flip, ry * rmag)
+        nz = jnp.where(is_tri, n2 * flip, rz * rmag)
+        uu = jnp.where(is_tri, bu, sph_u)
+        vv = jnp.where(is_tri, bv, sph_v)
+
+        # --- material fetch (gated per-material loop) ---
+        def mbody(m, acc):
+            (mtype, msm, mior, mer, meg, meb, mtt, mc0, mc1, mc2,
+             ml0, ml1, ml2, md0, md1, md2, mnsq) = acc
+            use = mid == m
+
+            def take(acc):
+                (mtype, msm, mior, mer, meg, meb, mtt, mc0, mc1, mc2,
+                 ml0, ml1, ml2, md0, md1, md2, mnsq) = acc
+                return (
+                    jnp.where(use, mat_ref[_M_TYPE, m], mtype),
+                    jnp.where(use, mat_ref[_M_SMOOTH, m], msm),
+                    jnp.where(use, mat_ref[_M_IOR, m], mior),
+                    jnp.where(use, mat_ref[_M_EMR, m], mer),
+                    jnp.where(use, mat_ref[_M_EMG, m], meg),
+                    jnp.where(use, mat_ref[_M_EMB, m], meb),
+                    jnp.where(use, mat_ref[_M_TEXTYPE, m], mtt),
+                    jnp.where(use, mat_ref[_M_CR, m], mc0),
+                    jnp.where(use, mat_ref[_M_CG, m], mc1),
+                    jnp.where(use, mat_ref[_M_CB, m], mc2),
+                    jnp.where(use, mat_ref[_M_LR, m], ml0),
+                    jnp.where(use, mat_ref[_M_LG, m], ml1),
+                    jnp.where(use, mat_ref[_M_LB, m], ml2),
+                    jnp.where(use, mat_ref[_M_DR, m], md0),
+                    jnp.where(use, mat_ref[_M_DG, m], md1),
+                    jnp.where(use, mat_ref[_M_DB, m], md2),
+                    jnp.where(use, mat_ref[_M_NSQ, m], mnsq),
+                )
+
+            return jax.lax.cond(jnp.any(use & hit), take, lambda a: a, acc)
+
+        macc = jax.lax.fori_loop(0, num_materials, mbody,
+                                 (f0,) * 17)
+        (mtype, msm, mior, mer, meg, meb, mtt, mc0, mc1, mc2,
+         ml0, ml1, ml2, md0, md1, md2, mnsq) = macc
+
+        # --- texture colour (const / gradient / checker; no images) ---
+        u_c = (uu * mnsq).astype(jnp.int32)
+        v_c = (vv * mnsq).astype(jnp.int32)
+        is_light = ((u_c + v_c) % 2) == 0
+        tex_r = jnp.where(mtt == TEX_CHECKERBOARD,
+                          jnp.where(is_light, ml0, md0),
+                          jnp.where(mtt == TEX_GRADIENT, uu, mc0))
+        tex_g = jnp.where(mtt == TEX_CHECKERBOARD,
+                          jnp.where(is_light, ml1, md1),
+                          jnp.where(mtt == TEX_GRADIENT, vv, mc1))
+        tex_b = jnp.where(mtt == TEX_CHECKERBOARD,
+                          jnp.where(is_light, ml2, md2),
+                          jnp.where(mtt == TEX_GRADIENT, 0.0, mc2))
+
+        # --- radiance bookkeeping (src/raytracer.cu:76-90) ---
+        miss = active & ~hit
+        rr = rr + jnp.where(miss, tr * sky[0], 0.0)
+        rg = rg + jnp.where(miss, tg * sky[1], 0.0)
+        rb = rb + jnp.where(miss, tb * sky[2], 0.0)
+
+        is_em = mtype == float(MAT_EMISSIVE)
+        live_hit = active & hit
+        em = live_hit & is_em
+        rr = rr + jnp.where(em, tr * mer, 0.0)
+        rg = rg + jnp.where(em, tg * meg, 0.0)
+        rb = rb + jnp.where(em, tb * meb, 0.0)
+        absorb = live_hit & ~is_em
+        tr = jnp.where(absorb, tr * tex_r, tr)
+        tg = jnp.where(absorb, tg * tex_g, tg)
+        tb = jnp.where(absorb, tb * tex_b, tb)
+
+        # --- scatter (src/ray.cu:67-128, transcendental-free) ---
+        gdotn = gx * nx + gy * ny + gz * nz
+        gflip = jnp.where(gdotn < 0.0, -1.0, 1.0)
+        ginv = jax.lax.rsqrt(jnp.maximum(
+            gx * gx + gy * gy + gz * gz, 1e-24)) * gflip
+        ax_ = nx + gx * ginv
+        ay_ = ny + gy * ginv
+        az_ = nz + gz * ginv
+        dinv = jax.lax.rsqrt(jnp.maximum(
+            ax_ * ax_ + ay_ * ay_ + az_ * az_, 1e-24))
+        dfx, dfy, dfz = ax_ * dinv, ay_ * dinv, az_ * dinv  # diffuse
+        ddn = dx * nx + dy * ny + dz * nz
+        sx = dx - 2.0 * ddn * nx
+        sy = dy - 2.0 * ddn * ny
+        sz = dz - 2.0 * ddn * nz  # specular (unit already)
+        refx = dfx + (sx - dfx) * msm
+        refy = dfy + (sy - dfy) * msm
+        refz = dfz + (sz - dfz) * msm
+        rinv = jax.lax.rsqrt(jnp.maximum(
+            refx * refx + refy * refy + refz * refz, 1e-24))
+        refx, refy, refz = refx * rinv, refy * rinv, refz * rinv
+
+        exiting = ddn > 0.0
+        n1_ = jnp.where(exiting, mior, ior)
+        # exit medium: the reference forgets air (quirk), the fix restores it
+        exit_ior = jnp.ones_like(ior) if fix_exit_ior else ior
+        n2_ = jnp.where(exiting, exit_ior, mior)
+        sgn = jnp.where(exiting, 1.0, -1.0)
+        rnx, rny, rnz = nx * sgn, ny * sgn, nz * sgn
+        cos1 = jnp.minimum(dx * rnx + dy * rny + dz * rnz, 1.0)
+        sin1 = jnp.sqrt(jnp.maximum(1.0 - cos1 * cos1, 0.0))
+        sin2 = jnp.minimum(n1_ * sin1 / n2_, 1.0)
+        cos2 = jnp.sqrt(jnp.maximum(1.0 - sin2 * sin2, 0.0))
+        tir = sin1 > (n2_ / n1_)
+        sq0 = (n1_ - n2_) / (n1_ + n2_)
+        r0 = sq0 * sq0
+        mm_ = 1.0 - cos1
+        m2 = mm_ * mm_
+        refl = r0 + (1.0 - r0) * (m2 * m2 * mm_)
+        do_reflect = tir | (refl > fres_u)
+        ssin1 = jnp.where(sin1 == 0.0, 1.0, sin1)
+        pfx = jnp.where(sin1 != 0.0, (dx - rnx * cos1) / ssin1, 0.0)
+        pfy = jnp.where(sin1 != 0.0, (dy - rny * cos1) / ssin1, 0.0)
+        pfz = jnp.where(sin1 != 0.0, (dz - rnz * cos1) / ssin1, 0.0)
+        rfx = rnx * cos2 + pfx * sin2
+        rfy = rny * cos2 + pfy * sin2
+        rfz = rnz * cos2 + pfz * sin2
+        rfinv = jax.lax.rsqrt(jnp.maximum(
+            rfx * rfx + rfy * rfy + rfz * rfz, 1e-24))
+        rfx, rfy, rfz = rfx * rfinv, rfy * rfinv, rfz * rfinv
+
+        is_refr = mtype == float(MAT_REFRACTIVE)
+        use_refr = is_refr & ~do_reflect
+        ndx = jnp.where(is_refr, jnp.where(do_reflect, refx, rfx), refx)
+        ndy = jnp.where(is_refr, jnp.where(do_reflect, refy, rfy), refy)
+        ndz = jnp.where(is_refr, jnp.where(do_reflect, refz, rfz), refz)
+        ior_upd = (is_refr & use_refr) if fix_exit_ior else is_refr
+        new_ior = jnp.where(ior_upd & live_hit, n2_, ior)
+
+        ox = jnp.where(live_hit, px, ox)
+        oy = jnp.where(live_hit, py, oy)
+        oz = jnp.where(live_hit, pz, oz)
+        dx = jnp.where(live_hit, ndx, dx)
+        dy = jnp.where(live_hit, ndy, dy)
+        dz = jnp.where(live_hit, ndz, dz)
+        ior = new_ior
+
+        continues = live_hit
+        if emissive_terminates:
+            continues = continues & ~is_em
+        at_limit = bounce_i + 1 >= limit
+        path_end = active & (~continues | at_limit)
+
+        sr = sr + jnp.where(path_end, rr, 0.0)
+        sg = sg + jnp.where(path_end, rg, 0.0)
+        sb = sb + jnp.where(path_end, rb, 0.0)
+
+        sample_i = jnp.where(path_end, sample_i + 1, sample_i)
+        bounce_i = jnp.where(path_end, 0,
+                             jnp.where(active, bounce_i + 1, bounce_i))
+        ox = jnp.where(path_end, o0x, ox)
+        oy = jnp.where(path_end, o0y, oy)
+        oz = jnp.where(path_end, o0z, oz)
+        dx = jnp.where(path_end, d0x, dx)
+        dy = jnp.where(path_end, d0y, dy)
+        dz = jnp.where(path_end, d0z, dz)
+        tr = jnp.where(path_end, 1.0, tr)
+        tg = jnp.where(path_end, 1.0, tg)
+        tb = jnp.where(path_end, 1.0, tb)
+        rr = jnp.where(path_end, 0.0, rr)
+        rg = jnp.where(path_end, 0.0, rg)
+        rb = jnp.where(path_end, 0.0, rb)
+        ior = jnp.where(path_end, 1.0, ior)
+
+        return (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
+                bounce_i, sample_i, ior, sr, sg, sb, segs)
+
+    def cond(state):
+        sample_i = state[13]
+        return jnp.any(sample_i < spp)
+
+    one = f0 + 1.0
+    state = (o0x, o0y, o0z, d0x, d0y, d0z,
+             one, one, one,          # throughput
+             f0, f0, f0,             # path radiance
+             i0, i0,                 # bounce, sample
+             one,                    # ior
+             f0, f0, f0,             # pixel sums
+             f0)                     # segments
+    state = jax.lax.while_loop(cond, body, state)
+
+    inv_spp = 1.0 / float(spp)
+    sum_r_ref[:] = state[15] * inv_spp
+    sum_g_ref[:] = state[16] * inv_spp
+    sum_b_ref[:] = state[17] * inv_spp
+    segs_ref[:] = state[18]
+
+
+def render_sample_mean_mega(
+    scene: SceneArrays,
+    settings: RenderSettings,
+    o: jax.Array,        # (3, N) primary origins (Morton order recommended)
+    d: jax.Array,        # (3, N) primary directions
+    frame_key: jax.Array,
+    tile_offset=0,
+):
+    """Full-frame megakernel sampler; returns ((3, N) mean, segments).
+
+    RNG is seeded per (frame key, global tile); ``tile_offset`` shifts tile
+    ids under shard_map so multi-chip renders stay deterministic.
+    """
+    n = o.shape[1]
+    n_pad = max(MEGA_TILE, ((n + MEGA_TILE - 1) // MEGA_TILE) * MEGA_TILE)
+    if n_pad != n:
+        pad_o = jnp.zeros((3, n_pad - n), o.dtype)
+        pad_d = jnp.zeros((3, n_pad - n), d.dtype).at[0].set(1.0)
+        o = jnp.concatenate([o, pad_o], axis=1)
+        d = jnp.concatenate([d, pad_d], axis=1)
+    rows = n_pad // LANES
+
+    planes = [p.reshape(rows, LANES)
+              for p in (o[0], o[1], o[2], d[0], d[1], d[2])]
+    sph, tri, sphc, tric = pack_scene(scene)
+    mat = pack_materials(scene)
+    kd = jax.random.key_data(frame_key).astype(jnp.int32).reshape(-1)
+    seed = jnp.concatenate(
+        [kd[:2], jnp.asarray([tile_offset], jnp.int32).reshape(1)])
+
+    ray_spec = pl.BlockSpec((MROWS, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        functools.partial(
+            _kernel,
+            num_spheres=int(scene.sph_center.shape[0]),
+            num_tris=int(scene.tri_v0.shape[0]),
+            num_sph_clusters=int(scene.sph_clusters.shape[0]),
+            num_tri_clusters=int(scene.tri_clusters.shape[0]),
+            num_materials=int(scene.mat_type.shape[0]),
+            spp=int(settings.rays_per_pixel),
+            limit=int(settings.reflect_limit),
+            antialias=bool(settings.antialias),
+            sky=tuple(float(c) for c in settings.sky_colour),
+            emissive_terminates=bool(settings.emissive_terminates),
+            fix_exit_ior=bool(settings.fix_exit_ior),
+            need_sphere_uv=bool(scene.needs_sphere_uv),
+        ),
+        grid=(rows // MROWS,),
+        in_specs=[smem] * 6 + [ray_spec] * 6,
+        out_specs=(ray_spec,) * 4,
+        out_shape=tuple(jax.ShapeDtypeStruct((rows, LANES), f32)
+                        for _ in range(4)),
+        interpret=_interpret(),
+    )(seed, sph, tri, sphc, tric, mat, *planes)
+
+    mean = jnp.stack([x.reshape(-1)[:n] for x in outs[:3]])
+    segs = jnp.sum(outs[3].reshape(-1)[:n])
+    return mean, segs
