@@ -4,15 +4,16 @@ TPU-native replacement for the reference megakernel
 (``trace_ray``/``get_ray_colour``/``get_pixel_colour``,
 src/raytracer.cu:67-136). One thread-per-pixel with divergent loops becomes:
 the whole frame's rays as flat SoA ``(3, N)`` arrays and masked branchless
-shading. Two samplers share the same per-bounce physics:
+shading. Three samplers compute the same estimator:
 
+- ``mega`` (auto-picked on TPU): the full spp x bounce loop inside one
+  Pallas kernel with tile-local early exit (ops/megakernel.py) — fastest.
+- ``regen``: wavefront path regeneration — one ``lax.while_loop`` in which a
+  lane whose path ends (sky miss or bounce limit) immediately restarts on
+  its pixel's next sample.
 - ``scan``: a ``lax.scan`` of fixed depth over bounces, wrapped in a scan
   over samples-per-pixel — the direct wavefront transcription of the
   reference's nested loops (src/raytracer.cu:71,102).
-- ``regen`` (default): path regeneration — one ``lax.while_loop`` in which a
-  lane whose path ends (sky miss or bounce limit) immediately restarts on
-  its pixel's next sample. Dead-lane waste drops to the final tail, so
-  sustained live-ray throughput approaches the kernel's lane throughput.
 
 Randomness is counter-based per *global* pixel index (``ray_idx``), so the
 result is bitwise identical regardless of device sharding or ray chunking —

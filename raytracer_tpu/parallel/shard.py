@@ -50,9 +50,14 @@ def make_pixel_sharded_step(mesh: Mesh, settings: RenderSettings,
         out_specs=(P(PIXEL_AXIS), P()),
     )
     def step(scene, ray_idx, o, d, accum, frame_num, base_key):
+        # Globalise megakernel RNG tile ids across shards: each device owns
+        # a contiguous block of ray tiles.
+        from ..ops.megakernel import MEGA_TILE
+        local_tiles = -(-o.shape[0] // MEGA_TILE)
+        tile_offset = jax.lax.axis_index(PIXEL_AXIS) * local_tiles
         new_accum, segs = render_frame(
             scene, settings, ray_idx, o, d, accum, frame_num, base_key,
-            backend=backend)
+            backend=backend, tile_offset=tile_offset)
         return new_accum, jax.lax.psum(segs, PIXEL_AXIS)
 
     return jax.jit(step, donate_argnums=(4,))

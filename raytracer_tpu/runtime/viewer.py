@@ -9,7 +9,6 @@ Mrays line the reference writes with ``\\r`` (src/main.cu:423-428).
 from __future__ import annotations
 
 import sys
-import time
 from typing import Optional
 
 from .renderer import Renderer
@@ -70,7 +69,3 @@ def run_render_loop(
             renderer.save_png(out_path)
         if checkpoint:
             renderer.save_checkpoint(checkpoint)
-
-
-def _unused_time_probe() -> float:  # pragma: no cover
-    return time.time()
