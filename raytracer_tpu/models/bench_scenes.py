@@ -32,12 +32,16 @@ def rtiow_trio_scene() -> Tuple[SceneArrays, bool]:
     return b.build(), True
 
 
-def cube_scene() -> Tuple[SceneArrays, bool]:
-    """models/cube.obj with an image texture over a checkered floor
-    (BASELINE.json config 2)."""
+def cube_scene(image_texture: bool = False) -> Tuple[SceneArrays, bool]:
+    """models/cube.obj textured, over a checkered floor (BASELINE.json
+    config 2). ``image_texture`` picks an image-mapped cube (exercises the
+    atlas path; disables the megakernel) vs a checkerboard-mapped cube."""
     b = SceneBuilder()
-    cube_mat = Material.standard(
-        Texture.from_image(procedural_earth_texture(32)), 0.2)
+    if image_texture:
+        cube_tex = Texture.from_image(procedural_earth_texture(32))
+    else:
+        cube_tex = Texture.checkerboard((0.9, 0.3, 0.2), (0.95, 0.85, 0.7), 6)
+    cube_mat = Material.standard(cube_tex, 0.2)
     m = load_mesh("cube.obj")
     m.enlarge(0.5).rotate(0.3, 0.6, 0.0).translate(0.0, 0.0, 2.5)
     b.add_mesh(m.faces, cube_mat)

@@ -27,10 +27,32 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .materials import Material, MaterialTable, compile_materials
+from .materials import Material, compile_materials
 
 _PAD = 8  # pad primitive pools to a multiple of this
 _CLUSTER_LEAF = 32  # BVH leaf size for tile-sweep culling (measured best)
+
+
+_SUPER_LEAF = 8     # clusters per super-cluster
+
+
+def _super_level(clusters: np.ndarray) -> tuple:
+    """Group leaf clusters under super-cluster AABBs (second BVH level).
+
+    Returns (reordered_clusters, supers) where supers rows are
+    [min, max, start, count) ranges over the reordered cluster array.
+    """
+    c = clusters.shape[0]
+    if c <= 2 * _SUPER_LEAF:
+        return clusters, np.zeros((0, 8), np.float32)
+    from ..runtime.loader import build_bvh_clusters
+    # fake triangles whose bounds equal the cluster boxes
+    center = 0.5 * (clusters[:, :3] + clusters[:, 3:6])
+    verts = np.stack([clusters[:, :3], clusters[:, 3:6], center], axis=1)
+    order, bounds, meta = build_bvh_clusters(verts, _SUPER_LEAF)
+    reordered = clusters[order]
+    supers = _leaf_clusters(bounds, meta)
+    return reordered, supers
 
 
 def _leaf_clusters(bounds: np.ndarray, meta: np.ndarray) -> np.ndarray:
@@ -62,6 +84,14 @@ class SceneArrays:
     sph_radius: jax.Array   # (S,) f32; <= 0 marks padding
     sph_mat: jax.Array      # (S,) i32
 
+    # Per-sphere material parameters, denormalised like the reference's
+    # per-object Material copies (src/objects.cu:813-820): keeps the shared
+    # material table tiny even when every primitive has its own colour /
+    # smoothness / IOR (e.g. the 10k random-sphere stress scene).
+    sph_colour: jax.Array   # (S, 3) f32 const-colour (1s when textured)
+    sph_smooth: jax.Array   # (S,) f32
+    sph_ior: jax.Array      # (S,) f32
+
     # Triangles (reference: src/objects.cu:101-200)
     tri_v0: jax.Array       # (T, 3) f32
     tri_e1: jax.Array       # (T, 3) f32  points[1] - points[0]
@@ -80,6 +110,9 @@ class SceneArrays:
     tri_wu: jax.Array       # (T, 4) f32
     tri_wv: jax.Array       # (T, 4) f32
     tri_ww: jax.Array       # (T, 4) f32
+    tri_colour: jax.Array   # (T, 3) f32 denormalised const-colour
+    tri_smooth: jax.Array   # (T,) f32
+    tri_ior: jax.Array      # (T,) f32
 
     # Material table (reference: src/material.cu:128-186)
     mat_type: jax.Array     # (M,) i32
@@ -106,6 +139,11 @@ class SceneArrays:
     # culling for that pool.
     tri_clusters: jax.Array
     sph_clusters: jax.Array
+    # Second BVH level: each super-cluster row is
+    # [min(3), max(3), start, count] over a contiguous range of *clusters*.
+    # (C, 8); empty disables the level.
+    tri_supers: jax.Array
+    sph_supers: jax.Array
 
     # Static metadata (not traced): True when any sphere has a UV-dependent
     # texture — lets the integrator skip per-ray lat/long transcendentals
@@ -138,6 +176,13 @@ def _round_up(n: int, m: int) -> int:
     return max(m, ((n + m - 1) // m) * m)
 
 
+def _prim_params(mat: Material) -> Tuple:
+    """(colour3, smoothness, ior) denormalised onto the primitive."""
+    colour = mat.texture.colour if mat.texture.type == 0 else (1.0, 1.0, 1.0)
+    return (tuple(float(c) for c in colour), float(mat.smoothness),
+            float(mat.refractive_index))
+
+
 @dataclasses.dataclass
 class _TriRecord:
     v0: np.ndarray
@@ -146,6 +191,7 @@ class _TriRecord:
     uv: Optional[Tuple] = None            # ((u,v) per vertex) or None
     cull: Optional[np.ndarray] = None     # one-way cull normal or None
     mat_id: int = 0
+    params: Tuple = (((1.0, 1.0, 1.0), 0.0, 1.0))
 
 
 class SceneBuilder:
@@ -168,16 +214,30 @@ class SceneBuilder:
 
     # -- materials ---------------------------------------------------------
     def material_id(self, mat: Material) -> int:
-        key = mat
+        """Intern the material's *behaviour* (everything except the
+        per-primitive colour / smoothness / IOR, which are denormalised onto
+        the primitives like the reference's per-object Material copies,
+        src/objects.cu:813-820)."""
+        key = self._behaviour(mat)
         if key not in self._mat_index:
             self._mat_index[key] = len(self._materials)
-            self._materials.append(mat)
+            self._materials.append(key)
         return self._mat_index[key]
+
+    @staticmethod
+    def _behaviour(mat: Material) -> Material:
+        import dataclasses as _dc
+        tex = mat.texture
+        if tex.type == 0:  # const colour lives on the primitive
+            tex = _dc.replace(tex, colour=(0.0, 0.0, 0.0))
+        return _dc.replace(mat, texture=tex, smoothness=0.0,
+                           refractive_index=1.0)
 
     # -- primitives --------------------------------------------------------
     def add_sphere(self, center, radius: float, mat: Material) -> None:
         self._spheres.append(
-            (np.asarray(center, np.float32), float(radius), self.material_id(mat))
+            (np.asarray(center, np.float32), float(radius),
+             self.material_id(mat), _prim_params(mat))
         )
 
     def add_triangle(self, p0, p1, p2, mat: Material, uvs=None,
@@ -190,6 +250,7 @@ class SceneBuilder:
                 uv=uvs,
                 cull=cull,
                 mat_id=self.material_id(mat),
+                params=_prim_params(mat),
             )
         )
         self._tri_mesh_id.append(mesh_id)
@@ -272,10 +333,16 @@ class SceneBuilder:
         sph_center = np.zeros((s_pad, 3), np.float32)
         sph_radius = np.zeros(s_pad, np.float32)  # pad radius 0 => never hits
         sph_mat = np.zeros(s_pad, np.int32)
-        for i, (c, r, m) in enumerate(self._spheres):
+        sph_colour = np.ones((s_pad, 3), np.float32)
+        sph_smooth = np.zeros(s_pad, np.float32)
+        sph_ior = np.ones(s_pad, np.float32)
+        for i, (c, r, m, (col, sm, ior)) in enumerate(self._spheres):
             sph_center[i] = c
             sph_radius[i] = r
             sph_mat[i] = m
+            sph_colour[i] = col
+            sph_smooth[i] = sm
+            sph_ior[i] = ior
 
         tri_v0 = np.zeros((t_pad, 3), np.float32)
         tri_e1 = np.zeros((t_pad, 3), np.float32)
@@ -283,6 +350,9 @@ class SceneBuilder:
         tri_normal = np.zeros((t_pad, 3), np.float32)
         tri_uv = np.zeros((3, t_pad, 2), np.float32)
         tri_mat = np.zeros(t_pad, np.int32)
+        tri_colour = np.ones((t_pad, 3), np.float32)
+        tri_smooth = np.zeros(t_pad, np.float32)
+        tri_ior = np.ones(t_pad, np.float32)
         tri_valid = np.zeros(t_pad, bool)
         tri_cull = np.zeros((t_pad, 3), np.float32)
         tri_w = np.zeros((3, t_pad, 4), np.float32)
@@ -296,6 +366,7 @@ class SceneBuilder:
             tri_e1[i] = e1
             tri_e2[i] = e2
             tri_mat[i] = rec.mat_id
+            tri_colour[i], tri_smooth[i], tri_ior[i] = rec.params
             if rec.uv is not None:
                 tri_uv[0, i] = rec.uv[0]
                 tri_uv[1, i] = rec.uv[1]
@@ -328,6 +399,8 @@ class SceneBuilder:
         # culling instead of per-ray pointer-chasing).
         tri_clusters = np.zeros((0, 8), np.float32)
         sph_clusters = np.zeros((0, 8), np.float32)
+        tri_supers = np.zeros((0, 8), np.float32)
+        sph_supers = np.zeros((0, 8), np.float32)
         if t > 2 * _CLUSTER_LEAF:
             from ..runtime.loader import build_bvh_clusters
             verts = np.stack(
@@ -335,12 +408,14 @@ class SceneBuilder:
                 axis=1)
             order, bounds, meta = build_bvh_clusters(verts, _CLUSTER_LEAF)
             for arr in (tri_v0, tri_e1, tri_e2, tri_normal, tri_mat,
-                        tri_valid, tri_cull):
+                        tri_valid, tri_cull, tri_colour, tri_smooth,
+                        tri_ior):
                 arr[:t] = arr[:t][order]
             for k in range(3):
                 tri_uv[k, :t] = tri_uv[k, :t][order]
                 tri_w[k, :t] = tri_w[k, :t][order]
             tri_clusters = _leaf_clusters(bounds, meta)
+            tri_clusters, tri_supers = _super_level(tri_clusters)
         if s > 2 * _CLUSTER_LEAF:
             from ..runtime.loader import build_bvh_clusters
             c = sph_center[:s]
@@ -352,7 +427,11 @@ class SceneBuilder:
             sph_center[:s] = sph_center[:s][order]
             sph_radius[:s] = sph_radius[:s][order]
             sph_mat[:s] = sph_mat[:s][order]
+            sph_colour[:s] = sph_colour[:s][order]
+            sph_smooth[:s] = sph_smooth[:s][order]
+            sph_ior[:s] = sph_ior[:s][order]
             sph_clusters = _leaf_clusters(bounds, meta)
+            sph_clusters, sph_supers = _super_level(sph_clusters)
 
         table = compile_materials(self._materials)
 
@@ -362,11 +441,16 @@ class SceneBuilder:
         return SceneArrays(
             tri_clusters=jnp.asarray(tri_clusters),
             sph_clusters=jnp.asarray(sph_clusters),
+            tri_supers=jnp.asarray(tri_supers),
+            sph_supers=jnp.asarray(sph_supers),
             needs_sphere_uv=needs_sphere_uv,
             has_image_tex=bool(np.any(table.tex_type == 3)),
             sph_center=jnp.asarray(sph_center),
             sph_radius=jnp.asarray(sph_radius),
             sph_mat=jnp.asarray(sph_mat),
+            sph_colour=jnp.asarray(sph_colour),
+            sph_smooth=jnp.asarray(sph_smooth),
+            sph_ior=jnp.asarray(sph_ior),
             tri_v0=jnp.asarray(tri_v0),
             tri_e1=jnp.asarray(tri_e1),
             tri_e2=jnp.asarray(tri_e2),
@@ -380,6 +464,9 @@ class SceneBuilder:
             tri_wu=jnp.asarray(tri_w[0]),
             tri_wv=jnp.asarray(tri_w[1]),
             tri_ww=jnp.asarray(tri_w[2]),
+            tri_colour=jnp.asarray(tri_colour),
+            tri_smooth=jnp.asarray(tri_smooth),
+            tri_ior=jnp.asarray(tri_ior),
             mat_type=jnp.asarray(table.mat_type),
             mat_smooth=jnp.asarray(table.smoothness),
             mat_ior=jnp.asarray(table.ior),

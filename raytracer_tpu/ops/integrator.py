@@ -74,12 +74,12 @@ def _bounce_physics(scene, settings, backend, o, d, thru, rad, alive,
     # (src/raytracer.cu:86-90).
     rad = rad + jnp.where((live_hit & is_emissive)[None, :],
                           thru * cols.emit, 0.0)
-    tex = sample_texture(scene, cols, shade.u, shade.v)
+    tex = sample_texture(scene, cols, shade.u, shade.v, shade.colour)
     thru = jnp.where((live_hit & ~is_emissive)[None, :], thru * tex, thru)
 
     new_d, new_ior = scatter(
         gauss, fresnel_u, d, shade.normal,
-        cols.mat_type, cols.smooth, cols.ior, cur_ior,
+        cols.mat_type, shade.smooth, shade.ior, cur_ior,
         fix_exit_ior=settings.fix_exit_ior,
     )
     o = jnp.where(live_hit[None, :], shade.point, o)

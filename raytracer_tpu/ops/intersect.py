@@ -71,13 +71,20 @@ class HitRecord:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ShadeData:
-    """Per-ray shading inputs resolved from the nearest hit (SoA)."""
+    """Per-ray shading inputs resolved from the nearest hit (SoA).
+
+    colour/smooth/ior are the winning primitive's denormalised material
+    parameters (the reference keeps a full Material per object,
+    src/objects.cu:813-820)."""
 
     point: jax.Array    # (3, N) hit position
     normal: jax.Array   # (3, N) normal with reference orientation semantics
     u: jax.Array        # (N,) texture coordinate u
     v: jax.Array        # (N,) texture coordinate v
     mat_id: jax.Array   # (N,) i32
+    colour: jax.Array   # (3, N) const-texture colour
+    smooth: jax.Array   # (N,) smoothness
+    ior: jax.Array      # (N,) refractive index
 
 
 # ---------------------------------------------------------------------------
@@ -371,4 +378,12 @@ def resolve_hit(o: jax.Array, d: jax.Array, scene: SceneArrays,
     u = jnp.where(it, tri_u, sph_u)
     v = jnp.where(it, tri_v, sph_v)
     mat_id = jnp.where(it, scene.tri_mat[tri_i], scene.sph_mat[sph_i])
-    return ShadeData(point=point, normal=normal, u=u, v=v, mat_id=mat_id)
+    # denormalised per-primitive material params (component-wise gathers)
+    tcol = scene.tri_colour.T
+    scol = scene.sph_colour.T
+    colour = jnp.stack([
+        jnp.where(it, tcol[c][tri_i], scol[c][sph_i]) for c in range(3)])
+    smooth = jnp.where(it, scene.tri_smooth[tri_i], scene.sph_smooth[sph_i])
+    ior = jnp.where(it, scene.tri_ior[tri_i], scene.sph_ior[sph_i])
+    return ShadeData(point=point, normal=normal, u=u, v=v, mat_id=mat_id,
+                     colour=colour, smooth=smooth, ior=ior)

@@ -40,9 +40,10 @@ LANES = 128
 ROWS = 32          # rays per tile = ROWS * LANES = 4096 (measured best)
 RAY_TILE = ROWS * LANES
 
-# sphere pack rows
-_S_CX, _S_CY, _S_CZ, _S_R, _S_CR2, _S_OK, _S_MAT = range(7)
-_S_ROWS = 8
+# sphere pack rows (incl. denormalised per-primitive material params)
+(_S_CX, _S_CY, _S_CZ, _S_R, _S_CR2, _S_OK, _S_MAT,
+ _S_COLR, _S_COLG, _S_COLB, _S_SMOOTH, _S_IOR) = range(12)
+_S_ROWS = 12
 # triangle pack rows
 _T_WU = 0            # 4 rows
 _T_WV = 4            # 4 rows
@@ -52,7 +53,8 @@ _T_OK = 15
 _T_UV = 16           # 6 rows: uv0.x uv0.y uv1.x uv1.y uv2.x uv2.y
 _T_NRM = 22          # 3 rows
 _T_MAT = 25
-_T_ROWS = 26
+_T_COLR, _T_COLG, _T_COLB, _T_SMOOTH, _T_IOR = range(26, 31)
+_T_ROWS = 31
 
 
 def _interpret() -> bool:
@@ -61,8 +63,11 @@ def _interpret() -> bool:
 
 
 def pack_scene(scene: SceneArrays):
-    """Pack primitive SoA into kernel-friendly row matrices (SMEM-resident)."""
-    z = jnp.zeros_like(scene.sph_radius)
+    """Pack primitive SoA into kernel-friendly row matrices (SMEM-resident).
+
+    Per-primitive material params (colour / smoothness / IOR) ride along,
+    mirroring the reference's per-object Material copies
+    (src/objects.cu:813-820)."""
     sph = jnp.stack([
         scene.sph_center[:, 0],
         scene.sph_center[:, 1],
@@ -72,7 +77,11 @@ def pack_scene(scene: SceneArrays):
         - scene.sph_radius * scene.sph_radius,
         (scene.sph_radius > 0).astype(jnp.float32),
         scene.sph_mat.astype(jnp.float32),
-        z,
+        scene.sph_colour[:, 0],
+        scene.sph_colour[:, 1],
+        scene.sph_colour[:, 2],
+        scene.sph_smooth,
+        scene.sph_ior,
     ])
     tri = jnp.concatenate([
         scene.tri_wu.T,                                    # 0-3
@@ -85,20 +94,27 @@ def pack_scene(scene: SceneArrays):
         scene.tri_uv2.T,                                   # 20-21
         scene.tri_normal.T,                                # 22-24
         scene.tri_mat.astype(jnp.float32)[None, :],        # 25
+        scene.tri_colour.T,                                # 26-28
+        scene.tri_smooth[None, :],                         # 29
+        scene.tri_ior[None, :],                            # 30
     ], axis=0)
 
     def clusters_or_dummy(c):
         return c if c.shape[0] > 0 else jnp.zeros((1, 8), jnp.float32)
 
     return (sph, tri, clusters_or_dummy(scene.sph_clusters),
-            clusters_or_dummy(scene.tri_clusters))
+            clusters_or_dummy(scene.tri_clusters),
+            clusters_or_dummy(scene.sph_supers),
+            clusters_or_dummy(scene.tri_supers))
 
 
-def _kernel(sph_ref, tri_ref, sphc_ref, tric_ref,
+def _kernel(sph_ref, tri_ref, sphc_ref, tric_ref, sphs_ref, tris_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             t_ref, code_ref, u_ref, v_ref, n0_ref, n1_ref, n2_ref, aux_ref,
-            mat_ref, *extra_refs, num_spheres: int, num_tris: int,
+            mat_ref, colr_ref, colg_ref, colb_ref, smooth_ref, ior_ref,
+            *extra_refs, num_spheres: int, num_tris: int,
             num_sph_clusters: int, num_tri_clusters: int,
+            num_sph_supers: int, num_tri_supers: int,
             with_stats: bool = False):
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -148,6 +164,34 @@ def _kernel(sph_ref, tri_ref, sphc_ref, tric_ref,
             lambda cr: cr,
             carry)
 
+    def super_gate(sup_ref, cl_ref, g, carry, inner):
+        """Second BVH level: slab-test a super-cluster, then sweep its
+        cluster range (each cluster gated again)."""
+        bt = carry[0]
+        t1 = (sup_ref[g, 0] - ox) * inv_dx
+        t2 = (sup_ref[g, 3] - ox) * inv_dx
+        tmin = jnp.minimum(t1, t2)
+        tmax = jnp.maximum(t1, t2)
+        t1 = (sup_ref[g, 1] - oy) * inv_dy
+        t2 = (sup_ref[g, 4] - oy) * inv_dy
+        tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+        tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+        t1 = (sup_ref[g, 2] - oz) * inv_dz
+        t2 = (sup_ref[g, 5] - oz) * inv_dz
+        tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+        tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+        tmin = jnp.maximum(tmin, 0.0)
+        enter = jnp.any((tmin <= tmax) & (tmax > 0.0) & (tmin < bt))
+        start = sup_ref[g, 6].astype(jnp.int32)
+        count = sup_ref[g, 7].astype(jnp.int32)
+        return jax.lax.cond(
+            enter,
+            lambda cr: jax.lax.fori_loop(
+                start, start + count,
+                lambda c, cr2: cluster_gate(cl_ref, c, cr2, inner), cr),
+            lambda cr: cr,
+            carry)
+
     shape = (ROWS, LANES)
     zero = jnp.zeros(shape, jnp.float32)
     init = (
@@ -157,10 +201,13 @@ def _kernel(sph_ref, tri_ref, sphc_ref, tric_ref,
         zero, zero, zero,                     # normal (tri) / center (sph)
         zero,                                 # aux: sphere radius
         jnp.zeros(shape, jnp.int32),          # material id
+        zero + 1.0, zero + 1.0, zero + 1.0,   # per-prim colour
+        zero,                                 # per-prim smoothness
+        zero + 1.0,                           # per-prim IOR
     )
 
     def sph_body(s, carry):
-        bt, bc, bu, bv, b0, b1, b2, br, bm = carry
+        bt, bc, bu, bv, b0, b1, b2, br, bm, bcr, bcg, bcb, bsm, bio = carry
         cx = sph_ref[_S_CX, s]
         cy = sph_ref[_S_CY, s]
         cz = sph_ref[_S_CZ, s]
@@ -184,9 +231,19 @@ def _kernel(sph_ref, tri_ref, sphc_ref, tric_ref,
         b2 = jnp.where(better, cz, b2)
         br = jnp.where(better, sph_ref[_S_R, s], br)
         bm = jnp.where(better, mat.astype(jnp.int32), bm)
-        return bt, bc, bu, bv, b0, b1, b2, br, bm
+        bcr = jnp.where(better, sph_ref[_S_COLR, s], bcr)
+        bcg = jnp.where(better, sph_ref[_S_COLG, s], bcg)
+        bcb = jnp.where(better, sph_ref[_S_COLB, s], bcb)
+        bsm = jnp.where(better, sph_ref[_S_SMOOTH, s], bsm)
+        bio = jnp.where(better, sph_ref[_S_IOR, s], bio)
+        return bt, bc, bu, bv, b0, b1, b2, br, bm, bcr, bcg, bcb, bsm, bio
 
-    if num_sph_clusters > 0:
+    if num_sph_supers > 0:
+        init = jax.lax.fori_loop(
+            0, num_sph_supers,
+            lambda g, cr: super_gate(sphs_ref, sphc_ref, g, cr, sph_body),
+            init)
+    elif num_sph_clusters > 0:
         init = jax.lax.fori_loop(
             0, num_sph_clusters,
             lambda c, cr: cluster_gate(sphc_ref, c, cr, sph_body), init)
@@ -194,7 +251,7 @@ def _kernel(sph_ref, tri_ref, sphc_ref, tric_ref,
         init = jax.lax.fori_loop(0, num_spheres, sph_body, init)
 
     def tri_body(k, carry):
-        bt, bc, bu, bv, b0, b1, b2, br, bm = carry
+        bt, bc, bu, bv, b0, b1, b2, br, bm, bcr, bcg, bcb, bsm, bio = carry
         wu0, wu1, wu2, wu3 = (tri_ref[_T_WU + r, k] for r in range(4))
         wv0, wv1, wv2, wv3 = (tri_ref[_T_WV + r, k] for r in range(4))
         ww0, ww1, ww2, ww3 = (tri_ref[_T_WW + r, k] for r in range(4))
@@ -234,16 +291,26 @@ def _kernel(sph_ref, tri_ref, sphc_ref, tric_ref,
         b1 = jnp.where(better, tri_ref[_T_NRM + 1, k], b1)
         b2 = jnp.where(better, tri_ref[_T_NRM + 2, k], b2)
         bm = jnp.where(better, tri_ref[_T_MAT, k].astype(jnp.int32), bm)
-        return bt, bc, bu, bv, b0, b1, b2, br, bm
+        bcr = jnp.where(better, tri_ref[_T_COLR, k], bcr)
+        bcg = jnp.where(better, tri_ref[_T_COLG, k], bcg)
+        bcb = jnp.where(better, tri_ref[_T_COLB, k], bcb)
+        bsm = jnp.where(better, tri_ref[_T_SMOOTH, k], bsm)
+        bio = jnp.where(better, tri_ref[_T_IOR, k], bio)
+        return bt, bc, bu, bv, b0, b1, b2, br, bm, bcr, bcg, bcb, bsm, bio
 
-    if num_tri_clusters > 0:
+    if num_tri_supers > 0:
+        init = jax.lax.fori_loop(
+            0, num_tri_supers,
+            lambda g, cr: super_gate(tris_ref, tric_ref, g, cr, tri_body),
+            init)
+    elif num_tri_clusters > 0:
         init = jax.lax.fori_loop(
             0, num_tri_clusters,
             lambda c, cr: cluster_gate(tric_ref, c, cr, tri_body), init)
     elif num_tris > 0:
         init = jax.lax.fori_loop(0, num_tris, tri_body, init)
 
-    bt, bc, bu, bv, b0, b1, b2, br, bm = init
+    (bt, bc, bu, bv, b0, b1, b2, br, bm, bcr, bcg, bcb, bsm, bio) = init
     if with_stats:
         flat_adjust = 0.0
         if num_sph_clusters == 0:
@@ -260,6 +327,11 @@ def _kernel(sph_ref, tri_ref, sphc_ref, tric_ref,
     n2_ref[:] = b2
     aux_ref[:] = br
     mat_ref[:] = bm
+    colr_ref[:] = bcr
+    colg_ref[:] = bcg
+    colb_ref[:] = bcb
+    smooth_ref[:] = bsm
+    ior_ref[:] = bio
 
 
 def _run_kernel(o: jax.Array, d: jax.Array, scene: SceneArrays,
@@ -276,11 +348,13 @@ def _run_kernel(o: jax.Array, d: jax.Array, scene: SceneArrays,
     planes = [p.reshape(rows, LANES)
               for p in (o[0], o[1], o[2], d[0], d[1], d[2])]
 
-    sph, tri, sphc, tric = pack_scene(scene)
+    sph, tri, sphc, tric, sphs, tris = pack_scene(scene)
     num_spheres = int(scene.sph_center.shape[0])
     num_tris = int(scene.tri_v0.shape[0])
     num_sph_clusters = int(scene.sph_clusters.shape[0])
     num_tri_clusters = int(scene.tri_clusters.shape[0])
+    num_sph_supers = int(scene.sph_supers.shape[0])
+    num_tri_supers = int(scene.tri_supers.shape[0])
 
     ray_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -290,7 +364,8 @@ def _run_kernel(o: jax.Array, d: jax.Array, scene: SceneArrays,
     scene_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     f32 = jnp.float32
-    out_dts = [f32, jnp.int32, f32, f32, f32, f32, f32, f32, jnp.int32]
+    out_dts = [f32, jnp.int32, f32, f32, f32, f32, f32, f32, jnp.int32,
+               f32, f32, f32, f32, f32]
     if with_stats:
         out_dts.append(f32)
     outs = pl.pallas_call(
@@ -298,9 +373,11 @@ def _run_kernel(o: jax.Array, d: jax.Array, scene: SceneArrays,
                           num_tris=num_tris,
                           num_sph_clusters=num_sph_clusters,
                           num_tri_clusters=num_tri_clusters,
+                          num_sph_supers=num_sph_supers,
+                          num_tri_supers=num_tri_supers,
                           with_stats=with_stats),
         grid=(rows // ROWS,),
-        in_specs=[scene_spec] * 4 + [ray_spec] * 6,
+        in_specs=[scene_spec] * 6 + [ray_spec] * 6,
         out_specs=(ray_spec,) * len(out_dts),
         out_shape=tuple(
             jax.ShapeDtypeStruct((rows, LANES), dt) for dt in out_dts),
@@ -310,7 +387,7 @@ def _run_kernel(o: jax.Array, d: jax.Array, scene: SceneArrays,
             transcendentals=n_pad * num_spheres,
         ),
         interpret=_interpret(),
-    )(sph, tri, sphc, tric, *planes)
+    )(sph, tri, sphc, tric, sphs, tris, *planes)
 
     return [x.reshape(-1)[:n] for x in outs]
 
@@ -336,7 +413,8 @@ def hit_and_resolve_pallas(o: jax.Array, d: jax.Array, scene: SceneArrays,
     no sphere in the scene has a UV-dependent texture (the TPU analog of the
     reference's ``need_uv`` flag, src/material.cu:142,162,180).
     """
-    t, code, u, v, n0, n1, n2, aux, mat_id = _run_kernel(o, d, scene)
+    (t, code, u, v, n0, n1, n2, aux, mat_id,
+     colr, colg, colb, smooth, ior) = _run_kernel(o, d, scene)
     hit = t < INF
     is_tri = (code & 1) == 1
     rec = HitRecord(t=t, hit=hit, is_tri=is_tri,
@@ -377,7 +455,8 @@ def hit_and_resolve_pallas(o: jax.Array, d: jax.Array, scene: SceneArrays,
     out_u = jnp.where(is_tri, u, sph_u)
     out_v = jnp.where(is_tri, v, sph_v)
     shade = ShadeData(point=point, normal=normal, u=out_u, v=out_v,
-                      mat_id=mat_id)
+                      mat_id=mat_id, colour=jnp.stack([colr, colg, colb]),
+                      smooth=smooth, ior=ior)
     return rec, shade
 
 
@@ -391,4 +470,4 @@ def intersection_stats(o: jax.Array, d: jax.Array, scene: SceneArrays):
     outs = _run_kernel(o, d, scene, with_stats=True)
     boxes = (max(int(scene.sph_clusters.shape[0]), 0)
              + max(int(scene.tri_clusters.shape[0]), 0))
-    return outs[9], boxes
+    return outs[14], boxes

@@ -37,13 +37,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import ANTIALIAS_OFFSET_RANGE, RenderSettings
-from ..models.materials import (MAT_EMISSIVE, MAT_REFRACTIVE, TEX_CHECKERBOARD,
-                                TEX_COLOUR, TEX_GRADIENT, TEX_IMAGE)
+from ..models.materials import (MAT_EMISSIVE, MAT_REFRACTIVE,
+                                TEX_CHECKERBOARD, TEX_GRADIENT)
 from ..models.scene import SceneArrays
-from .intersect_pallas import (LANES, _S_CR2, _S_CX, _S_CY, _S_CZ, _S_MAT,
-                               _S_OK, _S_R, _T_CULL, _T_MAT, _T_NRM, _T_OK,
-                               _T_UV, _T_WU, _T_WV, _T_WW, _interpret,
-                               pack_scene)
+from .intersect_pallas import (LANES, _S_COLB, _S_COLG, _S_COLR, _S_CR2,
+                               _S_CX, _S_CY, _S_CZ, _S_IOR, _S_MAT, _S_OK,
+                               _S_R, _S_SMOOTH, _T_COLB, _T_COLG, _T_COLR,
+                               _T_CULL, _T_IOR, _T_MAT, _T_NRM, _T_OK,
+                               _T_SMOOTH, _T_UV, _T_WU, _T_WV, _T_WW,
+                               _interpret, pack_scene)
 
 _EPS = 1e-6
 _INF = 1e30
@@ -51,11 +53,11 @@ _INF = 1e30
 MROWS = 32                   # lanes per tile = MROWS * LANES = 4096 (measured best)
 MEGA_TILE = MROWS * LANES
 
-# material table rows (packed for SMEM)
-(_M_TYPE, _M_SMOOTH, _M_IOR, _M_EMR, _M_EMG, _M_EMB, _M_TEXTYPE,
- _M_CR, _M_CG, _M_CB, _M_LR, _M_LG, _M_LB, _M_DR, _M_DG, _M_DB,
- _M_NSQ) = range(17)
-_M_ROWS = 17
+# material table rows (behaviour only — colour/smoothness/IOR are
+# denormalised onto the primitives)
+(_M_TYPE, _M_EMR, _M_EMG, _M_EMB, _M_TEXTYPE,
+ _M_LR, _M_LG, _M_LB, _M_DR, _M_DG, _M_DB, _M_NSQ) = range(12)
+_M_ROWS = 12
 
 
 def supports(scene: SceneArrays) -> bool:
@@ -67,11 +69,8 @@ def supports(scene: SceneArrays) -> bool:
 def pack_materials(scene: SceneArrays) -> jax.Array:
     return jnp.concatenate([
         scene.mat_type.astype(jnp.float32)[None, :],
-        scene.mat_smooth[None, :],
-        scene.mat_ior[None, :],
         scene.mat_emit.T,
         scene.tex_type.astype(jnp.float32)[None, :],
-        scene.tex_colour.T,
         scene.tex_light.T,
         scene.tex_dark.T,
         scene.tex_nsq[None, :],
@@ -102,11 +101,13 @@ def _uniform(shape):
         1.0 / 16777216.0)
 
 
-def _kernel(seed_ref, sph_ref, tri_ref, sphc_ref, tric_ref, mat_ref,
+def _kernel(seed_ref, sph_ref, tri_ref, sphc_ref, tric_ref, sphs_ref,
+            tris_ref, mat_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             sum_r_ref, sum_g_ref, sum_b_ref, segs_ref,
             *, num_spheres: int, num_tris: int, num_sph_clusters: int,
-            num_tri_clusters: int, num_materials: int, spp: int,
+            num_tri_clusters: int, num_sph_supers: int,
+            num_tri_supers: int, num_materials: int, spp: int,
             limit: int, antialias: bool, sky: tuple,
             emissive_terminates: bool, fix_exit_ior: bool,
             need_sphere_uv: bool):
@@ -159,11 +160,38 @@ def _kernel(seed_ref, sph_ref, tri_ref, sphc_ref, tric_ref, mat_ref,
                 lambda cr: jax.lax.fori_loop(start, start + count, inner, cr),
                 lambda cr: cr, carry)
 
+        def super_gate(sup_ref, cl_ref, g, carry, inner):
+            bt = carry[0]
+            t1 = (sup_ref[g, 0] - ox) * inv_dx
+            t2 = (sup_ref[g, 3] - ox) * inv_dx
+            tmin = jnp.minimum(t1, t2)
+            tmax = jnp.maximum(t1, t2)
+            t1 = (sup_ref[g, 1] - oy) * inv_dy
+            t2 = (sup_ref[g, 4] - oy) * inv_dy
+            tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+            tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+            t1 = (sup_ref[g, 2] - oz) * inv_dz
+            t2 = (sup_ref[g, 5] - oz) * inv_dz
+            tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+            tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+            tmin = jnp.maximum(tmin, 0.0)
+            enter = jnp.any((tmin <= tmax) & (tmax > 0.0) & (tmin < bt))
+            start = sup_ref[g, 6].astype(jnp.int32)
+            count = sup_ref[g, 7].astype(jnp.int32)
+            return jax.lax.cond(
+                enter,
+                lambda cr: jax.lax.fori_loop(
+                    start, start + count,
+                    lambda c, cr2: cluster_gate(cl_ref, c, cr2, inner), cr),
+                lambda cr: cr, carry)
+
         init = (jnp.full(shape, _INF, jnp.float32), i0, f0, f0,
-                f0, f0, f0, f0, i0)
+                f0, f0, f0, f0, i0,
+                f0 + 1.0, f0 + 1.0, f0 + 1.0, f0, f0 + 1.0)
 
         def sph_body(s, carry):
-            bt, bc, bu, bv, b0, b1, b2, br, bm = carry
+            (bt, bc, bu, bv, b0, b1, b2, br, bm,
+             bcr, bcg, bcb, bsm, bio) = carry
             cx = sph_ref[_S_CX, s]
             cy = sph_ref[_S_CY, s]
             cz = sph_ref[_S_CZ, s]
@@ -185,9 +213,20 @@ def _kernel(seed_ref, sph_ref, tri_ref, sphc_ref, tric_ref, mat_ref,
             b2 = jnp.where(better, cz, b2)
             br = jnp.where(better, sph_ref[_S_R, s], br)
             bm = jnp.where(better, sph_ref[_S_MAT, s].astype(jnp.int32), bm)
-            return bt, bc, bu, bv, b0, b1, b2, br, bm
+            bcr = jnp.where(better, sph_ref[_S_COLR, s], bcr)
+            bcg = jnp.where(better, sph_ref[_S_COLG, s], bcg)
+            bcb = jnp.where(better, sph_ref[_S_COLB, s], bcb)
+            bsm = jnp.where(better, sph_ref[_S_SMOOTH, s], bsm)
+            bio = jnp.where(better, sph_ref[_S_IOR, s], bio)
+            return (bt, bc, bu, bv, b0, b1, b2, br, bm,
+                    bcr, bcg, bcb, bsm, bio)
 
-        if num_sph_clusters > 0:
+        if num_sph_supers > 0:
+            init = jax.lax.fori_loop(
+                0, num_sph_supers,
+                lambda g, cr: super_gate(sphs_ref, sphc_ref, g, cr, sph_body),
+                init)
+        elif num_sph_clusters > 0:
             init = jax.lax.fori_loop(
                 0, num_sph_clusters,
                 lambda c, cr: cluster_gate(sphc_ref, c, cr, sph_body), init)
@@ -195,7 +234,8 @@ def _kernel(seed_ref, sph_ref, tri_ref, sphc_ref, tric_ref, mat_ref,
             init = jax.lax.fori_loop(0, num_spheres, sph_body, init)
 
         def tri_body(k, carry):
-            bt, bc, bu, bv, b0, b1, b2, br, bm = carry
+            (bt, bc, bu, bv, b0, b1, b2, br, bm,
+             bcr, bcg, bcb, bsm, bio) = carry
             wu0, wu1, wu2, wu3 = (tri_ref[_T_WU + r, k] for r in range(4))
             wv0, wv1, wv2, wv3 = (tri_ref[_T_WV + r, k] for r in range(4))
             ww0, ww1, ww2, ww3 = (tri_ref[_T_WW + r, k] for r in range(4))
@@ -227,9 +267,20 @@ def _kernel(seed_ref, sph_ref, tri_ref, sphc_ref, tric_ref, mat_ref,
             b1 = jnp.where(better, tri_ref[_T_NRM + 1, k], b1)
             b2 = jnp.where(better, tri_ref[_T_NRM + 2, k], b2)
             bm = jnp.where(better, tri_ref[_T_MAT, k].astype(jnp.int32), bm)
-            return bt, bc, bu, bv, b0, b1, b2, br, bm
+            bcr = jnp.where(better, tri_ref[_T_COLR, k], bcr)
+            bcg = jnp.where(better, tri_ref[_T_COLG, k], bcg)
+            bcb = jnp.where(better, tri_ref[_T_COLB, k], bcb)
+            bsm = jnp.where(better, tri_ref[_T_SMOOTH, k], bsm)
+            bio = jnp.where(better, tri_ref[_T_IOR, k], bio)
+            return (bt, bc, bu, bv, b0, b1, b2, br, bm,
+                    bcr, bcg, bcb, bsm, bio)
 
-        if num_tri_clusters > 0:
+        if num_tri_supers > 0:
+            init = jax.lax.fori_loop(
+                0, num_tri_supers,
+                lambda g, cr: super_gate(tris_ref, tric_ref, g, cr, tri_body),
+                init)
+        elif num_tri_clusters > 0:
             init = jax.lax.fori_loop(
                 0, num_tri_clusters,
                 lambda c, cr: cluster_gate(tric_ref, c, cr, tri_body), init)
@@ -265,7 +316,8 @@ def _kernel(seed_ref, sph_ref, tri_ref, sphc_ref, tric_ref, mat_ref,
         fres_u = _uniform(shape)
 
         # --- nearest hit + shade params ---
-        bt, bc, bu, bv, n0, n1, n2, srad, mid = sweep(ox, oy, oz, dx, dy, dz)
+        (bt, bc, bu, bv, n0, n1, n2, srad, mid,
+         pcol_r, pcol_g, pcol_b, msm, mior) = sweep(ox, oy, oz, dx, dy, dz)
         hit = bt < _INF
         is_tri = (bc & 1) == 1
         safe_t = jnp.where(hit, bt, 0.0)
@@ -301,26 +353,22 @@ def _kernel(seed_ref, sph_ref, tri_ref, sphc_ref, tric_ref, mat_ref,
         uu = jnp.where(is_tri, bu, sph_u)
         vv = jnp.where(is_tri, bv, sph_v)
 
-        # --- material fetch (gated per-material loop) ---
+        # --- material behaviour fetch (gated per-material loop; the
+        # per-primitive colour/smoothness/IOR came out of the sweep) ---
         def mbody(m, acc):
-            (mtype, msm, mior, mer, meg, meb, mtt, mc0, mc1, mc2,
+            (mtype, mer, meg, meb, mtt,
              ml0, ml1, ml2, md0, md1, md2, mnsq) = acc
             use = mid == m
 
             def take(acc):
-                (mtype, msm, mior, mer, meg, meb, mtt, mc0, mc1, mc2,
+                (mtype, mer, meg, meb, mtt,
                  ml0, ml1, ml2, md0, md1, md2, mnsq) = acc
                 return (
                     jnp.where(use, mat_ref[_M_TYPE, m], mtype),
-                    jnp.where(use, mat_ref[_M_SMOOTH, m], msm),
-                    jnp.where(use, mat_ref[_M_IOR, m], mior),
                     jnp.where(use, mat_ref[_M_EMR, m], mer),
                     jnp.where(use, mat_ref[_M_EMG, m], meg),
                     jnp.where(use, mat_ref[_M_EMB, m], meb),
                     jnp.where(use, mat_ref[_M_TEXTYPE, m], mtt),
-                    jnp.where(use, mat_ref[_M_CR, m], mc0),
-                    jnp.where(use, mat_ref[_M_CG, m], mc1),
-                    jnp.where(use, mat_ref[_M_CB, m], mc2),
                     jnp.where(use, mat_ref[_M_LR, m], ml0),
                     jnp.where(use, mat_ref[_M_LG, m], ml1),
                     jnp.where(use, mat_ref[_M_LB, m], ml2),
@@ -332,9 +380,8 @@ def _kernel(seed_ref, sph_ref, tri_ref, sphc_ref, tric_ref, mat_ref,
 
             return jax.lax.cond(jnp.any(use & hit), take, lambda a: a, acc)
 
-        macc = jax.lax.fori_loop(0, num_materials, mbody,
-                                 (f0,) * 17)
-        (mtype, msm, mior, mer, meg, meb, mtt, mc0, mc1, mc2,
+        macc = jax.lax.fori_loop(0, num_materials, mbody, (f0,) * 12)
+        (mtype, mer, meg, meb, mtt,
          ml0, ml1, ml2, md0, md1, md2, mnsq) = macc
 
         # --- texture colour (const / gradient / checker; no images) ---
@@ -343,13 +390,13 @@ def _kernel(seed_ref, sph_ref, tri_ref, sphc_ref, tric_ref, mat_ref,
         is_light = ((u_c + v_c) % 2) == 0
         tex_r = jnp.where(mtt == TEX_CHECKERBOARD,
                           jnp.where(is_light, ml0, md0),
-                          jnp.where(mtt == TEX_GRADIENT, uu, mc0))
+                          jnp.where(mtt == TEX_GRADIENT, uu, pcol_r))
         tex_g = jnp.where(mtt == TEX_CHECKERBOARD,
                           jnp.where(is_light, ml1, md1),
-                          jnp.where(mtt == TEX_GRADIENT, vv, mc1))
+                          jnp.where(mtt == TEX_GRADIENT, vv, pcol_g))
         tex_b = jnp.where(mtt == TEX_CHECKERBOARD,
                           jnp.where(is_light, ml2, md2),
-                          jnp.where(mtt == TEX_GRADIENT, 0.0, mc2))
+                          jnp.where(mtt == TEX_GRADIENT, 0.0, pcol_b))
 
         # --- radiance bookkeeping (src/raytracer.cu:76-90) ---
         miss = active & ~hit
@@ -510,7 +557,7 @@ def render_sample_mean_mega(
 
     planes = [p.reshape(rows, LANES)
               for p in (o[0], o[1], o[2], d[0], d[1], d[2])]
-    sph, tri, sphc, tric = pack_scene(scene)
+    sph, tri, sphc, tric, sphs, tris = pack_scene(scene)
     mat = pack_materials(scene)
     kd = jax.random.key_data(frame_key).astype(jnp.int32).reshape(-1)
     seed = jnp.concatenate(
@@ -528,6 +575,8 @@ def render_sample_mean_mega(
             num_tris=int(scene.tri_v0.shape[0]),
             num_sph_clusters=int(scene.sph_clusters.shape[0]),
             num_tri_clusters=int(scene.tri_clusters.shape[0]),
+            num_sph_supers=int(scene.sph_supers.shape[0]),
+            num_tri_supers=int(scene.tri_supers.shape[0]),
             num_materials=int(scene.mat_type.shape[0]),
             spp=int(settings.rays_per_pixel),
             limit=int(settings.reflect_limit),
@@ -538,12 +587,12 @@ def render_sample_mean_mega(
             need_sphere_uv=bool(scene.needs_sphere_uv),
         ),
         grid=(rows // MROWS,),
-        in_specs=[smem] * 6 + [ray_spec] * 6,
+        in_specs=[smem] * 8 + [ray_spec] * 6,
         out_specs=(ray_spec,) * 4,
         out_shape=tuple(jax.ShapeDtypeStruct((rows, LANES), f32)
                         for _ in range(4)),
         interpret=_interpret(),
-    )(seed, sph, tri, sphc, tric, mat, *planes)
+    )(seed, sph, tri, sphc, tric, sphs, tris, mat, *planes)
 
     mean = jnp.stack([x.reshape(-1)[:n] for x in outs[:3]])
     segs = jnp.sum(outs[3].reshape(-1)[:n])

@@ -20,8 +20,14 @@ from .tables import MatCols
 
 
 def sample_texture(scene: SceneArrays, cols: MatCols,
-                   u: jax.Array, v: jax.Array) -> jax.Array:
-    """Texture colour per ray -> (3, N)."""
+                   u: jax.Array, v: jax.Array,
+                   base_colour: jax.Array) -> jax.Array:
+    """Texture colour per ray -> (3, N).
+
+    ``base_colour`` is the winning primitive's denormalised const colour
+    (materials are interned by behaviour; per-primitive colour lives on the
+    primitive, like the reference's per-object Material copies).
+    """
     ttype = cols.tex_type
 
     # Checkerboard (src/material.cu:90-99): truncating int casts, parity.
@@ -33,7 +39,7 @@ def sample_texture(scene: SceneArrays, cols: MatCols,
     # Gradient (src/material.cu:80-82): colour = (u, v, 0).
     gradient = jnp.stack([u, v, jnp.zeros_like(u)])
 
-    out = jnp.where((ttype == TEX_COLOUR)[None, :], cols.tex_colour, 0.0)
+    out = jnp.where((ttype == TEX_COLOUR)[None, :], base_colour, 0.0)
     out = jnp.where((ttype == TEX_GRADIENT)[None, :], gradient, out)
     out = jnp.where((ttype == TEX_CHECKERBOARD)[None, :], checker, out)
 

@@ -26,7 +26,6 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import RenderSettings
-from ..models.scene import SceneArrays
 from ..ops import rng
 from ..ops.integrator import render_frame, render_sample_mean
 from .mesh import PIXEL_AXIS

@@ -19,9 +19,7 @@ from __future__ import annotations
 
 import functools
 import json
-import os
 import time
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

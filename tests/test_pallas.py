@@ -58,8 +58,10 @@ def test_pallas_resolve_matches_xla():
 
 def test_pallas_backend_full_trace_agrees():
     scene, use_sky = rt.build_scene(1)
-    settings = rt.RenderSettings(rays_per_pixel=4, reflect_limit=4
-                                 ).with_sky(use_sky)
+    # pin the sampler: with "auto" the pallas backend would pick the
+    # megakernel on TPU, which uses different (on-core) RNG streams
+    settings = rt.RenderSettings(rays_per_pixel=4, reflect_limit=4,
+                                 sampler="regen").with_sky(use_sky)
     n = 256
     idx = jnp.arange(n, dtype=jnp.int32)
     o = jnp.zeros((n, 3))
@@ -74,3 +76,26 @@ def test_pallas_backend_full_trace_agrees():
                                 backend="xla")
     np.testing.assert_allclose(np.asarray(r_p), np.asarray(r_x),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_super_clusters_match_oracle():
+    """Scenes big enough to engage the second BVH level (super-clusters)."""
+    rng = np.random.default_rng(11)
+    from raytracer_tpu.models.materials import Material, Texture
+    from raytracer_tpu.models.scene import SceneBuilder
+    b = SceneBuilder()
+    mat = Material.standard(Texture.const_colour((1, 1, 1)), 0)
+    for _ in range(600):
+        b.add_sphere(rng.uniform(-10, 10, 3), float(rng.uniform(0.1, 0.4)), mat)
+    scene = b.build()
+    assert scene.sph_supers.shape[0] > 0  # second level active
+
+    o, d = _rand_rays(512, seed=12, spread=12.0)
+    rec_p = nearest_hit_pallas(o, d, scene)
+    rec_x = I.nearest_hit(o, d, scene, backend="xla")
+    np.testing.assert_array_equal(np.asarray(rec_p.hit), np.asarray(rec_x.hit))
+    both = np.asarray(rec_p.hit)
+    np.testing.assert_allclose(np.asarray(rec_p.t)[both],
+                               np.asarray(rec_x.t)[both], rtol=3e-4, atol=3e-4)
+    np.testing.assert_array_equal(np.asarray(rec_p.idx)[both],
+                                  np.asarray(rec_x.idx)[both])

@@ -13,8 +13,13 @@ from raytracer_tpu.ops.tables import lookup_material
 from raytracer_tpu.ops.textures import sample_texture
 
 
-def _sample(scene, mat_id, u, v):
-    return sample_texture(scene, lookup_material(scene, mat_id), u, v)
+def _sample(scene, ids, u, v):
+    """ids double as (sphere index == material index) in these scenes; the
+    const colour is denormalised per primitive."""
+    import jax.numpy as _jnp
+    mat_id = scene.sph_mat[ids]
+    base = _jnp.stack([scene.sph_colour.T[c][ids] for c in range(3)])
+    return sample_texture(scene, lookup_material(scene, mat_id), u, v, base)
 
 
 def test_specular_reflection_law():

@@ -63,16 +63,25 @@ def test_mesh_quad_faces_triangulated():
     os.unlink(path)
 
 
-def test_material_dedup():
+def test_material_dedup_by_behaviour():
+    """Materials intern by *behaviour*: colour / smoothness / IOR are
+    denormalised onto primitives (the reference keeps a full Material per
+    object, src/objects.cu:813-820), so a thousand random-coloured diffuse
+    spheres share one table row."""
+    import numpy as np
     b = SceneBuilder()
     m1 = Material.standard(Texture.const_colour((1, 1, 1)), 0)
-    m2 = Material.standard(Texture.const_colour((1, 1, 1)), 0)
-    m3 = Material.standard(Texture.const_colour((1, 1, 1)), 0.5)
+    m2 = Material.standard(Texture.const_colour((0.5, 0.2, 0.1)), 0.7)
+    m3 = Material.refractive(Texture.const_colour((1, 1, 1)), 1.5)
     b.add_sphere((0, 0, 1), 1, m1)
     b.add_sphere((0, 0, 3), 1, m2)
     b.add_sphere((0, 0, 5), 1, m3)
     scene = b.build()
-    assert scene.mat_type.shape[0] == 2  # m1 == m2 deduped
+    assert scene.mat_type.shape[0] == 2  # standard-behaviour + refractive
+    np.testing.assert_allclose(np.asarray(scene.sph_colour[1]),
+                               [0.5, 0.2, 0.1], rtol=1e-6)
+    assert float(scene.sph_smooth[1]) == np.float32(0.7)
+    assert float(scene.sph_ior[2]) == 1.5
 
 
 def test_all_scenes_build():
