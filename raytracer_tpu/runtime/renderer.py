@@ -69,16 +69,28 @@ class Renderer:
         self.last_frame_ms = float("nan")
         self.stats_log: list = []
 
-        # Rays are runtime args so moving the camera (set_camera) reuses the
-        # compiled step instead of recompiling — needed for fly-throughs.
-        @functools.partial(jax.jit, donate_argnums=(4,), static_argnums=())
-        def _step(scene_arrays, ray_idx, o, d, accum, frame_num, base_key):
-            return render_frame(
-                scene_arrays, settings, ray_idx, o, d, accum, frame_num,
-                base_key, backend=backend,
-            )
+        if sharding is not None:
+            # Multi-chip: the explicit shard_map step (pixel tiles sharded,
+            # scene replicated, zero steady-state collectives). GSPMD cannot
+            # auto-partition the Pallas kernels, so this is the supported
+            # multi-device path.
+            from ..parallel.shard import make_pixel_sharded_step
+            self._step = make_pixel_sharded_step(
+                sharding.mesh, settings, backend=backend)
+        else:
+            # Rays are runtime args so moving the camera (set_camera) reuses
+            # the compiled step instead of recompiling — needed for
+            # fly-throughs.
+            @functools.partial(jax.jit, donate_argnums=(4,),
+                               static_argnums=())
+            def _step(scene_arrays, ray_idx, o, d, accum, frame_num,
+                      base_key):
+                return render_frame(
+                    scene_arrays, settings, ray_idx, o, d, accum, frame_num,
+                    base_key, backend=backend,
+                )
 
-        self._step = _step
+            self._step = _step
 
     def _set_rays(self, camera: CameraConfig) -> None:
         cam = build_camera(camera)

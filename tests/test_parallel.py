@@ -92,3 +92,23 @@ def test_spp_sharded_mode():
     assert out.max() > 0
     # 8 shards x spp traces: segments at least 8 * N (first bounces)
     assert float(segs) >= 8 * settings.rays_per_pixel * n
+
+
+def test_renderer_sharded_end_to_end():
+    """Renderer(sharding=...) drives the shard_map step and matches the
+    single-device renderer bitwise."""
+    scene, use_sky = rt.build_scene(1)
+    settings = rt.RenderSettings(rays_per_pixel=2, reflect_limit=3
+                                 ).with_sky(use_sky)
+    cam = rt.CameraConfig(width=32, height=16)
+
+    mesh = make_mesh()
+    sh = pixel_sharding(mesh)
+    r_sharded = rt.Renderer(scene, cam, settings, sharding=sh, seed=0)
+    r_single = rt.Renderer(scene, cam, settings, seed=0)
+    for _ in range(2):
+        r_sharded.render_frame(block=True)
+        r_single.render_frame(block=True)
+    np.testing.assert_array_equal(r_sharded.image(), r_single.image())
+    assert r_sharded.stats_log[-1]["segments"] == \
+        r_single.stats_log[-1]["segments"]
