@@ -184,3 +184,16 @@ class Renderer:
             for rec in self.stats_log:
                 f.write(json.dumps(rec) + "\n")
         self.stats_log.clear()
+
+    # -- profiling -------------------------------------------------------------
+    def profile_frame(self, trace_dir: str) -> None:
+        """Capture a device profile of one frame (the jax.profiler analog of
+        the reference's dormant BVH::debug_stats hook); view with
+        TensorBoard or xprof."""
+        with jax.profiler.trace(trace_dir):
+            self.render_frame(block=True)
+
+    def check_health(self) -> None:
+        """Validate the accumulator (NaN/Inf guard, see utils.debug)."""
+        from ..utils.debug import check_finite
+        check_finite(self.accum, "progressive accumulator")

@@ -77,3 +77,31 @@ def test_stats_jsonl(tmp_path):
     lines = path.read_text().strip().splitlines()
     assert len(lines) == 1
     assert '"frame": 1' in lines[0]
+
+
+def test_debug_helpers():
+    from raytracer_tpu.utils.debug import check_finite, finite_fraction
+    import pytest
+    check_finite(np.zeros(4), "ok")
+    with pytest.raises(FloatingPointError):
+        check_finite(np.array([1.0, np.nan]), "bad")
+    assert finite_fraction(np.array([1.0, np.inf])) == 0.5
+
+
+def test_renderer_health_and_profile(tmp_path):
+    r = _small_renderer()
+    r.render_frame(block=True)
+    r.check_health()
+    r.profile_frame(str(tmp_path / "trace"))
+    assert any((tmp_path / "trace").iterdir())
+
+
+def test_viewer_loop_png_sink(tmp_path):
+    from raytracer_tpu.runtime.viewer import run_render_loop
+    r = _small_renderer()
+    out = tmp_path / "view.png"
+    ckpt = tmp_path / "view.ckpt.npz"
+    run_render_loop(r, frames=2, out_path=str(out), checkpoint=str(ckpt),
+                    checkpoint_every=1, quiet=True)
+    assert out.exists() and ckpt.exists()
+    assert r.frame_num == 2
