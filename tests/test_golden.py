@@ -45,6 +45,9 @@ def _golden_path(i):
 
 @pytest.mark.parametrize("scene_num", range(5))
 def test_scene_matches_golden(scene_num):
+    if jax.default_backend() != "cpu":
+        pytest.skip("goldens are CPU-RNG renders (TPU uses the megakernel's "
+                    "on-core PRNG streams)")
     path = _golden_path(scene_num)
     if not os.path.exists(path):
         pytest.skip("golden not generated")
