@@ -30,17 +30,12 @@ def run_config(name, scene, use_sky, cam, spp, bounces, frames):
                                  ).with_sky(use_sky)
     r = rt.Renderer(scene, cam, settings)
     r.render_frame(block=True)  # compile + warm
-    t0 = time.perf_counter()
-    segs = 0.0
-    for _ in range(frames):
-        r.render_frame(block=True)
-        segs += r.stats_log[-1]["segments"]
-    dt = time.perf_counter() - t0
+    stats = r.render_frames(frames)  # async pipeline, single final sync
     rec = {
         "metric": name,
-        "value": round(segs / dt / 1e6, 3),
+        "value": round(stats["mrays_per_sec"], 3),
         "unit": "Mrays/s",
-        "frame_ms": round(dt / frames * 1000.0, 1),
+        "frame_ms": round(stats["frame_ms"], 1),
         "spp": spp,
     }
     print(json.dumps(rec), flush=True)

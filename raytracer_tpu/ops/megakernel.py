@@ -50,7 +50,11 @@ from .intersect_pallas import (LANES, _S_COLB, _S_COLG, _S_COLR, _S_CR2,
 _EPS = 1e-6
 _INF = 1e30
 
-MROWS = 32                   # lanes per tile = MROWS * LANES = 4096 (measured best)
+# Lanes per tile: bigger tiles amortise SMEM scalar broadcasts better but
+# make tile-granular BVH culling coarser. Measured optimum: 64 rows for
+# cluster-light scenes, 32 for mesh-heavy ones (chosen per scene below).
+MROWS = 32
+MROWS_FLAT = 64
 MEGA_TILE = MROWS * LANES
 
 # material table rows (behaviour only — colour/smoothness/IOR are
@@ -110,7 +114,7 @@ def _kernel(seed_ref, sph_ref, tri_ref, sphc_ref, tric_ref, sphs_ref,
             num_tri_supers: int, num_materials: int, spp: int,
             limit: int, antialias: bool, sky: tuple,
             emissive_terminates: bool, fix_exit_ior: bool,
-            need_sphere_uv: bool):
+            need_sphere_uv: bool, mrows: int):
     tile = pl.program_id(0)
     # counter-based seeding: (frame key material, global tile index)
     # two 32-bit seed words max: fold (frame key, global tile) together
@@ -122,7 +126,7 @@ def _kernel(seed_ref, sph_ref, tri_ref, sphc_ref, tric_ref, sphs_ref,
     o0x, o0y, o0z = ox_ref[:], oy_ref[:], oz_ref[:]
     d0x, d0y, d0z = dx_ref[:], dy_ref[:], dz_ref[:]
 
-    shape = (MROWS, LANES)
+    shape = (mrows, LANES)
     # Derive loop-carry seeds from loaded data: broadcast constants get a
     # "replicated" Mosaic layout that is invalid as a while_loop carry.
     f0 = o0x * 0.0
@@ -547,7 +551,11 @@ def render_sample_mean_mega(
     ids under shard_map so multi-chip renders stay deterministic.
     """
     n = o.shape[1]
-    n_pad = max(MEGA_TILE, ((n + MEGA_TILE - 1) // MEGA_TILE) * MEGA_TILE)
+    total_clusters = (int(scene.sph_clusters.shape[0])
+                      + int(scene.tri_clusters.shape[0]))
+    mrows = MROWS if total_clusters > 16 else MROWS_FLAT
+    mega_tile = mrows * LANES
+    n_pad = max(mega_tile, ((n + mega_tile - 1) // mega_tile) * mega_tile)
     if n_pad != n:
         pad_o = jnp.zeros((3, n_pad - n), o.dtype)
         pad_d = jnp.zeros((3, n_pad - n), d.dtype).at[0].set(1.0)
@@ -563,7 +571,7 @@ def render_sample_mean_mega(
     seed = jnp.concatenate(
         [kd[:2], jnp.asarray([tile_offset], jnp.int32).reshape(1)])
 
-    ray_spec = pl.BlockSpec((MROWS, LANES), lambda i: (i, 0),
+    ray_spec = pl.BlockSpec((mrows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
@@ -585,8 +593,9 @@ def render_sample_mean_mega(
             emissive_terminates=bool(settings.emissive_terminates),
             fix_exit_ior=bool(settings.fix_exit_ior),
             need_sphere_uv=bool(scene.needs_sphere_uv),
+            mrows=mrows,
         ),
-        grid=(rows // MROWS,),
+        grid=(rows // mrows,),
         in_specs=[smem] * 8 + [ray_spec] * 6,
         out_specs=(ray_spec,) * 4,
         out_shape=tuple(jax.ShapeDtypeStruct((rows, LANES), f32)

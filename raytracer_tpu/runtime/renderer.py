@@ -137,6 +137,30 @@ class Renderer:
             self.stats_log.append(self.frame_stats(segs_f, dt))
         return self.accum
 
+    def render_frames(self, n: int) -> dict:
+        """Render ``n`` progressive frames with async dispatch and a single
+        final sync — frames pipeline on device (host bookkeeping overlaps
+        execution), unlike the reference's per-frame ``cudaDeviceSynchronize``
+        (src/dispatch.cu:141). Returns the aggregated stats record."""
+        t0 = time.perf_counter()
+        seg_handles = []
+        for _ in range(n):
+            self.accum, segs = self._step(
+                self.scene, self._ray_idx, self._o, self._d, self.accum,
+                jnp.int32(self.frame_num), self.base_key
+            )
+            self.frame_num += 1
+            seg_handles.append(segs)
+        jax.block_until_ready(self.accum)
+        dt = time.perf_counter() - t0
+        segments = float(sum(float(s) for s in seg_handles))
+        self.total_segments += segments
+        self.last_frame_ms = dt / n * 1000.0
+        rec = self.frame_stats(segments, dt)
+        rec["frames"] = n
+        self.stats_log.append(rec)
+        return rec
+
     def frame_stats(self, segments: float, seconds: float) -> dict:
         """Structured per-frame stats (replaces the FPS printf,
         src/main.cu:423-428)."""
