@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import json
 import sys
-import time
 
 BASELINE_MRAYS = 500.0
 
@@ -45,7 +44,6 @@ def main() -> None:
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
     }))
-    _ = time  # (kept: CLI timing hooks)
 
 
 if __name__ == "__main__":
