@@ -30,7 +30,8 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--frames", type=int, default=1,
                    help="progressive frames (0 = until Ctrl-C)")
     r.add_argument("--no-antialias", action="store_true")
-    r.add_argument("--sampler", choices=("regen", "scan"), default="regen")
+    r.add_argument("--sampler", choices=("auto", "mega", "regen", "scan"),
+                   default="auto")
     r.add_argument("--backend", choices=("pallas", "woop", "xla"),
                    default=None)
     r.add_argument("--gamma", type=float, default=None)
@@ -55,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
                             "library (.npz)")
     c.add_argument("src_dir")
     c.add_argument("out", nargs="?", default="textures.npz")
+
+    q = sub.add_parser("compare",
+                       help="PSNR between two renders (the BASELINE.json "
+                            "fidelity metric)")
+    q.add_argument("image_a")
+    q.add_argument("image_b")
     return p
 
 
@@ -106,12 +113,27 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_compare(args) -> int:
+    import json
+    from raytracer_tpu.ops.film import psnr
+    from raytracer_tpu.utils.image import load_image
+    a = load_image(args.image_a)
+    b = load_image(args.image_b)
+    if a.shape != b.shape:
+        print(f"shape mismatch: {a.shape} vs {b.shape}")
+        return 1
+    print(json.dumps({"psnr_db": round(psnr(a, b), 2)}))
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.cmd == "render":
         return cmd_render(args)
     if args.cmd == "convert-textures":
         return cmd_convert(args)
+    if args.cmd == "compare":
+        return cmd_compare(args)
     build_parser().print_help()
     return 1
 

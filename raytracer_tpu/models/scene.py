@@ -154,6 +154,13 @@ class SceneArrays:
     # atlas gather; it is auto-disabled for such scenes.)
     has_image_tex: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
+    # Static: any one-way triangle? Skips the cull dot product per pair.
+    has_one_way: bool = dataclasses.field(
+        default=True, metadata=dict(static=True))
+    # Static: any triangle with a UV-dependent texture? Skips barycentric
+    # UV interpolation per pair (need_uv analog, src/material.cu:142).
+    needs_tri_uv: bool = dataclasses.field(
+        default=True, metadata=dict(static=True))
 
     @property
     def num_spheres(self) -> int:
@@ -437,6 +444,9 @@ class SceneBuilder:
 
         needs_sphere_uv = bool(
             np.any(table.tex_type[sph_mat[:s]] != 0)) if s > 0 else False
+        needs_tri_uv = bool(
+            np.any(table.tex_type[tri_mat[:t]] != 0)) if t > 0 else False
+        has_one_way = bool(np.any(tri_cull[:t] != 0)) if t > 0 else False
 
         return SceneArrays(
             tri_clusters=jnp.asarray(tri_clusters),
@@ -445,6 +455,8 @@ class SceneBuilder:
             sph_supers=jnp.asarray(sph_supers),
             needs_sphere_uv=needs_sphere_uv,
             has_image_tex=bool(np.any(table.tex_type == 3)),
+            has_one_way=has_one_way,
+            needs_tri_uv=needs_tri_uv,
             sph_center=jnp.asarray(sph_center),
             sph_radius=jnp.asarray(sph_radius),
             sph_mat=jnp.asarray(sph_mat),

@@ -115,6 +115,7 @@ def _kernel(sph_ref, tri_ref, sphc_ref, tric_ref, sphs_ref, tris_ref,
             *extra_refs, num_spheres: int, num_tris: int,
             num_sph_clusters: int, num_tri_clusters: int,
             num_sph_supers: int, num_tri_supers: int,
+            has_one_way: bool = True, needs_tri_uv: bool = True,
             with_stats: bool = False):
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -270,23 +271,27 @@ def _kernel(sph_ref, tri_ref, sphc_ref, tric_ref, sphs_ref, tris_ref,
         ov = wv0 * ox + wv1 * oy + wv2 * oz + wv3
         dv = wv0 * dx + wv1 * dy + wv2 * dz
         v = ov + t * dv
-        # one-way culling (src/objects.cu:273-280); zero vector passes
-        cull = cu * dx + cv * dy + cw * dz
-        valid = ((t > _EPS) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                 & (cull >= 0.0) & (ok > 0.0))
+        valid = (t > _EPS) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) \
+            & (ok > 0.0)
+        if has_one_way:
+            # one-way culling (src/objects.cu:273-280); zero vector passes
+            cull = cu * dx + cv * dy + cw * dz
+            valid &= cull >= 0.0
         t = jnp.where(valid, t, _INF)
         better = t < bt
-        # texture UV via barycentric interpolation with the reference's
-        # argument order (src/objects.cu:160,196-199): uv0*w + uv1*u + uv2*v
-        w = 1.0 - u - v
-        tex_u = (tri_ref[_T_UV, k] * w + tri_ref[_T_UV + 2, k] * u
-                 + tri_ref[_T_UV + 4, k] * v)
-        tex_v = (tri_ref[_T_UV + 1, k] * w + tri_ref[_T_UV + 3, k] * u
-                 + tri_ref[_T_UV + 5, k] * v)
         bt = jnp.where(better, t, bt)
         bc = jnp.where(better, k * 2 + 1, bc)   # odd code = triangle
-        bu = jnp.where(better, tex_u, bu)
-        bv = jnp.where(better, tex_v, bv)
+        if needs_tri_uv:
+            # texture UV via barycentric interpolation with the reference's
+            # argument order (src/objects.cu:160,196-199):
+            # uv0*w + uv1*u + uv2*v
+            w = 1.0 - u - v
+            tex_u = (tri_ref[_T_UV, k] * w + tri_ref[_T_UV + 2, k] * u
+                     + tri_ref[_T_UV + 4, k] * v)
+            tex_v = (tri_ref[_T_UV + 1, k] * w + tri_ref[_T_UV + 3, k] * u
+                     + tri_ref[_T_UV + 5, k] * v)
+            bu = jnp.where(better, tex_u, bu)
+            bv = jnp.where(better, tex_v, bv)
         b0 = jnp.where(better, tri_ref[_T_NRM, k], b0)
         b1 = jnp.where(better, tri_ref[_T_NRM + 1, k], b1)
         b2 = jnp.where(better, tri_ref[_T_NRM + 2, k], b2)
@@ -375,6 +380,8 @@ def _run_kernel(o: jax.Array, d: jax.Array, scene: SceneArrays,
                           num_tri_clusters=num_tri_clusters,
                           num_sph_supers=num_sph_supers,
                           num_tri_supers=num_tri_supers,
+                          has_one_way=bool(scene.has_one_way),
+                          needs_tri_uv=bool(scene.needs_tri_uv),
                           with_stats=with_stats),
         grid=(rows // ROWS,),
         in_specs=[scene_spec] * 6 + [ray_spec] * 6,

@@ -114,7 +114,8 @@ def _kernel(seed_ref, sph_ref, tri_ref, sphc_ref, tric_ref, sphs_ref,
             num_tri_supers: int, num_materials: int, spp: int,
             limit: int, antialias: bool, sky: tuple,
             emissive_terminates: bool, fix_exit_ior: bool,
-            need_sphere_uv: bool, mrows: int):
+            need_sphere_uv: bool, has_one_way: bool, needs_tri_uv: bool,
+            mrows: int):
     tile = pl.program_id(0)
     # counter-based seeding: (frame key material, global tile index)
     # two 32-bit seed words max: fold (frame key, global tile) together
@@ -252,21 +253,26 @@ def _kernel(seed_ref, sph_ref, tri_ref, sphc_ref, tric_ref, sphs_ref,
             ov = wv0 * ox + wv1 * oy + wv2 * oz + wv3
             dv = wv0 * dx + wv1 * dy + wv2 * dz
             v = ov + t * dv
-            cull = (tri_ref[_T_CULL, k] * dx + tri_ref[_T_CULL + 1, k] * dy
-                    + tri_ref[_T_CULL + 2, k] * dz)
             valid = ((t > _EPS) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                     & (cull >= 0.0) & (tri_ref[_T_OK, k] > 0.0))
+                     & (tri_ref[_T_OK, k] > 0.0))
+            if has_one_way:
+                cull = (tri_ref[_T_CULL, k] * dx
+                        + tri_ref[_T_CULL + 1, k] * dy
+                        + tri_ref[_T_CULL + 2, k] * dz)
+                valid &= cull >= 0.0
             t = jnp.where(valid, t, _INF)
             better = t < bt
-            w = 1.0 - u - v
-            tex_u = (tri_ref[_T_UV, k] * w + tri_ref[_T_UV + 2, k] * u
-                     + tri_ref[_T_UV + 4, k] * v)
-            tex_v = (tri_ref[_T_UV + 1, k] * w + tri_ref[_T_UV + 3, k] * u
-                     + tri_ref[_T_UV + 5, k] * v)
             bt = jnp.where(better, t, bt)
             bc = jnp.where(better, k * 2 + 1, bc)
-            bu = jnp.where(better, tex_u, bu)
-            bv = jnp.where(better, tex_v, bv)
+            if needs_tri_uv:
+                w = 1.0 - u - v
+                tex_u = (tri_ref[_T_UV, k] * w + tri_ref[_T_UV + 2, k] * u
+                         + tri_ref[_T_UV + 4, k] * v)
+                tex_v = (tri_ref[_T_UV + 1, k] * w
+                         + tri_ref[_T_UV + 3, k] * u
+                         + tri_ref[_T_UV + 5, k] * v)
+                bu = jnp.where(better, tex_u, bu)
+                bv = jnp.where(better, tex_v, bv)
             b0 = jnp.where(better, tri_ref[_T_NRM, k], b0)
             b1 = jnp.where(better, tri_ref[_T_NRM + 1, k], b1)
             b2 = jnp.where(better, tri_ref[_T_NRM + 2, k], b2)
@@ -593,6 +599,8 @@ def render_sample_mean_mega(
             emissive_terminates=bool(settings.emissive_terminates),
             fix_exit_ior=bool(settings.fix_exit_ior),
             need_sphere_uv=bool(scene.needs_sphere_uv),
+            has_one_way=bool(scene.has_one_way),
+            needs_tri_uv=bool(scene.needs_tri_uv),
             mrows=mrows,
         ),
         grid=(rows // mrows,),
