@@ -69,3 +69,22 @@ def test_cli_convert_textures(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert out.exists()
+
+
+def test_cli_compare(tmp_path):
+    import json
+    a = np.zeros((4, 4, 3), np.uint8)
+    b = a.copy()
+    b[0, 0] = [8, 8, 8]
+    save_png(str(tmp_path / "a.png"), a)
+    save_png(str(tmp_path / "b.png"), b)
+    proc = subprocess.run(
+        [sys.executable, "-m", "raytracer_tpu", "compare",
+         str(tmp_path / "a.png"), str(tmp_path / "b.png")],
+        capture_output=True, text=True, timeout=120,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"),
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-1000:]
+    rec = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert 30 < rec["psnr_db"] < 100
