@@ -9,7 +9,7 @@ the TPU lane dimension. An ``(N, 3)`` array would pad its trailing dim 3 to
 128 lanes, wasting ~40x bandwidth on every op; this layout choice is worth
 more than any kernel micro-optimisation.
 
-Two backends share one contract:
+Three backends share one contract:
 
 - ``backend="xla"``: direct Möller–Trumbore / quadratic sphere tests as
   broadcast tensor expressions (src/objects.cu:135-163, 40-79). Always
@@ -17,6 +17,8 @@ Two backends share one contract:
 - ``backend="woop"``: ray x primitive work as (N,4)x(4,T) matmuls using a
   precomputed world->barycentric affine transform per triangle, swept over
   primitive tiles with a running best so intermediates stay bounded.
+- ``backend="pallas"``: the sweep kernel in ``intersect_pallas.py`` —
+  fastest on real TPUs.
 
 The inner loops return only ``(t, index)`` per ray; normals/UVs are resolved
 once per ray afterwards (``resolve_hit``).

@@ -20,14 +20,14 @@ from ..models.scene import SceneArrays
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class MatCols:
-    """Per-ray material/texture parameters (SoA, lanes = rays)."""
+    """Per-ray material *behaviour* parameters (SoA, lanes = rays).
+
+    Colour / smoothness / IOR are NOT here: they are denormalised onto the
+    primitives (ShadeData carries the winner's values)."""
 
     mat_type: jax.Array    # (N,) i32
-    smooth: jax.Array      # (N,) f32
-    ior: jax.Array         # (N,) f32
     emit: jax.Array        # (3, N) f32
     tex_type: jax.Array    # (N,) i32
-    tex_colour: jax.Array  # (3, N) f32
     tex_light: jax.Array   # (3, N) f32
     tex_dark: jax.Array    # (3, N) f32
     tex_nsq: jax.Array     # (N,) f32
@@ -45,18 +45,15 @@ def lookup_material(scene: SceneArrays, mat_id: jax.Array) -> MatCols:
     # exactly representable (< 2^24).
     table = jnp.concatenate([
         scene.mat_type.astype(jnp.float32)[None, :],
-        scene.mat_smooth[None, :],
-        scene.mat_ior[None, :],
         scene.mat_emit.T,
         scene.tex_type.astype(jnp.float32)[None, :],
-        scene.tex_colour.T,
         scene.tex_light.T,
         scene.tex_dark.T,
         scene.tex_nsq[None, :],
         scene.tex_offset.astype(jnp.float32)[None, :],
         scene.tex_width.astype(jnp.float32)[None, :],
         scene.tex_height.astype(jnp.float32)[None, :],
-    ], axis=0)                                             # (20, M)
+    ], axis=0)                                             # (15, M)
 
     onehot = (jax.lax.broadcasted_iota(jnp.int32, (m, n), 0)
               == mat_id[None, :]).astype(jnp.float32)      # (M, N)
@@ -65,22 +62,19 @@ def lookup_material(scene: SceneArrays, mat_id: jax.Array) -> MatCols:
         dimension_numbers=(((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
-    )                                                      # (20, N)
+    )                                                      # (15, N)
 
     def as_int(row):
         return (row + 0.5).astype(jnp.int32)
 
     return MatCols(
         mat_type=as_int(cols[0]),
-        smooth=cols[1],
-        ior=cols[2],
-        emit=cols[3:6],
-        tex_type=as_int(cols[6]),
-        tex_colour=cols[7:10],
-        tex_light=cols[10:13],
-        tex_dark=cols[13:16],
-        tex_nsq=cols[16],
-        tex_off=as_int(cols[17]),
-        tex_w=as_int(cols[18]),
-        tex_h=as_int(cols[19]),
+        emit=cols[1:4],
+        tex_type=as_int(cols[4]),
+        tex_light=cols[5:8],
+        tex_dark=cols[8:11],
+        tex_nsq=cols[11],
+        tex_off=as_int(cols[12]),
+        tex_w=as_int(cols[13]),
+        tex_h=as_int(cols[14]),
     )
