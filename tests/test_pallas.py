@@ -99,3 +99,24 @@ def test_pallas_super_clusters_match_oracle():
                                np.asarray(rec_x.t)[both], rtol=3e-4, atol=3e-4)
     np.testing.assert_array_equal(np.asarray(rec_p.idx)[both],
                                   np.asarray(rec_x.idx)[both])
+
+
+def test_intersection_stats_with_clusters():
+    """debug_stats analog: per-ray primitive-test counters with the
+    two-level BVH active (src/objects.cu:534-584)."""
+    from raytracer_tpu.models.materials import Material, Texture
+    from raytracer_tpu.models.scene import SceneBuilder
+    from raytracer_tpu.ops.intersect_pallas import intersection_stats
+    rng = np.random.default_rng(5)
+    b = SceneBuilder()
+    mat = Material.standard(Texture.const_colour((1, 1, 1)), 0)
+    for _ in range(600):
+        b.add_sphere(rng.uniform(-10, 10, 3), float(rng.uniform(0.1, 0.4)),
+                     mat)
+    scene = b.build()
+    assert scene.sph_supers.shape[0] > 0
+    o, d = _rand_rays(512, seed=9, spread=12.0)
+    tests, boxes = intersection_stats(o, d, scene)
+    t = np.asarray(tests)
+    assert boxes > 0
+    assert 0 < t.mean() < scene.num_spheres  # culling strictly beats brute
