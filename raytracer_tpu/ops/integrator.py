@@ -246,7 +246,19 @@ def render_sample_mean(
                     and jax.default_backend() == "tpu")
         sampler = "mega" if use_mega else "regen"
     if sampler == "mega":
-        from .megakernel import render_sample_mean_mega
+        from .megakernel import render_sample_mean_mega, supports
+        # Explicit 'mega' must respect the same preconditions the 'auto'
+        # gate checks: the kernel statically rejects scenes it cannot
+        # shade, and pltpu PRNG has no CPU/interpret lowering at all.
+        if not supports(scene):
+            raise ValueError(
+                "sampler='mega' cannot render this scene (unsupported "
+                "texture configuration); use sampler='regen' or 'auto'.")
+        if jax.default_backend() != "tpu":
+            raise ValueError(
+                "sampler='mega' requires a real TPU (pltpu.prng_* has no "
+                f"{jax.default_backend()} lowering); use sampler='regen' "
+                "or 'auto'.")
         mean, segs = render_sample_mean_mega(scene, settings, o3, d3,
                                              frame_key,
                                              tile_offset=tile_offset)

@@ -62,6 +62,16 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def safe_inv_dir(dx, dy, dz):
+    """Robust slab-test reciprocals: a zero direction component maps to a
+    large finite value instead of inf, so (box_bound - origin) * inv never
+    produces 0 * inf = NaN (which would make every comparison false and
+    wrongly cull a cluster a boundary ray actually enters)."""
+    def inv(c):
+        return jnp.where(c == 0.0, _INF, 1.0 / c)
+    return inv(dx), inv(dy), inv(dz)
+
+
 def pack_scene(scene: SceneArrays):
     """Pack primitive SoA into kernel-friendly row matrices (SMEM-resident).
 
@@ -126,7 +136,7 @@ def _kernel(sph_ref, tri_ref, sphc_ref, tric_ref, sphs_ref, tris_ref,
     a = dx * dx + dy * dy + dz * dz
     inv_2a = 0.5 / a
     if num_sph_clusters > 0 or num_tri_clusters > 0:
-        inv_dx, inv_dy, inv_dz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+        inv_dx, inv_dy, inv_dz = safe_inv_dir(dx, dy, dz)
 
     # Per-ray primitive-test counter (the BVH::debug_stats analog,
     # src/objects.cu:534-584) — accumulated directly in the stats output ref

@@ -45,7 +45,7 @@ from .intersect_pallas import (LANES, _S_COLB, _S_COLG, _S_COLR, _S_CR2,
                                _S_R, _S_SMOOTH, _T_COLB, _T_COLG, _T_COLR,
                                _T_CULL, _T_IOR, _T_MAT, _T_NRM, _T_OK,
                                _T_SMOOTH, _T_UV, _T_WU, _T_WV, _T_WW,
-                               _interpret, pack_scene)
+                               _interpret, pack_scene, safe_inv_dir)
 
 _EPS = 1e-6
 _INF = 1e30
@@ -68,6 +68,19 @@ def supports(scene: SceneArrays) -> bool:
     """Megakernel preconditions: no image textures in the scene
     (per-lane atlas gathers don't vectorise on TPU)."""
     return not scene.has_image_tex
+
+
+def mega_tile_for(scene: SceneArrays) -> int:
+    """Rays per megakernel tile for this scene — the adaptive tile size.
+
+    Must match ``render_sample_mean_mega`` exactly: shard_map callers use it
+    to compute global tile offsets so megakernel RNG streams stay bitwise
+    shard-invariant (one tile id per tile regardless of topology).
+    """
+    total_clusters = (int(scene.sph_clusters.shape[0])
+                      + int(scene.tri_clusters.shape[0]))
+    mrows = MROWS if total_clusters > 16 else MROWS_FLAT
+    return mrows * LANES
 
 
 def pack_materials(scene: SceneArrays) -> jax.Array:
@@ -140,7 +153,7 @@ def _kernel(seed_ref, sph_ref, tri_ref, sphc_ref, tric_ref, sphs_ref,
         a = dx * dx + dy * dy + dz * dz
         inv_2a = 0.5 / a
         if num_sph_clusters > 0 or num_tri_clusters > 0:
-            inv_dx, inv_dy, inv_dz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+            inv_dx, inv_dy, inv_dz = safe_inv_dir(dx, dy, dz)
 
         def cluster_gate(cl_ref, c, carry, inner):
             bt = carry[0]
@@ -557,10 +570,8 @@ def render_sample_mean_mega(
     ids under shard_map so multi-chip renders stay deterministic.
     """
     n = o.shape[1]
-    total_clusters = (int(scene.sph_clusters.shape[0])
-                      + int(scene.tri_clusters.shape[0]))
-    mrows = MROWS if total_clusters > 16 else MROWS_FLAT
-    mega_tile = mrows * LANES
+    mega_tile = mega_tile_for(scene)
+    mrows = mega_tile // LANES
     n_pad = max(mega_tile, ((n + mega_tile - 1) // mega_tile) * mega_tile)
     if n_pad != n:
         pad_o = jnp.zeros((3, n_pad - n), o.dtype)

@@ -50,9 +50,11 @@ def make_pixel_sharded_step(mesh: Mesh, settings: RenderSettings,
     )
     def step(scene, ray_idx, o, d, accum, frame_num, base_key):
         # Globalise megakernel RNG tile ids across shards: each device owns
-        # a contiguous block of ray tiles.
-        from ..ops.megakernel import MEGA_TILE
-        local_tiles = -(-o.shape[0] // MEGA_TILE)
+        # a contiguous block of ray tiles. The tile size is scene-adaptive,
+        # so it must come from the same helper the kernel uses or per-shard
+        # tile ids drift from single-device numbering.
+        from ..ops.megakernel import mega_tile_for
+        local_tiles = -(-o.shape[0] // mega_tile_for(scene))
         tile_offset = jax.lax.axis_index(PIXEL_AXIS) * local_tiles
         new_accum, segs = render_frame(
             scene, settings, ray_idx, o, d, accum, frame_num, base_key,
