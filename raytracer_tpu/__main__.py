@@ -30,7 +30,8 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--frames", type=int, default=1,
                    help="progressive frames (0 = until Ctrl-C)")
     r.add_argument("--no-antialias", action="store_true")
-    r.add_argument("--sampler", choices=("auto", "mega", "regen", "scan"),
+    r.add_argument("--sampler",
+                   choices=("auto", "mega", "regen", "rebin", "scan"),
                    default="auto")
     r.add_argument("--backend", choices=("pallas", "woop", "xla"),
                    default=None)

@@ -51,6 +51,10 @@ class RenderSettings:
     # - "mega": whole spp x bounce loop in one Pallas kernel with tile-local
     #   early exit and on-core PRNG — the fastest path.
     # - "regen": wavefront path regeneration (one while_loop).
+    # - "rebin": regen + row-granular ray re-binning between bounces
+    #   (ops/rebin.py) — the fast path for large/incoherent scenes where
+    #   tile-granular BVH culling would otherwise collapse after the first
+    #   diffuse bounce.
     # - "scan": the direct spp x bounce nested-scan transcription of the
     #   reference (src/raytracer.cu:71,102).
     # All compute the same estimator with different (equally deterministic)

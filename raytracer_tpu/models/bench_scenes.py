@@ -75,15 +75,22 @@ def monkey_light_scene() -> Tuple[SceneArrays, bool]:
 
 def stress_10k_scene(num: int = 10000, seed: int = 1) -> Tuple[SceneArrays, bool]:
     """10k random spheres (BASELINE.json config 4) — exercises the BVH
-    cluster sweep."""
+    cluster sweep. Uses the vectorised bulk path (SceneBuilder.add_spheres)
+    so even the 100k variant builds in milliseconds."""
     rng = np.random.default_rng(seed)
     b = SceneBuilder()
-    for _ in range(num):
-        b.add_sphere(
-            (rng.uniform(-15, 15), rng.uniform(-1, 6), rng.uniform(2, 30)),
-            float(rng.uniform(0.08, 0.3)),
-            Material.standard(Texture.const_colour(rng.uniform(0.2, 1, 3)),
-                              float(rng.uniform(0, 0.6))))
+    centers = np.column_stack([
+        rng.uniform(-15, 15, num),
+        rng.uniform(-1, 6, num),
+        rng.uniform(2, 30, num),
+    ])
+    b.add_spheres(
+        centers,
+        rng.uniform(0.08, 0.3, num),
+        Material.standard(Texture.const_colour((1, 1, 1)), 0),
+        colours=rng.uniform(0.2, 1, (num, 3)),
+        smooth=rng.uniform(0, 0.6, num),
+    )
     floor = Material.standard(
         Texture.checkerboard((0.7, 0.7, 0.7), (0.4, 0.4, 0.4), 20), 0)
     b.add_quad((-20, -1.3, -2), (20, -1.3, -2), (20, -1.3, 40),

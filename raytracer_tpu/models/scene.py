@@ -36,23 +36,26 @@ _CLUSTER_LEAF = 32  # BVH leaf size for tile-sweep culling (measured best)
 _SUPER_LEAF = 8     # clusters per super-cluster
 
 
-def _super_level(clusters: np.ndarray) -> tuple:
+def _super_level(clusters: np.ndarray, leaf: int) -> tuple:
     """Group leaf clusters under super-cluster AABBs (second BVH level).
 
-    Returns (reordered_clusters, supers) where supers rows are
-    [min, max, start, count) ranges over the reordered cluster array.
+    Returns (reordered_clusters, supers, order). ``order`` (or None) is the
+    cluster permutation — the caller must permute the primitive pool in
+    leaf-sized blocks to match, because cluster ``start`` columns are
+    rewritten to ``index * leaf`` (the sweep derives leaf starts statically).
     """
     c = clusters.shape[0]
     if c <= 2 * _SUPER_LEAF:
-        return clusters, np.zeros((0, 8), np.float32)
+        return clusters, np.zeros((0, 8), np.float32), None
     from ..runtime.loader import build_bvh_clusters
     # fake triangles whose bounds equal the cluster boxes
     center = 0.5 * (clusters[:, :3] + clusters[:, 3:6])
     verts = np.stack([clusters[:, :3], clusters[:, 3:6], center], axis=1)
     order, bounds, meta = build_bvh_clusters(verts, _SUPER_LEAF)
-    reordered = clusters[order]
+    reordered = clusters[order].copy()
+    reordered[:, 6] = np.arange(c, dtype=np.float32) * leaf
     supers = _leaf_clusters(bounds, meta)
-    return reordered, supers
+    return reordered, supers, order
 
 
 def _leaf_clusters(bounds: np.ndarray, meta: np.ndarray) -> np.ndarray:
@@ -74,6 +77,42 @@ def _leaf_clusters(bounds: np.ndarray, meta: np.ndarray) -> np.ndarray:
     ]).astype(np.float32)
 
 
+def _cut_exact_leaves(pmin: np.ndarray, pmax: np.ndarray,
+                      leaf: int) -> np.ndarray:
+    """Cut the BVH-ordered primitive sequence into chunks of exactly
+    ``leaf`` primitives -> (C, 8) cluster rows [min3, max3, start, count].
+
+    The BVH recursion orders primitives spatially; exact-size chunks along
+    that order give the Pallas sweep a static leaf trip count (start =
+    index * leaf, fully unrollable, zero SMEM loads for ranges). ``count``
+    records the real (un-padded) membership for the test counters. Bounds
+    are epsilon-padded so flat leaves survive the strict slab test.
+    """
+    n = pmin.shape[0]
+    c = -(-n // leaf)
+    big = np.full((c * leaf, 3), np.inf, np.float32)
+    big[:n] = pmin
+    small = np.full((c * leaf, 3), -np.inf, np.float32)
+    small[:n] = pmax
+    bmin = big.reshape(c, leaf, 3).min(axis=1)
+    bmax = small.reshape(c, leaf, 3).max(axis=1)
+    pad = 1e-4 * np.maximum(np.linalg.norm(bmax - bmin, axis=1,
+                                           keepdims=True), 1.0) + 1e-6
+    starts = (np.arange(c) * leaf).astype(np.float32)
+    counts = np.minimum(n - np.arange(c) * leaf, leaf).astype(np.float32)
+    return np.column_stack([bmin - pad, bmax + pad,
+                            starts, counts]).astype(np.float32)
+
+
+def _permute_leaf_blocks(arrs, n_slots: int, order: np.ndarray,
+                         leaf: int) -> None:
+    """Apply a cluster permutation to the primitive pool in-place, moving
+    whole LEAF-sized blocks (keeps start == cluster_index * LEAF true)."""
+    for arr in arrs:
+        blocks = arr[:n_slots].reshape((len(order), leaf) + arr.shape[1:])
+        arr[:n_slots] = blocks[order].reshape((n_slots,) + arr.shape[1:])
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SceneArrays:
@@ -87,10 +126,12 @@ class SceneArrays:
     # Per-sphere material parameters, denormalised like the reference's
     # per-object Material copies (src/objects.cu:813-820): keeps the shared
     # material table tiny even when every primitive has its own colour /
-    # smoothness / IOR (e.g. the 10k random-sphere stress scene).
+    # smoothness (e.g. the 10k random-sphere stress scene). Colours are
+    # quantised to 10 bits/channel at build time (sweep.quantise_colour) so
+    # the Pallas sweep can carry them packed in one int32; the refractive
+    # index lives on the (deduplicated) material behaviour table.
     sph_colour: jax.Array   # (S, 3) f32 const-colour (1s when textured)
     sph_smooth: jax.Array   # (S,) f32
-    sph_ior: jax.Array      # (S,) f32
 
     # Triangles (reference: src/objects.cu:101-200)
     tri_v0: jax.Array       # (T, 3) f32
@@ -110,9 +151,8 @@ class SceneArrays:
     tri_wu: jax.Array       # (T, 4) f32
     tri_wv: jax.Array       # (T, 4) f32
     tri_ww: jax.Array       # (T, 4) f32
-    tri_colour: jax.Array   # (T, 3) f32 denormalised const-colour
+    tri_colour: jax.Array   # (T, 3) f32 denormalised const-colour (10-bit)
     tri_smooth: jax.Array   # (T,) f32
-    tri_ior: jax.Array      # (T,) f32
 
     # Material table (reference: src/material.cu:128-186)
     mat_type: jax.Array     # (M,) i32
@@ -161,6 +201,12 @@ class SceneArrays:
     # UV interpolation per pair (need_uv analog, src/material.cu:142).
     needs_tri_uv: bool = dataclasses.field(
         default=True, metadata=dict(static=True))
+    # Static: per-pool BVH leaf sizes (sweep.leaf_size) — the sweep's inner
+    # loops use these as exact, unrollable trip counts.
+    sph_leaf: int = dataclasses.field(
+        default=32, metadata=dict(static=True))
+    tri_leaf: int = dataclasses.field(
+        default=32, metadata=dict(static=True))
 
     @property
     def num_spheres(self) -> int:
@@ -184,10 +230,15 @@ def _round_up(n: int, m: int) -> int:
 
 
 def _prim_params(mat: Material) -> Tuple:
-    """(colour3, smoothness, ior) denormalised onto the primitive."""
+    """(colour3, smoothness) denormalised onto the primitive.
+
+    Quantised at build — colour to 10 bits/channel, smoothness to 8 bits
+    (the sweep's packing precision) — so every backend computes from
+    identical values."""
+    from ..ops.sweep import quantise_colour, quantise_smooth
     colour = mat.texture.colour if mat.texture.type == 0 else (1.0, 1.0, 1.0)
-    return (tuple(float(c) for c in colour), float(mat.smoothness),
-            float(mat.refractive_index))
+    return (tuple(float(c) for c in quantise_colour(colour)),
+            float(quantise_smooth(mat.smoothness)))
 
 
 @dataclasses.dataclass
@@ -198,7 +249,7 @@ class _TriRecord:
     uv: Optional[Tuple] = None            # ((u,v) per vertex) or None
     cull: Optional[np.ndarray] = None     # one-way cull normal or None
     mat_id: int = 0
-    params: Tuple = (((1.0, 1.0, 1.0), 0.0, 1.0))
+    params: Tuple = ((1.0, 1.0, 1.0), 0.0)
 
 
 class SceneBuilder:
@@ -210,6 +261,7 @@ class SceneBuilder:
 
     def __init__(self):
         self._spheres: List[Tuple[np.ndarray, float, int]] = []
+        self._bulk_spheres: List[Tuple] = []  # vectorised add_spheres chunks
         self._tris: List[_TriRecord] = []
         self._materials: List[Material] = []
         self._mat_index: dict = {}
@@ -233,12 +285,15 @@ class SceneBuilder:
 
     @staticmethod
     def _behaviour(mat: Material) -> Material:
+        """Everything except the per-primitive colour/smoothness. The
+        refractive index stays here: it is a property of the medium shared
+        by all primitives of the material, so it rides the (deduplicated)
+        table instead of the sweep carry."""
         import dataclasses as _dc
         tex = mat.texture
         if tex.type == 0:  # const colour lives on the primitive
             tex = _dc.replace(tex, colour=(0.0, 0.0, 0.0))
-        return _dc.replace(mat, texture=tex, smoothness=0.0,
-                           refractive_index=1.0)
+        return _dc.replace(mat, texture=tex, smoothness=0.0)
 
     # -- primitives --------------------------------------------------------
     def add_sphere(self, center, radius: float, mat: Material) -> None:
@@ -246,6 +301,38 @@ class SceneBuilder:
             (np.asarray(center, np.float32), float(radius),
              self.material_id(mat), _prim_params(mat))
         )
+
+    def add_spheres(self, centers, radii, mat: Material,
+                    colours=None, smooth=None) -> None:
+        """Vectorised bulk add: N spheres sharing one material *behaviour*.
+
+        ``colours`` ((N, 3), optional) and ``smooth`` ((N,) or scalar,
+        optional) override the material's denormalised per-primitive albedo
+        and smoothness — the bulk analog of constructing N materials that
+        differ only in those (they would intern to one behaviour row
+        anyway). A per-primitive Python loop costs ~1 s per 10k primitives;
+        this path builds 100k spheres in milliseconds.
+        """
+        from ..ops.sweep import quantise_colour, quantise_smooth
+        centers = np.asarray(centers, np.float32).reshape(-1, 3)
+        n = centers.shape[0]
+        radii = np.broadcast_to(
+            np.asarray(radii, np.float32), (n,)).astype(np.float32)
+        mid = self.material_id(mat)
+        base_col, base_sm = _prim_params(mat)
+        if colours is not None and mat.texture.type == 0:
+            col = quantise_colour(
+                np.asarray(colours, np.float32).reshape(n, 3))
+        else:
+            col = np.broadcast_to(
+                np.asarray(base_col, np.float32), (n, 3))
+        sm = np.broadcast_to(np.asarray(
+            base_sm if smooth is None else quantise_smooth(smooth),
+            np.float32), (n,))
+        self._bulk_spheres.append(
+            (centers, radii, np.full(n, mid, np.int32),
+             np.ascontiguousarray(col, np.float32),
+             np.ascontiguousarray(sm, np.float32)))
 
     def add_triangle(self, p0, p1, p2, mat: Material, uvs=None,
                      cull: Optional[np.ndarray] = None, mesh_id: int = -1) -> None:
@@ -332,24 +419,44 @@ class SceneBuilder:
             # Guarantee a non-empty material table.
             self.material_id(Material.default())
 
-        s = max(len(self._spheres), 0)
+        from ..ops.sweep import UNROLL, leaf_size
+        bulk_n = sum(c.shape[0] for c, *_ in self._bulk_spheres)
+        s = len(self._spheres) + bulk_n
         t = max(len(self._tris), 0)
-        s_pad = _round_up(s, _PAD)
-        t_pad = _round_up(t, _PAD)
+        # Clustered pools are padded to whole BVH leaves (the sweep derives
+        # leaf start = cluster_index * leaf and always sweeps whole leaves;
+        # padding primitives are poisoned at pack time). Leaf sizes are
+        # per-pool statics chosen to spread primitives evenly (minimal
+        # padding waste) while staying a multiple of the sweep unroll.
+        import os
+        no_clusters = bool(os.environ.get("RAYTRACER_NO_CLUSTERS"))
+        s_clustered = s > 2 * _CLUSTER_LEAF and not no_clusters
+        t_clustered = t > 2 * _CLUSTER_LEAF and not no_clusters
+        s_leaf = leaf_size(s) if s_clustered else _CLUSTER_LEAF
+        t_leaf = leaf_size(t) if t_clustered else _CLUSTER_LEAF
+        s_pad = _round_up(s, s_leaf if s_clustered else max(_PAD, UNROLL))
+        t_pad = _round_up(t, t_leaf if t_clustered else max(_PAD, UNROLL))
 
         sph_center = np.zeros((s_pad, 3), np.float32)
         sph_radius = np.zeros(s_pad, np.float32)  # pad radius 0 => never hits
         sph_mat = np.zeros(s_pad, np.int32)
         sph_colour = np.ones((s_pad, 3), np.float32)
         sph_smooth = np.zeros(s_pad, np.float32)
-        sph_ior = np.ones(s_pad, np.float32)
-        for i, (c, r, m, (col, sm, ior)) in enumerate(self._spheres):
+        for i, (c, r, m, (col, sm)) in enumerate(self._spheres):
             sph_center[i] = c
             sph_radius[i] = r
             sph_mat[i] = m
             sph_colour[i] = col
             sph_smooth[i] = sm
-            sph_ior[i] = ior
+        i0 = len(self._spheres)
+        for (c, r, m, col, sm) in self._bulk_spheres:
+            k = c.shape[0]
+            sph_center[i0:i0 + k] = c
+            sph_radius[i0:i0 + k] = r
+            sph_mat[i0:i0 + k] = m
+            sph_colour[i0:i0 + k] = col
+            sph_smooth[i0:i0 + k] = sm
+            i0 += k
 
         tri_v0 = np.zeros((t_pad, 3), np.float32)
         tri_e1 = np.zeros((t_pad, 3), np.float32)
@@ -359,7 +466,6 @@ class SceneBuilder:
         tri_mat = np.zeros(t_pad, np.int32)
         tri_colour = np.ones((t_pad, 3), np.float32)
         tri_smooth = np.zeros(t_pad, np.float32)
-        tri_ior = np.ones(t_pad, np.float32)
         tri_valid = np.zeros(t_pad, bool)
         tri_cull = np.zeros((t_pad, 3), np.float32)
         tri_w = np.zeros((3, t_pad, 4), np.float32)
@@ -373,7 +479,7 @@ class SceneBuilder:
             tri_e1[i] = e1
             tri_e2[i] = e2
             tri_mat[i] = rec.mat_id
-            tri_colour[i], tri_smooth[i], tri_ior[i] = rec.params
+            tri_colour[i], tri_smooth[i] = rec.params
             if rec.uv is not None:
                 tri_uv[0, i] = rec.uv[0]
                 tri_uv[1, i] = rec.uv[1]
@@ -399,46 +505,61 @@ class SceneBuilder:
                 tri_w[row, i, 3] = -inv[row] @ rec.v0.astype(np.float64)
 
         # --- BVH leaf clustering for tile-sweep culling -------------------
-        # Reorder each primitive pool so BVH leaves are contiguous ranges;
-        # the Pallas kernel slab-tests each leaf AABB per ray tile and skips
-        # its primitives when no ray can improve on the current best
-        # (redesign of src/objects.cu:448-771 — hierarchy as tile-level
-        # culling instead of per-ray pointer-chasing).
+        # Reorder each primitive pool along the BVH recursion order, then
+        # cut it into leaves of exactly _CLUSTER_LEAF primitives; the Pallas
+        # kernel slab-tests each leaf AABB per ray tile and skips its
+        # primitives when no ray can improve on the current best (redesign
+        # of src/objects.cu:448-771 — hierarchy as tile-level culling
+        # instead of per-ray pointer-chasing; exact-size leaves make the
+        # sweep's inner loop a static, unrollable trip count).
         tri_clusters = np.zeros((0, 8), np.float32)
         sph_clusters = np.zeros((0, 8), np.float32)
         tri_supers = np.zeros((0, 8), np.float32)
         sph_supers = np.zeros((0, 8), np.float32)
-        if t > 2 * _CLUSTER_LEAF:
+        if t_clustered:
             from ..runtime.loader import build_bvh_clusters
             verts = np.stack(
                 [tri_v0[:t], tri_v0[:t] + tri_e1[:t], tri_v0[:t] + tri_e2[:t]],
                 axis=1)
-            order, bounds, meta = build_bvh_clusters(verts, _CLUSTER_LEAF)
-            for arr in (tri_v0, tri_e1, tri_e2, tri_normal, tri_mat,
-                        tri_valid, tri_cull, tri_colour, tri_smooth,
-                        tri_ior):
+            order, _, _ = build_bvh_clusters(verts, _CLUSTER_LEAF)
+            tri_arrs = [tri_v0, tri_e1, tri_e2, tri_normal, tri_mat,
+                        tri_valid, tri_cull, tri_colour, tri_smooth]
+            for arr in tri_arrs:
                 arr[:t] = arr[:t][order]
             for k in range(3):
                 tri_uv[k, :t] = tri_uv[k, :t][order]
                 tri_w[k, :t] = tri_w[k, :t][order]
-            tri_clusters = _leaf_clusters(bounds, meta)
-            tri_clusters, tri_supers = _super_level(tri_clusters)
-        if s > 2 * _CLUSTER_LEAF:
+            pmin = np.minimum(np.minimum(verts[order, 0], verts[order, 1]),
+                              verts[order, 2])
+            pmax = np.maximum(np.maximum(verts[order, 0], verts[order, 1]),
+                              verts[order, 2])
+            tri_clusters = _cut_exact_leaves(pmin, pmax, t_leaf)
+            tri_clusters, tri_supers, corder = _super_level(tri_clusters,
+                                                            t_leaf)
+            if corder is not None:
+                _permute_leaf_blocks(
+                    tri_arrs + [tri_uv[0], tri_uv[1], tri_uv[2],
+                                tri_w[0], tri_w[1], tri_w[2]],
+                    t_pad, corder, t_leaf)
+        if s_clustered:
             from ..runtime.loader import build_bvh_clusters
             c = sph_center[:s]
             r = sph_radius[:s, None]
             # spheres as degenerate triangles: bounds = center +- r,
             # centroid = center — reuses the same BVH builder.
             verts = np.stack([c - r, c + r, c], axis=1)
-            order, bounds, meta = build_bvh_clusters(verts, _CLUSTER_LEAF)
-            sph_center[:s] = sph_center[:s][order]
-            sph_radius[:s] = sph_radius[:s][order]
-            sph_mat[:s] = sph_mat[:s][order]
-            sph_colour[:s] = sph_colour[:s][order]
-            sph_smooth[:s] = sph_smooth[:s][order]
-            sph_ior[:s] = sph_ior[:s][order]
-            sph_clusters = _leaf_clusters(bounds, meta)
-            sph_clusters, sph_supers = _super_level(sph_clusters)
+            order, _, _ = build_bvh_clusters(verts, _CLUSTER_LEAF)
+            sph_arrs = [sph_center, sph_radius, sph_mat, sph_colour,
+                        sph_smooth]
+            for arr in sph_arrs:
+                arr[:s] = arr[:s][order]
+            pmin = (sph_center[:s] - sph_radius[:s, None])
+            pmax = (sph_center[:s] + sph_radius[:s, None])
+            sph_clusters = _cut_exact_leaves(pmin, pmax, s_leaf)
+            sph_clusters, sph_supers, corder = _super_level(sph_clusters,
+                                                            s_leaf)
+            if corder is not None:
+                _permute_leaf_blocks(sph_arrs, s_pad, corder, s_leaf)
 
         table = compile_materials(self._materials)
 
@@ -457,12 +578,13 @@ class SceneBuilder:
             has_image_tex=bool(np.any(table.tex_type == 3)),
             has_one_way=has_one_way,
             needs_tri_uv=needs_tri_uv,
+            sph_leaf=int(s_leaf),
+            tri_leaf=int(t_leaf),
             sph_center=jnp.asarray(sph_center),
             sph_radius=jnp.asarray(sph_radius),
             sph_mat=jnp.asarray(sph_mat),
             sph_colour=jnp.asarray(sph_colour),
             sph_smooth=jnp.asarray(sph_smooth),
-            sph_ior=jnp.asarray(sph_ior),
             tri_v0=jnp.asarray(tri_v0),
             tri_e1=jnp.asarray(tri_e1),
             tri_e2=jnp.asarray(tri_e2),
@@ -478,7 +600,6 @@ class SceneBuilder:
             tri_ww=jnp.asarray(tri_w[2]),
             tri_colour=jnp.asarray(tri_colour),
             tri_smooth=jnp.asarray(tri_smooth),
-            tri_ior=jnp.asarray(tri_ior),
             mat_type=jnp.asarray(table.mat_type),
             mat_smooth=jnp.asarray(table.smoothness),
             mat_ior=jnp.asarray(table.ior),

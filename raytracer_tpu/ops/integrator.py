@@ -79,7 +79,7 @@ def _bounce_physics(scene, settings, backend, o, d, thru, rad, alive,
 
     new_d, new_ior = scatter(
         gauss, fresnel_u, d, shade.normal,
-        cols.mat_type, shade.smooth, shade.ior, cur_ior,
+        cols.mat_type, shade.smooth, cols.ior, cur_ior,
         fix_exit_ior=settings.fix_exit_ior,
     )
     o = jnp.where(live_hit[None, :], shade.point, o)
@@ -156,6 +156,7 @@ def _render_regen_soa(
     d0: jax.Array,        # (3, N) primary directions
     frame_key: jax.Array,
     backend: str = "woop",
+    rebin: bool = False,
 ):
     """Path-regeneration sampler: all spp samples in one while_loop.
 
@@ -163,23 +164,41 @@ def _render_regen_soa(
     on the pixel's next sample, so lanes stay ~100% live until the final
     tail — the wavefront alternative to stream compaction for taming
     divergence. Returns ((3, N) mean, segments).
+
+    With ``rebin=True`` (the big-scene path), rays are regrouped between
+    bounces at 128-lane-row granularity by (spatial cell, direction octant)
+    — see ops/rebin.py — so the Pallas sweep's tile-granular BVH gates keep
+    pruning after diffuse bounces instead of degrading to a full primitive
+    scan. Lanes whose pixel has exhausted its samples are parked at a far
+    sentinel origin so their tiles retire with every gate closed. RNG
+    streams are keyed by pixel, so re-binning never changes the image: the
+    per-pixel sums are un-permuted at the end.
     """
     spp = settings.rays_per_pixel
     limit = settings.reflect_limit
     base_keys = rng.per_ray_keys(frame_key, ray_idx)
+    n = o0.shape[1]
+
+    from .rebin import (LANES, bucket_permutation, permute_rows, row_buckets)
+    # Row re-binning needs whole 128-lane rows, and is only worth its cost
+    # when there are enough rows to regroup.
+    rebin = bool(rebin) and n % LANES == 0 and n // LANES >= 8
+    num_rows = n // LANES if rebin else 0
 
     def cond(state):
-        (_, _, _, _, _, sample_i, _, _, _, it) = state
+        sample_i = state[5]
+        it = state[-1]
         return (it < spp * limit) & jnp.any(sample_i < spp)
 
     def body(state):
-        (o, d, thru, rad, bounce_i, sample_i, cur_ior, pixel_sum, segs,
-         it) = state
+        (o, d, thru, rad, bounce_i, sample_i, cur_ior, pixel_sum,
+         o0p, d0p, kd, home, segs, it) = state
         active = sample_i < spp
         segs = segs + jnp.sum(active.astype(jnp.float32))
 
+        keys = jax.random.wrap_key_data(kd.T) if rebin else base_keys
         jitter_u3, gauss, fresnel_u = rng.lane_randoms(
-            base_keys, sample_i, bounce_i)
+            keys, sample_i, bounce_i)
         o, d, thru, rad, cur_ior, continues = _bounce_physics(
             scene, settings, backend, o, d, thru, rad, active, cur_ior,
             jitter_u3, gauss, fresnel_u)
@@ -196,15 +215,38 @@ def _render_regen_soa(
         bounce_i = jnp.where(path_end, 0, jnp.where(active, bounce_i + 1,
                                                     bounce_i))
         restart = path_end[None, :]
-        o = jnp.where(restart, o0, o)
-        d = jnp.where(restart, d0, d)
+        o = jnp.where(restart, o0p, o)
+        d = jnp.where(restart, d0p, d)
         thru = jnp.where(restart, 1.0, thru)
         rad = jnp.where(restart, 0.0, rad)
         cur_ior = jnp.where(path_end, 1.0, cur_ior)
+
+        if rebin:
+            # Park exhausted lanes far away, pointing at nothing: their
+            # tiles' BVH gates all fail, so retired rows cost ~zero sweeps.
+            done = sample_i >= spp
+            o = jnp.where(done[None, :], 1e13, o)
+            d = jnp.where(done[None, :],
+                          jnp.asarray([1.0, 0.0, 0.0],
+                                      jnp.float32)[:, None], d)
+            perm = bucket_permutation(row_buckets(o, d, done))
+            (o, d, thru, rad, pixel_sum, o0p, d0p, kd) = (
+                permute_rows(perm, a)
+                for a in (o, d, thru, rad, pixel_sum, o0p, d0p, kd))
+            bounce_i, sample_i = (permute_rows(perm, a)
+                                  for a in (bounce_i, sample_i))
+            cur_ior = permute_rows(perm, cur_ior)
+            home = jnp.take(home, perm)
         return (o, d, thru, rad, bounce_i, sample_i, cur_ior, pixel_sum,
-                segs, it + 1)
+                o0p, d0p, kd, home, segs, it + 1)
 
     zero_i = jnp.zeros_like(ray_idx)
+    # (2, N) uint32 key data rides the carry so the permutation can move
+    # each lane's pixel-keyed RNG stream along with it.
+    kd0 = (jax.random.key_data(base_keys).T.astype(jnp.uint32)
+           if rebin else jnp.zeros((), jnp.uint32))
+    home0 = (jnp.arange(num_rows, dtype=jnp.int32) if rebin
+             else jnp.zeros((), jnp.int32))
     state = (
         o0, d0,
         jnp.ones_like(o0),        # throughput
@@ -213,11 +255,19 @@ def _render_regen_soa(
         zero_i,                   # sample index
         jnp.ones_like(o0[0]),     # current IOR
         jnp.zeros_like(o0),       # per-pixel radiance sum
+        o0, d0,                   # (possibly permuted) primary rays
+        kd0,                      # per-lane RNG key data (rebin only)
+        home0,                    # row -> original row (rebin only)
         jnp.zeros_like(o0[0, 0]),  # segments
         jnp.zeros((), jnp.int32),  # iteration counter (safety bound)
     )
     state = jax.lax.while_loop(cond, body, state)
-    pixel_sum, segs = state[7], state[8]
+    pixel_sum, home, segs = state[7], state[11], state[12]
+    if rebin:
+        # Undo the accumulated row permutation: home[current] = original.
+        unperm = jnp.zeros_like(home).at[home].set(
+            jnp.arange(num_rows, dtype=jnp.int32))
+        pixel_sum = permute_rows(unperm, pixel_sum)
     return pixel_sum / jnp.float32(spp), segs
 
 
@@ -264,9 +314,10 @@ def render_sample_mean(
                                              tile_offset=tile_offset)
         return mean.T, segs
 
-    if sampler == "regen":
+    if sampler in ("regen", "rebin"):
         mean, segs = _render_regen_soa(scene, settings, ray_idx, o3, d3,
-                                       frame_key, backend=backend)
+                                       frame_key, backend=backend,
+                                       rebin=(sampler == "rebin"))
         return mean.T, segs
 
     def sample(carry, s_idx):

@@ -75,9 +75,10 @@ class HitRecord:
 class ShadeData:
     """Per-ray shading inputs resolved from the nearest hit (SoA).
 
-    colour/smooth/ior are the winning primitive's denormalised material
+    colour/smooth are the winning primitive's denormalised material
     parameters (the reference keeps a full Material per object,
-    src/objects.cu:813-820)."""
+    src/objects.cu:813-820); the refractive index is a per-material property
+    and rides the behaviour table (ops.tables.MatCols.ior)."""
 
     point: jax.Array    # (3, N) hit position
     normal: jax.Array   # (3, N) normal with reference orientation semantics
@@ -86,7 +87,6 @@ class ShadeData:
     mat_id: jax.Array   # (N,) i32
     colour: jax.Array   # (3, N) const-texture colour
     smooth: jax.Array   # (N,) smoothness
-    ior: jax.Array      # (N,) refractive index
 
 
 # ---------------------------------------------------------------------------
@@ -386,6 +386,5 @@ def resolve_hit(o: jax.Array, d: jax.Array, scene: SceneArrays,
     colour = jnp.stack([
         jnp.where(it, tcol[c][tri_i], scol[c][sph_i]) for c in range(3)])
     smooth = jnp.where(it, scene.tri_smooth[tri_i], scene.sph_smooth[sph_i])
-    ior = jnp.where(it, scene.tri_ior[tri_i], scene.sph_ior[sph_i])
     return ShadeData(point=point, normal=normal, u=u, v=v, mat_id=mat_id,
-                     colour=colour, smooth=smooth, ior=ior)
+                     colour=colour, smooth=smooth)

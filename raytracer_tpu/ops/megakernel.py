@@ -40,12 +40,9 @@ from ..config import ANTIALIAS_OFFSET_RANGE, RenderSettings
 from ..models.materials import (MAT_EMISSIVE, MAT_REFRACTIVE,
                                 TEX_CHECKERBOARD, TEX_GRADIENT)
 from ..models.scene import SceneArrays
-from .intersect_pallas import (LANES, _S_COLB, _S_COLG, _S_COLR, _S_CR2,
-                               _S_CX, _S_CY, _S_CZ, _S_IOR, _S_MAT, _S_OK,
-                               _S_R, _S_SMOOTH, _T_COLB, _T_COLG, _T_COLR,
-                               _T_CULL, _T_IOR, _T_MAT, _T_NRM, _T_OK,
-                               _T_SMOOTH, _T_UV, _T_WU, _T_WV, _T_WW,
-                               _interpret, pack_scene, safe_inv_dir)
+from .intersect_pallas import _interpret
+from .sweep import (LANES, decode_colour30, decode_smooth_mat,
+                    pack_scene, sweep_tile)
 
 _EPS = 1e-6
 _INF = 1e30
@@ -53,15 +50,22 @@ _INF = 1e30
 # Lanes per tile: bigger tiles amortise SMEM scalar broadcasts better but
 # make tile-granular BVH culling coarser. Measured optimum: 64 rows for
 # cluster-light scenes, 32 for mesh-heavy ones (chosen per scene below).
-MROWS = 32
-MROWS_FLAT = 64
+import os
+MROWS = int(os.environ.get("RAYTRACER_MROWS", "32"))
+MROWS_FLAT = int(os.environ.get("RAYTRACER_MROWS_FLAT", "64"))
+# Bounce-steps per while_loop iteration (amortises loop-condition reduces).
+_KSTEP = int(os.environ.get("RAYTRACER_KSTEP", "4"))
+# Timing ablations (measurement only): comma-separated flags.
+#   sweep2 — run the primitive sweep twice per bounce (marginal sweep cost)
+#   rng2   — draw every random twice (marginal RNG cost)
+_ABLATE = set(filter(None, os.environ.get("RAYTRACER_ABLATE", "").split(",")))
 MEGA_TILE = MROWS * LANES
 
-# material table rows (behaviour only — colour/smoothness/IOR are
-# denormalised onto the primitives)
-(_M_TYPE, _M_EMR, _M_EMG, _M_EMB, _M_TEXTYPE,
- _M_LR, _M_LG, _M_LB, _M_DR, _M_DG, _M_DB, _M_NSQ) = range(12)
-_M_ROWS = 12
+# material table rows (behaviour only — colour/smoothness are denormalised
+# onto the primitives; ior is a per-material medium property)
+(_M_TYPE, _M_IOR, _M_EMR, _M_EMG, _M_EMB, _M_TEXTYPE,
+ _M_LR, _M_LG, _M_LB, _M_DR, _M_DG, _M_DB, _M_NSQ) = range(13)
+_M_ROWS = 13
 
 
 def supports(scene: SceneArrays) -> bool:
@@ -86,6 +90,7 @@ def mega_tile_for(scene: SceneArrays) -> int:
 def pack_materials(scene: SceneArrays) -> jax.Array:
     return jnp.concatenate([
         scene.mat_type.astype(jnp.float32)[None, :],
+        scene.mat_ior[None, :],
         scene.mat_emit.T,
         scene.tex_type.astype(jnp.float32)[None, :],
         scene.tex_light.T,
@@ -118,8 +123,8 @@ def _uniform(shape):
         1.0 / 16777216.0)
 
 
-def _kernel(seed_ref, sph_ref, tri_ref, sphc_ref, tric_ref, sphs_ref,
-            tris_ref, mat_ref,
+def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
+            sphc_ref, tric_ref, sphs_ref, tris_ref, mat_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             sum_r_ref, sum_g_ref, sum_b_ref, segs_ref,
             *, num_spheres: int, num_tris: int, num_sph_clusters: int,
@@ -128,7 +133,7 @@ def _kernel(seed_ref, sph_ref, tri_ref, sphc_ref, tric_ref, sphs_ref,
             limit: int, antialias: bool, sky: tuple,
             emissive_terminates: bool, fix_exit_ior: bool,
             need_sphere_uv: bool, has_one_way: bool, needs_tri_uv: bool,
-            mrows: int):
+            sph_leaf: int, tri_leaf: int, mrows: int):
     tile = pl.program_id(0)
     # counter-based seeding: (frame key material, global tile index)
     # two 32-bit seed words max: fold (frame key, global tile) together
@@ -147,175 +152,29 @@ def _kernel(seed_ref, sph_ref, tri_ref, sphc_ref, tric_ref, sphs_ref,
     i0 = f0.astype(jnp.int32)
 
     def sweep(ox, oy, oz, dx, dy, dz):
-        """Nearest hit + winner shade params (mirrors intersect_pallas)."""
-        ddo = dx * ox + dy * oy + dz * oz
-        osq = ox * ox + oy * oy + oz * oz
-        a = dx * dx + dy * dy + dz * dz
-        inv_2a = 0.5 / a
-        if num_sph_clusters > 0 or num_tri_clusters > 0:
-            inv_dx, inv_dy, inv_dz = safe_inv_dir(dx, dy, dz)
-
-        def cluster_gate(cl_ref, c, carry, inner):
-            bt = carry[0]
-            t1 = (cl_ref[c, 0] - ox) * inv_dx
-            t2 = (cl_ref[c, 3] - ox) * inv_dx
-            tmin = jnp.minimum(t1, t2)
-            tmax = jnp.maximum(t1, t2)
-            t1 = (cl_ref[c, 1] - oy) * inv_dy
-            t2 = (cl_ref[c, 4] - oy) * inv_dy
-            tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
-            tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
-            t1 = (cl_ref[c, 2] - oz) * inv_dz
-            t2 = (cl_ref[c, 5] - oz) * inv_dz
-            tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
-            tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
-            tmin = jnp.maximum(tmin, 0.0)
-            enter = jnp.any((tmin <= tmax) & (tmax > 0.0) & (tmin < bt))
-            start = cl_ref[c, 6].astype(jnp.int32)
-            count = cl_ref[c, 7].astype(jnp.int32)
-            return jax.lax.cond(
-                enter,
-                lambda cr: jax.lax.fori_loop(start, start + count, inner, cr),
-                lambda cr: cr, carry)
-
-        def super_gate(sup_ref, cl_ref, g, carry, inner):
-            bt = carry[0]
-            t1 = (sup_ref[g, 0] - ox) * inv_dx
-            t2 = (sup_ref[g, 3] - ox) * inv_dx
-            tmin = jnp.minimum(t1, t2)
-            tmax = jnp.maximum(t1, t2)
-            t1 = (sup_ref[g, 1] - oy) * inv_dy
-            t2 = (sup_ref[g, 4] - oy) * inv_dy
-            tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
-            tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
-            t1 = (sup_ref[g, 2] - oz) * inv_dz
-            t2 = (sup_ref[g, 5] - oz) * inv_dz
-            tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
-            tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
-            tmin = jnp.maximum(tmin, 0.0)
-            enter = jnp.any((tmin <= tmax) & (tmax > 0.0) & (tmin < bt))
-            start = sup_ref[g, 6].astype(jnp.int32)
-            count = sup_ref[g, 7].astype(jnp.int32)
-            return jax.lax.cond(
-                enter,
-                lambda cr: jax.lax.fori_loop(
-                    start, start + count,
-                    lambda c, cr2: cluster_gate(cl_ref, c, cr2, inner), cr),
-                lambda cr: cr, carry)
-
-        init = (jnp.full(shape, _INF, jnp.float32), i0, f0, f0,
-                f0, f0, f0, f0, i0,
-                f0 + 1.0, f0 + 1.0, f0 + 1.0, f0, f0 + 1.0)
-
-        def sph_body(s, carry):
-            (bt, bc, bu, bv, b0, b1, b2, br, bm,
-             bcr, bcg, bcb, bsm, bio) = carry
-            cx = sph_ref[_S_CX, s]
-            cy = sph_ref[_S_CY, s]
-            cz = sph_ref[_S_CZ, s]
-            cr2 = sph_ref[_S_CR2, s]
-            ok = sph_ref[_S_OK, s]
-            dc = dx * cx + dy * cy + dz * cz
-            oc = ox * cx + oy * cy + oz * cz
-            b = -2.0 * (dc - ddo)
-            c = cr2 - 2.0 * oc + osq
-            disc = b * b - 4.0 * a * c
-            t = (-b - jnp.sqrt(jnp.maximum(disc, 0.0))) * inv_2a
-            valid = (disc >= 0.0) & (t > _EPS) & (ok > 0.0)
-            t = jnp.where(valid, t, _INF)
-            better = t < bt
-            bt = jnp.where(better, t, bt)
-            bc = jnp.where(better, s * 2, bc)
-            b0 = jnp.where(better, cx, b0)
-            b1 = jnp.where(better, cy, b1)
-            b2 = jnp.where(better, cz, b2)
-            br = jnp.where(better, sph_ref[_S_R, s], br)
-            bm = jnp.where(better, sph_ref[_S_MAT, s].astype(jnp.int32), bm)
-            bcr = jnp.where(better, sph_ref[_S_COLR, s], bcr)
-            bcg = jnp.where(better, sph_ref[_S_COLG, s], bcg)
-            bcb = jnp.where(better, sph_ref[_S_COLB, s], bcb)
-            bsm = jnp.where(better, sph_ref[_S_SMOOTH, s], bsm)
-            bio = jnp.where(better, sph_ref[_S_IOR, s], bio)
-            return (bt, bc, bu, bv, b0, b1, b2, br, bm,
-                    bcr, bcg, bcb, bsm, bio)
-
-        if num_sph_supers > 0:
-            init = jax.lax.fori_loop(
-                0, num_sph_supers,
-                lambda g, cr: super_gate(sphs_ref, sphc_ref, g, cr, sph_body),
-                init)
-        elif num_sph_clusters > 0:
-            init = jax.lax.fori_loop(
-                0, num_sph_clusters,
-                lambda c, cr: cluster_gate(sphc_ref, c, cr, sph_body), init)
-        elif num_spheres > 0:
-            init = jax.lax.fori_loop(0, num_spheres, sph_body, init)
-
-        def tri_body(k, carry):
-            (bt, bc, bu, bv, b0, b1, b2, br, bm,
-             bcr, bcg, bcb, bsm, bio) = carry
-            wu0, wu1, wu2, wu3 = (tri_ref[_T_WU + r, k] for r in range(4))
-            wv0, wv1, wv2, wv3 = (tri_ref[_T_WV + r, k] for r in range(4))
-            ww0, ww1, ww2, ww3 = (tri_ref[_T_WW + r, k] for r in range(4))
-            ow = ww0 * ox + ww1 * oy + ww2 * oz + ww3
-            dw = ww0 * dx + ww1 * dy + ww2 * dz
-            t = -ow / dw
-            ou = wu0 * ox + wu1 * oy + wu2 * oz + wu3
-            du = wu0 * dx + wu1 * dy + wu2 * dz
-            u = ou + t * du
-            ov = wv0 * ox + wv1 * oy + wv2 * oz + wv3
-            dv = wv0 * dx + wv1 * dy + wv2 * dz
-            v = ov + t * dv
-            valid = ((t > _EPS) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                     & (tri_ref[_T_OK, k] > 0.0))
-            if has_one_way:
-                cull = (tri_ref[_T_CULL, k] * dx
-                        + tri_ref[_T_CULL + 1, k] * dy
-                        + tri_ref[_T_CULL + 2, k] * dz)
-                valid &= cull >= 0.0
-            t = jnp.where(valid, t, _INF)
-            better = t < bt
-            bt = jnp.where(better, t, bt)
-            bc = jnp.where(better, k * 2 + 1, bc)
-            if needs_tri_uv:
-                w = 1.0 - u - v
-                tex_u = (tri_ref[_T_UV, k] * w + tri_ref[_T_UV + 2, k] * u
-                         + tri_ref[_T_UV + 4, k] * v)
-                tex_v = (tri_ref[_T_UV + 1, k] * w
-                         + tri_ref[_T_UV + 3, k] * u
-                         + tri_ref[_T_UV + 5, k] * v)
-                bu = jnp.where(better, tex_u, bu)
-                bv = jnp.where(better, tex_v, bv)
-            b0 = jnp.where(better, tri_ref[_T_NRM, k], b0)
-            b1 = jnp.where(better, tri_ref[_T_NRM + 1, k], b1)
-            b2 = jnp.where(better, tri_ref[_T_NRM + 2, k], b2)
-            bm = jnp.where(better, tri_ref[_T_MAT, k].astype(jnp.int32), bm)
-            bcr = jnp.where(better, tri_ref[_T_COLR, k], bcr)
-            bcg = jnp.where(better, tri_ref[_T_COLG, k], bcg)
-            bcb = jnp.where(better, tri_ref[_T_COLB, k], bcb)
-            bsm = jnp.where(better, tri_ref[_T_SMOOTH, k], bsm)
-            bio = jnp.where(better, tri_ref[_T_IOR, k], bio)
-            return (bt, bc, bu, bv, b0, b1, b2, br, bm,
-                    bcr, bcg, bcb, bsm, bio)
-
-        if num_tri_supers > 0:
-            init = jax.lax.fori_loop(
-                0, num_tri_supers,
-                lambda g, cr: super_gate(tris_ref, tric_ref, g, cr, tri_body),
-                init)
-        elif num_tri_clusters > 0:
-            init = jax.lax.fori_loop(
-                0, num_tri_clusters,
-                lambda c, cr: cluster_gate(tric_ref, c, cr, tri_body), init)
-        elif num_tris > 0:
-            init = jax.lax.fori_loop(0, num_tris, tri_body, init)
-        return init
+        """Nearest hit + winner shade params (shared core, ops/sweep.py)."""
+        return sweep_tile(
+            sphf_ref, sphi_ref, trif_ref, trii_ref,
+            sphc_ref, tric_ref, sphs_ref, tris_ref,
+            ox, oy, oz, dx, dy, dz, f0, i0,
+            num_spheres=num_spheres, num_tris=num_tris,
+            num_sph_clusters=num_sph_clusters,
+            num_tri_clusters=num_tri_clusters,
+            num_sph_supers=num_sph_supers,
+            num_tri_supers=num_tri_supers,
+            has_one_way=has_one_way, needs_tri_uv=needs_tri_uv,
+            sph_leaf=sph_leaf, tri_leaf=tri_leaf)
 
     def body(state):
         (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, bounce_i, sample_i,
          ior, sr, sg, sb, segs) = state
         active = sample_i < spp
-        segs = segs + jnp.where(active, 1.0, 0.0)
+        if "iters" in _ABLATE:
+            # measurement: count every lane-iteration instead of active ones
+            # (base_mrays / iters_mrays = mean lane activity)
+            segs = segs + 1.0
+        else:
+            segs = segs + jnp.where(active, 1.0, 0.0)
 
         # --- randoms (on-core PRNG) ---
         if antialias:
@@ -327,20 +186,64 @@ def _kernel(seed_ref, sph_ref, tri_ref, sphc_ref, tric_ref, sphs_ref,
             dx, dy, dz = dx * inv, dy * inv, dz * inv
         # Box-Muller gaussian triple (the reference's normally_dist_num,
         # src/utils.cu:234-239)
-        u1 = jnp.maximum(_uniform(shape), 1e-12)
-        u2 = _uniform(shape)
-        u3 = jnp.maximum(_uniform(shape), 1e-12)
-        u4 = _uniform(shape)
-        r1 = jnp.sqrt(-2.0 * jnp.log(u1))
-        r2 = jnp.sqrt(-2.0 * jnp.log(u3))
-        gx = r1 * jnp.cos(2 * jnp.pi * u2)
-        gy = r1 * jnp.sin(2 * jnp.pi * u2)
-        gz = r2 * jnp.cos(2 * jnp.pi * u4)
+        if "rng2" in _ABLATE:
+            for _ in range(8):
+                _uniform(shape)
+        def box_muller():
+            u1 = jnp.maximum(_uniform(shape), 1e-12)
+            u2 = _uniform(shape)
+            u3 = jnp.maximum(_uniform(shape), 1e-12)
+            u4 = _uniform(shape)
+            r1 = jnp.sqrt(-2.0 * jnp.log(u1))
+            r2 = jnp.sqrt(-2.0 * jnp.log(u3))
+            gx = r1 * jnp.cos(2 * jnp.pi * u2)
+            gy = r1 * jnp.sin(2 * jnp.pi * u2)
+            gz = r2 * jnp.cos(2 * jnp.pi * u4)
+            return gx, gy, gz, u1
+
+        if "nobm" in _ABLATE:
+            # measurement: uniform triple instead of Box-Muller gaussians
+            gx = _uniform(shape) - 0.5
+            gy = _uniform(shape) - 0.5
+            gz = _uniform(shape) - 0.5
+            _u1 = gx
+        else:
+            gx, gy, gz, _u1 = box_muller()
+        if "bm2" in _ABLATE:
+            gx2, gy2, gz2, _ = box_muller()
+            take2 = _u1 < 2.0  # always true; opaque to the compiler
+            gx = jnp.where(take2, gx2, gx)
+            gy = jnp.where(take2, gy2, gy)
+            gz = jnp.where(take2, gz2, gz)
         fres_u = _uniform(shape)
 
         # --- nearest hit + shade params ---
-        (bt, bc, bu, bv, n0, n1, n2, srad, mid,
-         pcol_r, pcol_g, pcol_b, msm, mior) = sweep(ox, oy, oz, dx, dy, dz)
+        if "nosweep" in _ABLATE:
+            # measurement: fake always-hit, skip intersection entirely
+            bt = jnp.abs(oz) + 0.5
+            bc, pa, pb = i0, i0, i0
+            bu, bv = fres_u, fres_u
+            n0, n1, n2 = f0, f0 + 1.0, f0
+        else:
+            (bt, bc, bu, bv, n0, n1, n2, pa, pb) = sweep(
+                ox, oy, oz, dx, dy, dz)
+        if "noshade" in _ABLATE:
+            # measurement: consume every sweep output (so none of its
+            # selects are DCE'd), then regenerate immediately — isolates
+            # while+RNG+sweep from the shading/scatter half of the body.
+            dummy = (bt + bu + bv + n0 + n1 + n2 + msm
+                     + (bc + pa + pb).astype(jnp.float32))
+            sr = sr + jnp.where(active, dummy * 1e-30, 0.0)
+            sample_i = jnp.where(active, sample_i + 1, sample_i)
+            return (o0x, o0y, o0z, d0x, d0y, d0z, tr, tg, tb, rr, rg, rb,
+                    bounce_i, sample_i, ior, sr, sg, sb, segs)
+        if "sweep2" in _ABLATE:
+            # identical second sweep on epsilon-perturbed origins (defeats
+            # CSE; adding 1e-30 to scene-scale floats is bitwise identity)
+            bt2, *_ = sweep(ox + 1e-30, oy, oz, dx, dy, dz)
+            bt = jnp.minimum(bt, bt2)
+        msm, mid = decode_smooth_mat(pb)
+        pcol_r, pcol_g, pcol_b = decode_colour30(pa)
         hit = bt < _INF
         is_tri = (bc & 1) == 1
         safe_t = jnp.where(hit, bt, 0.0)
@@ -348,17 +251,18 @@ def _kernel(seed_ref, sph_ref, tri_ref, sphc_ref, tric_ref, sphs_ref,
         py = oy + dy * safe_t
         pz = oz + dz * safe_t
 
-        # sphere outward normal (src/objects.cu:66)
-        inv_r = 1.0 / jnp.maximum(srad, 1e-12)
-        rx = (px - n0) * inv_r
-        ry = (py - n1) * inv_r
-        rz = (pz - n2) * inv_r
+        # sphere outward normal = normalised (p - c); the reference divides
+        # by the radius then normalises (src/objects.cu:66) — the radius
+        # cancels, so it is never carried through the sweep.
+        rx = px - n0
+        ry = py - n1
+        rz = pz - n2
         rmag = jax.lax.rsqrt(jnp.maximum(rx * rx + ry * ry + rz * rz, 1e-24))
         # sphere UV (lat/long, src/objects.cu:82-97); statically skipped
         # when no sphere carries a UV-dependent texture
         if need_sphere_uv:
-            theta = _asin(jnp.clip(ry, -1.0, 1.0))
-            phi = jnp.pi / 2.0 - _asin(jnp.clip(rx, -1.0, 1.0))
+            theta = _asin(jnp.clip(ry * rmag, -1.0, 1.0))
+            phi = jnp.pi / 2.0 - _asin(jnp.clip(rx * rmag, -1.0, 1.0))
             sph_u = (theta + jnp.pi / 2.0) / jnp.pi
             v_ratio = (1.0 - phi / jnp.pi) / 2.0
             behind = jnp.where(pz > n2, 1.0, 0.0)
@@ -376,35 +280,43 @@ def _kernel(seed_ref, sph_ref, tri_ref, sphc_ref, tric_ref, sphs_ref,
         uu = jnp.where(is_tri, bu, sph_u)
         vv = jnp.where(is_tri, bv, sph_v)
 
-        # --- material behaviour fetch (gated per-material loop; the
-        # per-primitive colour/smoothness/IOR came out of the sweep) ---
-        def mbody(m, acc):
-            (mtype, mer, meg, meb, mtt,
+        # --- material behaviour fetch (the per-primitive colour/smoothness
+        # came out of the sweep). For small tables the fetch is a chain of
+        # unconditional selects — a select on a (rows, 128) tile costs ~1
+        # VPU pass, while a lax.cond costs a cross-lane any-reduce plus a
+        # scalar branch (hundreds of cycles); gating only pays off for big
+        # tables where most materials are absent from the tile. ---
+        def mtake(m, acc, use):
+            (mtype, mior, mer, meg, meb, mtt,
              ml0, ml1, ml2, md0, md1, md2, mnsq) = acc
-            use = mid == m
+            return (
+                jnp.where(use, mat_ref[_M_TYPE, m], mtype),
+                jnp.where(use, mat_ref[_M_IOR, m], mior),
+                jnp.where(use, mat_ref[_M_EMR, m], mer),
+                jnp.where(use, mat_ref[_M_EMG, m], meg),
+                jnp.where(use, mat_ref[_M_EMB, m], meb),
+                jnp.where(use, mat_ref[_M_TEXTYPE, m], mtt),
+                jnp.where(use, mat_ref[_M_LR, m], ml0),
+                jnp.where(use, mat_ref[_M_LG, m], ml1),
+                jnp.where(use, mat_ref[_M_LB, m], ml2),
+                jnp.where(use, mat_ref[_M_DR, m], md0),
+                jnp.where(use, mat_ref[_M_DG, m], md1),
+                jnp.where(use, mat_ref[_M_DB, m], md2),
+                jnp.where(use, mat_ref[_M_NSQ, m], mnsq),
+            )
 
-            def take(acc):
-                (mtype, mer, meg, meb, mtt,
-                 ml0, ml1, ml2, md0, md1, md2, mnsq) = acc
-                return (
-                    jnp.where(use, mat_ref[_M_TYPE, m], mtype),
-                    jnp.where(use, mat_ref[_M_EMR, m], mer),
-                    jnp.where(use, mat_ref[_M_EMG, m], meg),
-                    jnp.where(use, mat_ref[_M_EMB, m], meb),
-                    jnp.where(use, mat_ref[_M_TEXTYPE, m], mtt),
-                    jnp.where(use, mat_ref[_M_LR, m], ml0),
-                    jnp.where(use, mat_ref[_M_LG, m], ml1),
-                    jnp.where(use, mat_ref[_M_LB, m], ml2),
-                    jnp.where(use, mat_ref[_M_DR, m], md0),
-                    jnp.where(use, mat_ref[_M_DG, m], md1),
-                    jnp.where(use, mat_ref[_M_DB, m], md2),
-                    jnp.where(use, mat_ref[_M_NSQ, m], mnsq),
-                )
-
-            return jax.lax.cond(jnp.any(use & hit), take, lambda a: a, acc)
-
-        macc = jax.lax.fori_loop(0, num_materials, mbody, (f0,) * 12)
-        (mtype, mer, meg, meb, mtt,
+        macc = (f0, f0 + 1.0) + (f0,) * 11
+        if num_materials <= 8:
+            for m in range(num_materials):
+                macc = mtake(m, macc, mid == m)
+        else:
+            def mbody(m, acc):
+                use = mid == m
+                return jax.lax.cond(jnp.any(use & hit),
+                                    lambda a: mtake(m, a, use),
+                                    lambda a: a, acc)
+            macc = jax.lax.fori_loop(0, num_materials, mbody, macc)
+        (mtype, mior, mer, meg, meb, mtt,
          ml0, ml1, ml2, md0, md1, md2, mnsq) = macc
 
         # --- texture colour (const / gradient / checker; no images) ---
@@ -439,63 +351,79 @@ def _kernel(seed_ref, sph_ref, tri_ref, sphc_ref, tric_ref, sphs_ref,
         tb = jnp.where(absorb, tb * tex_b, tb)
 
         # --- scatter (src/ray.cu:67-128, transcendental-free) ---
-        gdotn = gx * nx + gy * ny + gz * nz
-        gflip = jnp.where(gdotn < 0.0, -1.0, 1.0)
-        ginv = jax.lax.rsqrt(jnp.maximum(
-            gx * gx + gy * gy + gz * gz, 1e-24)) * gflip
-        ax_ = nx + gx * ginv
-        ay_ = ny + gy * ginv
-        az_ = nz + gz * ginv
-        dinv = jax.lax.rsqrt(jnp.maximum(
-            ax_ * ax_ + ay_ * ay_ + az_ * az_, 1e-24))
-        dfx, dfy, dfz = ax_ * dinv, ay_ * dinv, az_ * dinv  # diffuse
-        ddn = dx * nx + dy * ny + dz * nz
-        sx = dx - 2.0 * ddn * nx
-        sy = dy - 2.0 * ddn * ny
-        sz = dz - 2.0 * ddn * nz  # specular (unit already)
-        refx = dfx + (sx - dfx) * msm
-        refy = dfy + (sy - dfy) * msm
-        refz = dfz + (sz - dfz) * msm
-        rinv = jax.lax.rsqrt(jnp.maximum(
-            refx * refx + refy * refy + refz * refz, 1e-24))
-        refx, refy, refz = refx * rinv, refy * rinv, refz * rinv
+        def scatter_block(gx, gy, gz):
+            gdotn = gx * nx + gy * ny + gz * nz
+            gflip = jnp.where(gdotn < 0.0, -1.0, 1.0)
+            ginv = jax.lax.rsqrt(jnp.maximum(
+                gx * gx + gy * gy + gz * gz, 1e-24)) * gflip
+            ax_ = nx + gx * ginv
+            ay_ = ny + gy * ginv
+            az_ = nz + gz * ginv
+            dinv = jax.lax.rsqrt(jnp.maximum(
+                ax_ * ax_ + ay_ * ay_ + az_ * az_, 1e-24))
+            dfx, dfy, dfz = ax_ * dinv, ay_ * dinv, az_ * dinv  # diffuse
+            ddn = dx * nx + dy * ny + dz * nz
+            sx = dx - 2.0 * ddn * nx
+            sy = dy - 2.0 * ddn * ny
+            sz = dz - 2.0 * ddn * nz  # specular (unit already)
+            refx = dfx + (sx - dfx) * msm
+            refy = dfy + (sy - dfy) * msm
+            refz = dfz + (sz - dfz) * msm
+            rinv = jax.lax.rsqrt(jnp.maximum(
+                refx * refx + refy * refy + refz * refz, 1e-24))
+            refx, refy, refz = refx * rinv, refy * rinv, refz * rinv
 
-        exiting = ddn > 0.0
-        n1_ = jnp.where(exiting, mior, ior)
-        # exit medium: the reference forgets air (quirk), the fix restores it
-        exit_ior = jnp.ones_like(ior) if fix_exit_ior else ior
-        n2_ = jnp.where(exiting, exit_ior, mior)
-        sgn = jnp.where(exiting, 1.0, -1.0)
-        rnx, rny, rnz = nx * sgn, ny * sgn, nz * sgn
-        cos1 = jnp.minimum(dx * rnx + dy * rny + dz * rnz, 1.0)
-        sin1 = jnp.sqrt(jnp.maximum(1.0 - cos1 * cos1, 0.0))
-        sin2 = jnp.minimum(n1_ * sin1 / n2_, 1.0)
-        cos2 = jnp.sqrt(jnp.maximum(1.0 - sin2 * sin2, 0.0))
-        tir = sin1 > (n2_ / n1_)
-        sq0 = (n1_ - n2_) / (n1_ + n2_)
-        r0 = sq0 * sq0
-        mm_ = 1.0 - cos1
-        m2 = mm_ * mm_
-        refl = r0 + (1.0 - r0) * (m2 * m2 * mm_)
-        do_reflect = tir | (refl > fres_u)
-        ssin1 = jnp.where(sin1 == 0.0, 1.0, sin1)
-        pfx = jnp.where(sin1 != 0.0, (dx - rnx * cos1) / ssin1, 0.0)
-        pfy = jnp.where(sin1 != 0.0, (dy - rny * cos1) / ssin1, 0.0)
-        pfz = jnp.where(sin1 != 0.0, (dz - rnz * cos1) / ssin1, 0.0)
-        rfx = rnx * cos2 + pfx * sin2
-        rfy = rny * cos2 + pfy * sin2
-        rfz = rnz * cos2 + pfz * sin2
-        rfinv = jax.lax.rsqrt(jnp.maximum(
-            rfx * rfx + rfy * rfy + rfz * rfz, 1e-24))
-        rfx, rfy, rfz = rfx * rfinv, rfy * rfinv, rfz * rfinv
+            exiting = ddn > 0.0
+            n1_ = jnp.where(exiting, mior, ior)
+            # exit medium: the reference forgets air (quirk), the fix restores it
+            exit_ior = jnp.ones_like(ior) if fix_exit_ior else ior
+            n2_ = jnp.where(exiting, exit_ior, mior)
+            sgn = jnp.where(exiting, 1.0, -1.0)
+            rnx, rny, rnz = nx * sgn, ny * sgn, nz * sgn
+            cos1 = jnp.minimum(dx * rnx + dy * rny + dz * rnz, 1.0)
+            sin1 = jnp.sqrt(jnp.maximum(1.0 - cos1 * cos1, 0.0))
+            sin2 = jnp.minimum(n1_ * sin1 / n2_, 1.0)
+            cos2 = jnp.sqrt(jnp.maximum(1.0 - sin2 * sin2, 0.0))
+            tir = sin1 > (n2_ / n1_)
+            sq0 = (n1_ - n2_) / (n1_ + n2_)
+            r0 = sq0 * sq0
+            mm_ = 1.0 - cos1
+            m2 = mm_ * mm_
+            refl = r0 + (1.0 - r0) * (m2 * m2 * mm_)
+            do_reflect = tir | (refl > fres_u)
+            ssin1 = jnp.where(sin1 == 0.0, 1.0, sin1)
+            pfx = jnp.where(sin1 != 0.0, (dx - rnx * cos1) / ssin1, 0.0)
+            pfy = jnp.where(sin1 != 0.0, (dy - rny * cos1) / ssin1, 0.0)
+            pfz = jnp.where(sin1 != 0.0, (dz - rnz * cos1) / ssin1, 0.0)
+            rfx = rnx * cos2 + pfx * sin2
+            rfy = rny * cos2 + pfy * sin2
+            rfz = rnz * cos2 + pfz * sin2
+            rfinv = jax.lax.rsqrt(jnp.maximum(
+                rfx * rfx + rfy * rfy + rfz * rfz, 1e-24))
+            rfx, rfy, rfz = rfx * rfinv, rfy * rfinv, rfz * rfinv
 
-        is_refr = mtype == float(MAT_REFRACTIVE)
-        use_refr = is_refr & ~do_reflect
-        ndx = jnp.where(is_refr, jnp.where(do_reflect, refx, rfx), refx)
-        ndy = jnp.where(is_refr, jnp.where(do_reflect, refy, rfy), refy)
-        ndz = jnp.where(is_refr, jnp.where(do_reflect, refz, rfz), refz)
-        ior_upd = (is_refr & use_refr) if fix_exit_ior else is_refr
-        new_ior = jnp.where(ior_upd & live_hit, n2_, ior)
+            is_refr = mtype == float(MAT_REFRACTIVE)
+            use_refr = is_refr & ~do_reflect
+            ndx = jnp.where(is_refr, jnp.where(do_reflect, refx, rfx), refx)
+            ndy = jnp.where(is_refr, jnp.where(do_reflect, refy, rfy), refy)
+            ndz = jnp.where(is_refr, jnp.where(do_reflect, refz, rfz), refz)
+            ior_upd = (is_refr & use_refr) if fix_exit_ior else is_refr
+            new_ior = jnp.where(ior_upd & live_hit, n2_, ior)
+            return ndx, ndy, ndz, new_ior
+
+        if "noscat" in _ABLATE:
+            # measurement: skip the scatter/refraction block entirely
+            ndx, ndy, ndz = gx, gy, gz
+            new_ior = ior
+        else:
+            ndx, ndy, ndz, new_ior = scatter_block(gx, gy, gz)
+        if "scat2" in _ABLATE:
+            ndx2, ndy2, ndz2, nior2 = scatter_block(gx + 1e-30, gy, gz)
+            take2 = fres_u < 2.0  # always true; opaque to the compiler
+            ndx = jnp.where(take2, ndx2, ndx)
+            ndy = jnp.where(take2, ndy2, ndy)
+            ndz = jnp.where(take2, ndz2, ndz)
+            new_ior = jnp.where(take2, nior2, new_ior)
 
         ox = jnp.where(live_hit, px, ox)
         oy = jnp.where(live_hit, py, oy)
@@ -539,6 +467,16 @@ def _kernel(seed_ref, sph_ref, tri_ref, sphc_ref, tric_ref, sphs_ref,
         sample_i = state[13]
         return jnp.any(sample_i < spp)
 
+    def body_k(state):
+        # K bounce-steps per while iteration: the loop condition is a
+        # cross-lane any-reduce plus a scalar branch, and the carry cycle
+        # has fixed cost — batching amortises both. The body is a no-op for
+        # lanes past their sample budget, so the only waste is up to K-1
+        # idle trailing steps per tile.
+        for _ in range(_KSTEP):
+            state = body(state)
+        return state
+
     one = f0 + 1.0
     state = (o0x, o0y, o0z, d0x, d0y, d0z,
              one, one, one,          # throughput
@@ -547,7 +485,7 @@ def _kernel(seed_ref, sph_ref, tri_ref, sphc_ref, tric_ref, sphs_ref,
              one,                    # ior
              f0, f0, f0,             # pixel sums
              f0)                     # segments
-    state = jax.lax.while_loop(cond, body, state)
+    state = jax.lax.while_loop(cond, body_k, state)
 
     inv_spp = 1.0 / float(spp)
     sum_r_ref[:] = state[15] * inv_spp
@@ -580,9 +518,13 @@ def render_sample_mean_mega(
         d = jnp.concatenate([d, pad_d], axis=1)
     rows = n_pad // LANES
 
+    # The sweep assumes unit directions (a = 1). Radiance is independent of
+    # the direction parameterisation, so this is semantics-free.
+    d = d * jax.lax.rsqrt(jnp.sum(d * d, axis=0))[None, :]
+
     planes = [p.reshape(rows, LANES)
               for p in (o[0], o[1], o[2], d[0], d[1], d[2])]
-    sph, tri, sphc, tric, sphs, tris = pack_scene(scene)
+    sphf, sphi, trif, trii, sphc, tric, sphs, tris = pack_scene(scene)
     mat = pack_materials(scene)
     kd = jax.random.key_data(frame_key).astype(jnp.int32).reshape(-1)
     seed = jnp.concatenate(
@@ -612,15 +554,17 @@ def render_sample_mean_mega(
             need_sphere_uv=bool(scene.needs_sphere_uv),
             has_one_way=bool(scene.has_one_way),
             needs_tri_uv=bool(scene.needs_tri_uv),
+            sph_leaf=int(scene.sph_leaf),
+            tri_leaf=int(scene.tri_leaf),
             mrows=mrows,
         ),
         grid=(rows // mrows,),
-        in_specs=[smem] * 8 + [ray_spec] * 6,
+        in_specs=[smem] * 10 + [ray_spec] * 6,
         out_specs=(ray_spec,) * 4,
         out_shape=tuple(jax.ShapeDtypeStruct((rows, LANES), f32)
                         for _ in range(4)),
         interpret=_interpret(),
-    )(seed, sph, tri, sphc, tric, sphs, tris, mat, *planes)
+    )(seed, sphf, sphi, trif, trii, sphc, tric, sphs, tris, mat, *planes)
 
     mean = jnp.stack([x.reshape(-1)[:n] for x in outs[:3]])
     segs = jnp.sum(outs[3].reshape(-1)[:n])

@@ -1,0 +1,402 @@
+"""Shared tile-sweep intersection core for the Pallas TPU kernels.
+
+One definition of the primitive sweep, consumed by both
+``ops/intersect_pallas.py`` (the wavefront nearest-hit kernel) and
+``ops/megakernel.py`` (the full spp x bounce kernel) — the math that must
+stay bit-identical between them lives here once.
+
+TPU-native redesign of the reference's per-thread ``hit()`` dispatch +
+stack-DFS BVH traversal (src/raytracer.cu:24-46, src/objects.cu:487-532):
+one grid step owns a (rows, 128) tile of rays in vector registers and sweeps
+primitives with broadcast scalars from SMEM, keeping a running best per
+lane. The BVH is two levels of tile-granular AABB gates (super-clusters over
+leaf clusters) instead of divergent per-ray pointer-chasing.
+
+Performance structure (why the sweep looks the way it does):
+
+- **Unit directions (a = 1).** Callers normalise ``d`` once per bounce, so
+  the sphere quadratic collapses to the half-b form ``t = h - sqrt(h² - c)``
+  (src/objects.cu:40-79 computes the general form; normalising d is a pure
+  reparameterisation of t).
+- **Poisoned padding, no validity loads.** Padding spheres carry
+  ``cr2 = 1e30`` so their discriminant is always negative; padding/degenerate
+  triangles carry all-zero Woop rows so ``t = -0/0 = NaN`` fails every
+  comparison. The per-primitive ``ok`` flag of the reference
+  (src/objects.cu:55 analog) costs nothing at sweep time.
+- **Exact-LEAF clusters, unrolled.** Scene build cuts BVH leaves to exactly
+  ``LEAF`` primitives (tail poisoned), so a leaf sweep is a static-trip-count
+  loop: ``leaf start = cluster_index * LEAF`` needs no SMEM loads, and the
+  body is unrolled ``UNROLL``-wide to hide VPU latency behind independent
+  primitive tests.
+- **Packed shading params.** The winner's denormalised albedo rides one
+  int32 (10 bits per channel, quantised at scene build so the XLA oracle
+  sees identical values); material id rides another. The carry is 10 arrays
+  instead of 14 — the selects after ``better`` are most of the per-primitive
+  cost at (32, 128) tile shapes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-6
+_INF = 1e30
+
+import os
+
+LANES = 128
+LEAF_TARGET = 32  # target primitives per BVH leaf cluster
+UNROLL = int(os.environ.get("RAYTRACER_SWEEP_UNROLL", "4"))
+
+
+def leaf_size(n: int) -> int:
+    """Static per-pool leaf size: primitives distributed evenly over
+    ceil(n / LEAF_TARGET) leaves, rounded up to the unroll width.
+
+    Keeps the sweep's inner loop a static, unrollable trip count while
+    bounding padding waste to < UNROLL slots per leaf (a fixed 32 would
+    waste up to 44% of the sweep on small pools, e.g. 104 -> 128 slots)."""
+    leaves = -(-n // LEAF_TARGET)
+    per = -(-n // leaves)
+    return -(-per // UNROLL) * UNROLL
+
+# sphere f32 rows (see pack_scene)
+S_CX, S_CY, S_CZ, S_CR2 = range(4)
+S_F32_ROWS = 4
+# sphere i32 rows: [colour30, smooth8<<16 | mat_id]
+S_PA, S_PB = range(2)
+S_I32_ROWS = 2
+
+# triangle f32 rows
+T_WU = 0          # 4 rows: Woop u row [r | -r.p0]
+T_WV = 4          # 4 rows
+T_WW = 8          # 4 rows
+T_NRM = 12        # 3 rows: unit geometric normal
+T_CULL = 15       # 3 rows: one-way cull normal (zero = two-sided)
+T_UV = 18         # 6 rows: uv0.x uv0.y uv1.x uv1.y uv2.x uv2.y
+T_F32_ROWS = 24
+T_I32_ROWS = 2    # [colour30, smooth8<<16 | mat_id]
+
+
+def quantise_colour(c):
+    """Host-side 10-bit albedo quantisation (clamped to [0, 1]).
+
+    Per-primitive const colours are stored at 10 bits/channel so the sweep
+    can carry all three in one int32 select. Quantisation happens once at
+    scene build, so every backend (XLA oracle, Pallas kernels) computes from
+    the same values. Reconstruction multiplies by float32(1/1023) exactly as
+    the kernel does, making the round trip bitwise consistent.
+    """
+    import numpy as np
+    q = np.round(np.clip(np.asarray(c, np.float32), 0.0, 1.0) * 1023.0)
+    return q.astype(np.float32) * np.float32(1.0 / 1023.0)
+
+
+def quantise_smooth(s):
+    """Host-side 8-bit smoothness quantisation (clamped to [0, 1]).
+
+    Smoothness is a lerp weight between the diffuse and specular directions
+    (src/ray.cu:67-75); 8 bits (0.4% steps) is far below visible thresholds
+    and lets the sweep pack it with the material id in one int32 select.
+    Applied once at scene build so every backend sees identical values.
+    """
+    import numpy as np
+    q = np.round(np.clip(np.asarray(s, np.float32), 0.0, 1.0) * 255.0)
+    return q.astype(np.float32) * np.float32(1.0 / 255.0)
+
+
+def encode_colour30(col):
+    """(..., 3) f32 quantised colour -> int32 with 10 bits per channel."""
+    q = jnp.round(jnp.clip(col, 0.0, 1.0) * 1023.0).astype(jnp.int32)
+    return (q[..., 0] << 20) | (q[..., 1] << 10) | q[..., 2]
+
+
+def decode_colour30(pa):
+    """int32 packed colour -> (r, g, b) f32 planes."""
+    s = jnp.float32(1.0 / 1023.0)
+    r = ((pa >> 20) & 1023).astype(jnp.float32) * s
+    g = ((pa >> 10) & 1023).astype(jnp.float32) * s
+    b = (pa & 1023).astype(jnp.float32) * s
+    return r, g, b
+
+
+def encode_smooth_mat(smooth, mat_id):
+    """(smoothness f32 quantised, mat id) -> int32 smooth8<<16 | mat."""
+    q = jnp.round(jnp.clip(smooth, 0.0, 1.0) * 255.0).astype(jnp.int32)
+    return (q << 16) | mat_id.astype(jnp.int32)
+
+
+def decode_smooth_mat(pb):
+    """int32 -> (smoothness f32, mat id i32)."""
+    smooth = ((pb >> 16) & 255).astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    return smooth, pb & 0xFFFF
+
+
+def safe_inv_dir(dx, dy, dz):
+    """Robust slab-test reciprocals: a zero direction component maps to a
+    large finite value instead of inf, so (box_bound - origin) * inv never
+    produces 0 * inf = NaN (which would make every comparison false and
+    wrongly cull a cluster a boundary ray actually enters)."""
+    def inv(c):
+        return jnp.where(c == 0.0, _INF, 1.0 / c)
+    return inv(dx), inv(dy), inv(dz)
+
+
+def pack_scene(scene):
+    """SceneArrays -> SMEM-resident row matrices for the sweep.
+
+    Returns (sph_f32, sph_i32, tri_f32, tri_i32, sph_clusters, tri_clusters,
+    sph_supers, tri_supers). Padding primitives are poisoned here: padding
+    spheres (radius <= 0) get ``cr2 = 1e30`` (discriminant always negative —
+    ``h² = (d·(c-o))² <= |c-o|²`` stays far below 1e30 for any ray the
+    camera can produce); padding triangles already carry all-zero Woop rows.
+    """
+    ok = scene.sph_radius > 0.0
+    cr2 = jnp.where(
+        ok,
+        jnp.sum(scene.sph_center * scene.sph_center, axis=-1)
+        - scene.sph_radius * scene.sph_radius,
+        _INF)
+    sph_f32 = jnp.stack([
+        scene.sph_center[:, 0],
+        scene.sph_center[:, 1],
+        scene.sph_center[:, 2],
+        cr2,
+    ])
+    sph_i32 = jnp.stack([
+        encode_colour30(scene.sph_colour),
+        encode_smooth_mat(scene.sph_smooth, scene.sph_mat),
+    ])
+    tri_f32 = jnp.concatenate([
+        scene.tri_wu.T,                                # 0-3
+        scene.tri_wv.T,                                # 4-7
+        scene.tri_ww.T,                                # 8-11
+        scene.tri_normal.T,                            # 12-14
+        scene.tri_cull.T,                              # 15-17
+        scene.tri_uv0.T,                               # 18-19
+        scene.tri_uv1.T,                               # 20-21
+        scene.tri_uv2.T,                               # 22-23
+    ], axis=0)
+    tri_i32 = jnp.stack([
+        encode_colour30(scene.tri_colour),
+        encode_smooth_mat(scene.tri_smooth, scene.tri_mat),
+    ])
+
+    def clusters_or_dummy(c):
+        return c if c.shape[0] > 0 else jnp.zeros((1, 8), jnp.float32)
+
+    return (sph_f32, sph_i32, tri_f32, tri_i32,
+            clusters_or_dummy(scene.sph_clusters),
+            clusters_or_dummy(scene.tri_clusters),
+            clusters_or_dummy(scene.sph_supers),
+            clusters_or_dummy(scene.tri_supers))
+
+
+def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
+               ox, oy, oz, dx, dy, dz, zero_f, zero_i, *,
+               num_spheres: int, num_tris: int,
+               num_sph_clusters: int, num_tri_clusters: int,
+               num_sph_supers: int, num_tri_supers: int,
+               has_one_way: bool, needs_tri_uv: bool,
+               sph_leaf: int = LEAF_TARGET, tri_leaf: int = LEAF_TARGET,
+               stats_ref=None):
+    """Nearest hit + winner shading params for one ray tile.
+
+    ``ox..dz`` are (rows, 128) component planes with **unit** directions;
+    ``zero_f``/``zero_i`` are all-zero f32/i32 arrays of the tile shape the
+    caller derived from loaded data (Mosaic while_loop carries reject
+    broadcast-constant "replicated" layouts, so the caller controls the
+    provenance of the init).
+
+    Returns a 9-tuple carry:
+      (bt, bc, bu, bv, g0, g1, g2, pa, pb)
+    - bt: best t (unit-direction parameterisation; _INF = miss)
+    - bc: winner code = prim_index * 2 + is_triangle
+    - bu, bv: interpolated texture UV (triangles; when needs_tri_uv)
+    - g0..g2: sphere centre / triangle geometric normal
+    - pa: winner colour30 (i32)
+    - pb: winner smooth8<<16 | mat_id (i32) — see decode_smooth_mat
+    """
+    # per-ray invariants (directions are unit: a = 1)
+    ddo = dx * ox + dy * oy + dz * oz
+    osq = ox * ox + oy * oy + oz * oz
+    if num_sph_clusters > 0 or num_tri_clusters > 0:
+        inv_dx, inv_dy, inv_dz = safe_inv_dir(dx, dy, dz)
+
+    def slab(ref, i, bt):
+        """Branchless slab test of AABB row i against the whole tile
+        (src/objects.cu:404-434); returns the per-lane enter mask."""
+        t1 = (ref[i, 0] - ox) * inv_dx
+        t2 = (ref[i, 3] - ox) * inv_dx
+        tmin = jnp.minimum(t1, t2)
+        tmax = jnp.maximum(t1, t2)
+        t1 = (ref[i, 1] - oy) * inv_dy
+        t2 = (ref[i, 4] - oy) * inv_dy
+        tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+        tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+        t1 = (ref[i, 2] - oz) * inv_dz
+        t2 = (ref[i, 5] - oz) * inv_dz
+        tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+        tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+        tmin = jnp.maximum(tmin, 0.0)
+        return (tmin <= tmax) & (tmax > 0.0) & (tmin < bt)
+
+    def leaf_sweep(start, leaf, carry, body):
+        """Sweep exactly ``leaf`` primitives from ``start`` (static trip
+        count, UNROLL-wide so independent primitive tests overlap in the
+        VPU pipeline)."""
+        def step(j, cr):
+            base = start + j * UNROLL
+            for u in range(UNROLL):
+                cr = body(base + u, cr)
+            return cr
+        return jax.lax.fori_loop(0, leaf // UNROLL, step, carry)
+
+    def cluster_gate(cl_ref, leaf, c, carry, body):
+        """Gate one leaf cluster: sweep its leaf-primitive block only if
+        some lane in the tile can beat its current best inside the AABB
+        (tile-granular analog of BVH pruning, src/objects.cu:508-516)."""
+        hit_box = slab(cl_ref, c, carry[0])
+        if stats_ref is not None:
+            stats_ref[:] = stats_ref[:] + jnp.where(
+                hit_box, cl_ref[c, 7], 0.0)
+        return jax.lax.cond(
+            jnp.any(hit_box),
+            lambda cr: leaf_sweep(c * leaf, leaf, cr, body),
+            lambda cr: cr, carry)
+
+    def super_gate(sup_ref, cl_ref, leaf, g, carry, body):
+        """Second BVH level: slab-test a super-cluster, then its cluster
+        range (each cluster gated again)."""
+        enter = jnp.any(slab(sup_ref, g, carry[0]))
+        start = sup_ref[g, 6].astype(jnp.int32)
+        count = sup_ref[g, 7].astype(jnp.int32)
+        return jax.lax.cond(
+            enter,
+            lambda cr: jax.lax.fori_loop(
+                start, start + count,
+                lambda c, cr2: cluster_gate(cl_ref, leaf, c, cr2, body), cr),
+            lambda cr: cr, carry)
+
+    carry = (zero_f + _INF,    # bt
+             zero_i,           # bc
+             zero_f, zero_f,   # bu, bv
+             zero_f, zero_f, zero_f,   # g0..g2
+             zero_i, zero_i)   # pa, pb
+
+    def sph_body(s, cr):
+        bt, bc, bu, bv, g0, g1, g2, pa, pb = cr
+        cx = sphf[S_CX, s]
+        cy = sphf[S_CY, s]
+        cz = sphf[S_CZ, s]
+        cr2 = sphf[S_CR2, s]
+        # half-b quadratic, nearer root only (src/objects.cu:40-79)
+        dc = dx * cx + dy * cy + dz * cz
+        oc = ox * cx + oy * cy + oz * cz
+        h = dc - ddo
+        cq = (cr2 + osq) - (oc + oc)
+        disc = h * h - cq
+        t = h - jnp.sqrt(jnp.maximum(disc, 0.0))
+        valid = (disc >= 0.0) & (t > _EPS)
+        t = jnp.where(valid, t, _INF)
+        better = t < bt
+        bt = jnp.where(better, t, bt)
+        bc = jnp.where(better, s * 2, bc)          # even code = sphere
+        g0 = jnp.where(better, cx, g0)
+        g1 = jnp.where(better, cy, g1)
+        g2 = jnp.where(better, cz, g2)
+        pa = jnp.where(better, sphi[S_PA, s], pa)
+        pb = jnp.where(better, sphi[S_PB, s], pb)
+        return bt, bc, bu, bv, g0, g1, g2, pa, pb
+
+    if num_sph_supers > 0:
+        carry = jax.lax.fori_loop(
+            0, num_sph_supers,
+            lambda g, cr: super_gate(sphs, sphc, sph_leaf, g, cr, sph_body),
+            carry)
+    elif num_sph_clusters > 0:
+        carry = jax.lax.fori_loop(
+            0, num_sph_clusters,
+            lambda c, cr: cluster_gate(sphc, sph_leaf, c, cr, sph_body),
+            carry)
+    elif num_spheres > 0:
+        # flat pool: padded to a multiple of UNROLL, pads poisoned
+        def sflat(j, cr):
+            base = j * UNROLL
+            for u in range(UNROLL):
+                cr = sph_body(base + u, cr)
+            return cr
+        carry = jax.lax.fori_loop(0, num_spheres // UNROLL, sflat, carry)
+
+    def tri_body(k, cr):
+        bt, bc, bu, bv, g0, g1, g2, pa, pb = cr
+        wu0, wu1, wu2, wu3 = (trif[T_WU + r, k] for r in range(4))
+        wv0, wv1, wv2, wv3 = (trif[T_WV + r, k] for r in range(4))
+        ww0, ww1, ww2, ww3 = (trif[T_WW + r, k] for r in range(4))
+        # Woop world->barycentric: t = -o_w/d_w (equivalent to
+        # Möller–Trumbore, src/objects.cu:135-163). Padding/degenerate
+        # triangles have all-zero rows: t = -0/0 = NaN fails every check.
+        ow = ww0 * ox + ww1 * oy + ww2 * oz + ww3
+        dw = ww0 * dx + ww1 * dy + ww2 * dz
+        t = -ow / dw
+        ou = wu0 * ox + wu1 * oy + wu2 * oz + wu3
+        du = wu0 * dx + wu1 * dy + wu2 * dz
+        u = ou + t * du
+        ov = wv0 * ox + wv1 * oy + wv2 * oz + wv3
+        dv = wv0 * dx + wv1 * dy + wv2 * dz
+        v = ov + t * dv
+        valid = (t > _EPS) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        if has_one_way:
+            # one-way culling (src/objects.cu:273-280); zero vector passes
+            cull = (trif[T_CULL, k] * dx + trif[T_CULL + 1, k] * dy
+                    + trif[T_CULL + 2, k] * dz)
+            valid &= cull >= 0.0
+        t = jnp.where(valid, t, _INF)
+        better = t < bt
+        bt = jnp.where(better, t, bt)
+        bc = jnp.where(better, k * 2 + 1, bc)      # odd code = triangle
+        if needs_tri_uv:
+            # barycentric UV with the reference's argument order
+            # (src/objects.cu:160,196-199): uv0*w + uv1*u + uv2*v
+            w = 1.0 - u - v
+            tex_u = (trif[T_UV, k] * w + trif[T_UV + 2, k] * u
+                     + trif[T_UV + 4, k] * v)
+            tex_v = (trif[T_UV + 1, k] * w + trif[T_UV + 3, k] * u
+                     + trif[T_UV + 5, k] * v)
+            bu = jnp.where(better, tex_u, bu)
+            bv = jnp.where(better, tex_v, bv)
+        g0 = jnp.where(better, trif[T_NRM, k], g0)
+        g1 = jnp.where(better, trif[T_NRM + 1, k], g1)
+        g2 = jnp.where(better, trif[T_NRM + 2, k], g2)
+        pa = jnp.where(better, trii[0, k], pa)
+        pb = jnp.where(better, trii[1, k], pb)
+        return bt, bc, bu, bv, g0, g1, g2, pa, pb
+
+    if num_tri_supers > 0:
+        carry = jax.lax.fori_loop(
+            0, num_tri_supers,
+            lambda g, cr: super_gate(tris, tric, tri_leaf, g, cr, tri_body),
+            carry)
+    elif num_tri_clusters > 0:
+        carry = jax.lax.fori_loop(
+            0, num_tri_clusters,
+            lambda c, cr: cluster_gate(tric, tri_leaf, c, cr, tri_body),
+            carry)
+    elif num_tris > 0:
+        def tflat(j, cr):
+            base = j * UNROLL
+            for u in range(UNROLL):
+                cr = tri_body(base + u, cr)
+            return cr
+        carry = jax.lax.fori_loop(0, num_tris // UNROLL, tflat, carry)
+
+    if stats_ref is not None:
+        flat_adjust = 0.0
+        if num_sph_clusters == 0:
+            flat_adjust += float(num_spheres)
+        if num_tri_clusters == 0:
+            flat_adjust += float(num_tris)
+        if flat_adjust:
+            stats_ref[:] = stats_ref[:] + flat_adjust
+    return carry

@@ -22,10 +22,13 @@ from ..models.scene import SceneArrays
 class MatCols:
     """Per-ray material *behaviour* parameters (SoA, lanes = rays).
 
-    Colour / smoothness / IOR are NOT here: they are denormalised onto the
-    primitives (ShadeData carries the winner's values)."""
+    Colour / smoothness are NOT here: they are denormalised onto the
+    primitives (ShadeData carries the winner's values). The refractive
+    index IS here — it is a property of the medium shared by every
+    primitive of the material."""
 
     mat_type: jax.Array    # (N,) i32
+    ior: jax.Array         # (N,) f32
     emit: jax.Array        # (3, N) f32
     tex_type: jax.Array    # (N,) i32
     tex_light: jax.Array   # (3, N) f32
@@ -45,6 +48,7 @@ def lookup_material(scene: SceneArrays, mat_id: jax.Array) -> MatCols:
     # exactly representable (< 2^24).
     table = jnp.concatenate([
         scene.mat_type.astype(jnp.float32)[None, :],
+        scene.mat_ior[None, :],
         scene.mat_emit.T,
         scene.tex_type.astype(jnp.float32)[None, :],
         scene.tex_light.T,
@@ -53,7 +57,7 @@ def lookup_material(scene: SceneArrays, mat_id: jax.Array) -> MatCols:
         scene.tex_offset.astype(jnp.float32)[None, :],
         scene.tex_width.astype(jnp.float32)[None, :],
         scene.tex_height.astype(jnp.float32)[None, :],
-    ], axis=0)                                             # (15, M)
+    ], axis=0)                                             # (16, M)
 
     onehot = (jax.lax.broadcasted_iota(jnp.int32, (m, n), 0)
               == mat_id[None, :]).astype(jnp.float32)      # (M, N)
@@ -62,19 +66,20 @@ def lookup_material(scene: SceneArrays, mat_id: jax.Array) -> MatCols:
         dimension_numbers=(((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
-    )                                                      # (15, N)
+    )                                                      # (16, N)
 
     def as_int(row):
         return (row + 0.5).astype(jnp.int32)
 
     return MatCols(
         mat_type=as_int(cols[0]),
-        emit=cols[1:4],
-        tex_type=as_int(cols[4]),
-        tex_light=cols[5:8],
-        tex_dark=cols[8:11],
-        tex_nsq=cols[11],
-        tex_off=as_int(cols[12]),
-        tex_w=as_int(cols[13]),
-        tex_h=as_int(cols[14]),
+        ior=cols[1],
+        emit=cols[2:5],
+        tex_type=as_int(cols[5]),
+        tex_light=cols[6:9],
+        tex_dark=cols[9:12],
+        tex_nsq=cols[12],
+        tex_off=as_int(cols[13]),
+        tex_w=as_int(cols[14]),
+        tex_h=as_int(cols[15]),
     )

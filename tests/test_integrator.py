@@ -57,8 +57,11 @@ def test_throughput_multiplies_texture():
     idx, o, d = _straight_rays()
     rad, _ = trace(scene, settings, idx, o, d, jax.random.key(0))
     # mirror bounce (smoothness 1) goes straight back and escapes to sky
-    np.testing.assert_allclose(np.asarray(rad),
-                               np.tile([0.5, 0.25, 1.0], (64, 1)), rtol=1e-5)
+    # per-primitive albedo is quantised to 10 bits/channel at build time
+    from raytracer_tpu.ops.sweep import quantise_colour
+    np.testing.assert_allclose(
+        np.asarray(rad),
+        np.tile(quantise_colour((0.5, 0.25, 1.0)), (64, 1)), rtol=1e-5)
 
 
 def test_reflect_limit_caps_bounces():

@@ -30,7 +30,7 @@ def test_supports_flags():
 def test_pack_materials_shape():
     scene, _ = rt.build_scene(1)
     mat = pack_materials(scene)
-    assert mat.shape == (12, scene.mat_type.shape[0])
+    assert mat.shape == (13, scene.mat_type.shape[0])
 
 
 def test_auto_sampler_falls_back_off_tpu():

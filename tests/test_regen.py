@@ -71,3 +71,23 @@ def test_regen_early_exit_segment_count():
     assert float(segs) == n * 16  # exactly one segment per sample
     np.testing.assert_allclose(np.asarray(mean),
                                np.tile([0.8, 1.0, 1.0], (n, 1)), rtol=1e-6)
+
+
+def test_rebin_bitwise_equals_regen():
+    """Row re-binning permutes execution order only: RNG streams are keyed
+    by pixel and per-pixel sums are un-permuted at the end, so the image
+    must be bitwise identical to plain regen."""
+    import dataclasses
+    scene, use_sky = rt.build_scene(4, seed=0)  # 100 spheres => clusters
+    settings = rt.RenderSettings(rays_per_pixel=6, reflect_limit=4
+                                 ).with_sky(use_sky)
+    cam = build_camera(rt.CameraConfig(width=64, height=32,
+                                       position=(0.0, 0.5, -6.0)))
+    o, d = primary_rays(cam, 64, 32)  # 2048 rays = 16 rows
+    idx = jnp.arange(64 * 32, dtype=jnp.int32)
+    regen = dataclasses.replace(settings, sampler="regen")
+    rebin = dataclasses.replace(settings, sampler="rebin")
+    m_a, s_a = render_sample_mean(scene, regen, idx, o, d, jax.random.key(7))
+    m_b, s_b = render_sample_mean(scene, rebin, idx, o, d, jax.random.key(7))
+    np.testing.assert_array_equal(np.asarray(m_a), np.asarray(m_b))
+    assert float(s_a) == float(s_b)

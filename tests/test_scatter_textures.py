@@ -149,7 +149,10 @@ def test_const_and_gradient_textures():
     ])
     u = jnp.array([0.25, 0.25]); v = jnp.array([0.75, 0.75])
     out = np.asarray(_sample(scene, jnp.array([0, 1]), u, v))
-    np.testing.assert_allclose(out[:, 0], [0.2, 0.4, 0.6], rtol=1e-6)
+    # denormalised albedo is quantised to 10 bits/channel at build time
+    from raytracer_tpu.ops.sweep import quantise_colour
+    np.testing.assert_allclose(out[:, 0], quantise_colour((0.2, 0.4, 0.6)),
+                               rtol=1e-6)
     np.testing.assert_allclose(out[:, 1], [0.25, 0.75, 0.0], rtol=1e-6)
 
 

@@ -78,10 +78,17 @@ def test_material_dedup_by_behaviour():
     b.add_sphere((0, 0, 5), 1, m3)
     scene = b.build()
     assert scene.mat_type.shape[0] == 2  # standard-behaviour + refractive
+    # denormalised albedo is quantised to 10 bits/channel at build time
+    # (the sweep packs it into one int32 select)
+    from raytracer_tpu.ops.sweep import quantise_colour
     np.testing.assert_allclose(np.asarray(scene.sph_colour[1]),
-                               [0.5, 0.2, 0.1], rtol=1e-6)
-    assert float(scene.sph_smooth[1]) == np.float32(0.7)
-    assert float(scene.sph_ior[2]) == 1.5
+                               quantise_colour((0.5, 0.2, 0.1)), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(scene.sph_colour[1]),
+                               [0.5, 0.2, 0.1], atol=5e-4)
+    from raytracer_tpu.ops.sweep import quantise_smooth
+    assert float(scene.sph_smooth[1]) == float(quantise_smooth(0.7))
+    # the refractive index rides the deduplicated material behaviour table
+    assert float(scene.mat_ior[int(scene.sph_mat[2])]) == 1.5
 
 
 def test_all_scenes_build():
