@@ -5,7 +5,7 @@
 NATIVE_DIR := raytracer_tpu/runtime/native
 NATIVE_LIB := $(NATIVE_DIR)/libraytracer_host.so
 
-.PHONY: all native test bench clean
+.PHONY: all native test test-tpu bench clean
 
 all: native
 
@@ -16,6 +16,14 @@ $(NATIVE_LIB): $(NATIVE_DIR)/host_runtime.cpp
 
 test: native
 	python -m pytest tests/ -q
+
+# Full suite against real TPU hardware: compiles the actual Mosaic kernels
+# (the default suite runs the Pallas interpreter on a virtual CPU mesh) and
+# enables the megakernel tests, incl. mega-vs-regen agreement per scene.
+# One TPU process at a time; the compilation cache makes re-runs fast.
+test-tpu: native
+	JAX_COMPILATION_CACHE_DIR=$${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache} \
+	RAYTRACER_TEST_TPU=1 python -m pytest tests/ -q
 
 bench: native
 	python bench.py

@@ -51,6 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--checkpoint-every", type=int, default=0)
     r.add_argument("--stats", type=str, default=None,
                    help="JSONL stats sink path")
+    r.add_argument("--shard", choices=("none", "pixel", "spp"),
+                   default="none",
+                   help="multi-chip strategy over all visible devices: "
+                        "'pixel' shards pixel tiles (zero steady-state "
+                        "collectives), 'spp' shards the sample budget "
+                        "(one psum-mean per frame)")
 
     c = sub.add_parser("convert-textures",
                        help="pack a directory of images into a texture "
@@ -92,8 +98,16 @@ def cmd_render(args) -> int:
             args.cam_rot
     camera = rt.CameraConfig(**cam_kwargs)
 
+    sharding = None
+    if args.shard != "none":
+        import jax
+
+        from raytracer_tpu.parallel.mesh import make_mesh, pixel_sharding
+        sharding = pixel_sharding(make_mesh(jax.devices()))
+
     renderer = rt.Renderer(scene, camera, settings, backend=args.backend,
-                           seed=args.seed)
+                           seed=args.seed, sharding=sharding,
+                           shard_mode=args.shard if sharding else "pixel")
     if args.resume:
         renderer.load_checkpoint(args.resume)
 

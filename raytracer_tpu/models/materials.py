@@ -177,5 +177,11 @@ def compile_materials(materials: List[Material]) -> MaterialTable:
             table.tex_width[i] = w
             table.tex_height[i] = h
 
-    table.atlas = np.concatenate(atlas_parts, axis=0)
+    # Texels are stored at bf16 precision (well above 8-bit image sources):
+    # the megakernel's in-kernel one-hot texel fetch rides the MXU, and
+    # bf16-representable values make its result bit-identical to the XLA
+    # atlas gather regardless of matmul precision.
+    import ml_dtypes
+    table.atlas = np.concatenate(atlas_parts, axis=0).astype(
+        ml_dtypes.bfloat16).astype(np.float32)
     return table

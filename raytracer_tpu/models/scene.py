@@ -104,6 +104,32 @@ def _cut_exact_leaves(pmin: np.ndarray, pmax: np.ndarray,
                             starts, counts]).astype(np.float32)
 
 
+def _cell_order(clusters: np.ndarray, lo: np.ndarray,
+                extent: np.ndarray, grid: int) -> np.ndarray:
+    """Near-first cluster visitation order per coarse spatial cell.
+
+    For each cell of a grid x grid x grid lattice over the scene bounds,
+    clusters sorted by distance from the cell centre to the cluster AABB.
+    The sweep picks the order row matching its ray tile's mean origin, so
+    near clusters are swept first and the running best-t closes the gates
+    of far clusters — the tile-level analog of the reference's front-to-back
+    child ordering + distance pruning (src/objects.cu:508-516). Crucially
+    this works even for direction-divergent (post-diffuse-bounce) tiles,
+    where direction-based culling is structurally impossible: with 4096
+    rays per tile, any visible cluster is entered by *some* lane, but it
+    can still lose to every lane's nearer best hit.
+    """
+    bmin, bmax = clusters[:, :3], clusters[:, 3:6]
+    idx = (np.arange(grid, dtype=np.float32) + 0.5) / grid
+    centers = lo + np.stack(
+        np.meshgrid(idx, idx, idx, indexing="ij"), -1).reshape(-1, 3) * extent
+    d = (np.maximum(bmin[None, :, :] - centers[:, None, :], 0.0)
+         + np.maximum(centers[:, None, :] - bmax[None, :, :], 0.0))
+    dist = np.linalg.norm(d, axis=-1)                     # (grid^3, C)
+    return np.argsort(dist, axis=1, kind="stable").astype(
+        np.int32).reshape(-1)
+
+
 def _permute_leaf_blocks(arrs, n_slots: int, order: np.ndarray,
                          leaf: int) -> None:
     """Apply a cluster permutation to the primitive pool in-place, moving
@@ -169,7 +195,10 @@ class SceneArrays:
     tex_offset: jax.Array   # (M,) i32
     tex_width: jax.Array    # (M,) i32
     tex_height: jax.Array   # (M,) i32
-    atlas: jax.Array        # (P, 3) f32
+    atlas: jax.Array        # (P, 3) f32 (bf16-representable values)
+    # Per-material row offset of the material's image texture inside the
+    # megakernel's packed texture planes (0 for non-image materials).
+    tex_row: jax.Array      # (M,) i32
 
     # BVH leaf clusters for tile-sweep culling (reference BVH,
     # src/objects.cu:448-771, redesigned: leaf-only storage, primitives
@@ -184,6 +213,14 @@ class SceneArrays:
     # (C, 8); empty disables the level.
     tri_supers: jax.Array
     sph_supers: jax.Array
+    # Near-first cluster visitation order per coarse spatial cell
+    # (_cell_order): (grid^3 * C,) i32, or (1,) when inactive. The sweep
+    # picks the row for its tile's mean origin so best-t pruning closes far
+    # clusters' gates even for direction-divergent tiles.
+    sph_cell_order: jax.Array
+    tri_cell_order: jax.Array
+    # [lo(3), grid/extent(3)] of the cell lattice; (6,) f32.
+    cell_grid: jax.Array
 
     # Static metadata (not traced): True when any sphere has a UV-dependent
     # texture — lets the integrator skip per-ray lat/long transcendentals
@@ -207,6 +244,15 @@ class SceneArrays:
         default=32, metadata=dict(static=True))
     tri_leaf: int = dataclasses.field(
         default=32, metadata=dict(static=True))
+    # Static layout of image textures inside the megakernel's packed
+    # texture planes: ((atlas_offset, height, width, row_offset), ...) for
+    # each distinct image, plus the total packed row count. Zero rows means
+    # no image textures; rows > IMG_MAX_ROWS or width > 128 disables the
+    # megakernel's in-kernel sampling (wavefront fallback).
+    img_layout: tuple = dataclasses.field(
+        default=(), metadata=dict(static=True))
+    img_rows: int = dataclasses.field(
+        default=0, metadata=dict(static=True))
 
     @property
     def num_spheres(self) -> int:
@@ -561,7 +607,46 @@ class SceneBuilder:
             if corder is not None:
                 _permute_leaf_blocks(sph_arrs, s_pad, corder, s_leaf)
 
+        # --- per-cell near-first visitation orders -------------------------
+        # Active for pools with enough clusters that build-order sweeps
+        # waste work (>= 24) but small enough that the grid^3 x C id table
+        # fits comfortably in SMEM (<= 512 clusters -> <= 128 KB).
+        grid_n = 4
+        sph_cell_order = np.zeros((1,), np.int32)
+        tri_cell_order = np.zeros((1,), np.int32)
+        cell_grid = np.zeros((6,), np.float32)
+        boxes = [c for c in (sph_clusters, tri_clusters) if c.shape[0] > 0]
+        if boxes:
+            all_b = np.concatenate(boxes, axis=0)
+            lo = all_b[:, :3].min(axis=0)
+            extent = np.maximum(all_b[:, 3:6].max(axis=0) - lo, 1e-6)
+            cell_grid = np.concatenate(
+                [lo, grid_n / extent]).astype(np.float32)
+            if 24 <= sph_clusters.shape[0] <= 512:
+                sph_cell_order = _cell_order(sph_clusters, lo, extent, grid_n)
+            if 24 <= tri_clusters.shape[0] <= 512:
+                tri_cell_order = _cell_order(tri_clusters, lo, extent, grid_n)
+
         table = compile_materials(self._materials)
+
+        # --- megakernel image-texture layout -------------------------------
+        # Distinct images packed vertically into (rows, 128) channel planes;
+        # per-material row offsets let the in-kernel one-hot fetch address
+        # them with a single global texture-row coordinate.
+        img_layout = []
+        img_rows = 0
+        tex_row = np.zeros(table.tex_type.shape[0], np.int32)
+        seen_off = {}
+        for m in range(table.tex_type.shape[0]):
+            if table.tex_type[m] != 3:  # TEX_IMAGE
+                continue
+            off = int(table.tex_offset[m])
+            h, w = int(table.tex_height[m]), int(table.tex_width[m])
+            if off not in seen_off:
+                seen_off[off] = img_rows
+                img_layout.append((off, h, w, img_rows))
+                img_rows += h
+            tex_row[m] = seen_off[off]
 
         needs_sphere_uv = bool(
             np.any(table.tex_type[sph_mat[:s]] != 0)) if s > 0 else False
@@ -574,12 +659,17 @@ class SceneBuilder:
             sph_clusters=jnp.asarray(sph_clusters),
             tri_supers=jnp.asarray(tri_supers),
             sph_supers=jnp.asarray(sph_supers),
+            sph_cell_order=jnp.asarray(sph_cell_order),
+            tri_cell_order=jnp.asarray(tri_cell_order),
+            cell_grid=jnp.asarray(cell_grid),
             needs_sphere_uv=needs_sphere_uv,
             has_image_tex=bool(np.any(table.tex_type == 3)),
             has_one_way=has_one_way,
             needs_tri_uv=needs_tri_uv,
             sph_leaf=int(s_leaf),
             tri_leaf=int(t_leaf),
+            img_layout=tuple(img_layout),
+            img_rows=int(img_rows),
             sph_center=jnp.asarray(sph_center),
             sph_radius=jnp.asarray(sph_radius),
             sph_mat=jnp.asarray(sph_mat),
@@ -613,4 +703,5 @@ class SceneBuilder:
             tex_width=jnp.asarray(table.tex_width),
             tex_height=jnp.asarray(table.tex_height),
             atlas=jnp.asarray(table.atlas),
+            tex_row=jnp.asarray(tex_row),
         )

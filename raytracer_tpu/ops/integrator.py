@@ -292,7 +292,8 @@ def render_sample_mean(
     if sampler == "auto":
         # megakernel needs the on-core PRNG => real TPUs only (no CPU
         # lowering even in pallas interpret mode)
-        use_mega = (backend == "pallas" and not scene.has_image_tex
+        from .megakernel import supports
+        use_mega = (backend == "pallas" and supports(scene)
                     and jax.default_backend() == "tpu")
         sampler = "mega" if use_mega else "regen"
     if sampler == "mega":

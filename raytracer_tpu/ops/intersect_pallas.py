@@ -27,6 +27,7 @@ orientation conventions (sphere outward, triangle flipped against the ray).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -52,6 +53,7 @@ def _interpret() -> bool:
 
 
 def _kernel(sphf, sphi, trif, trii, sphc_ref, tric_ref, sphs_ref, tris_ref,
+            sph_order_ref, tri_order_ref, grid_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             t_ref, code_ref, u_ref, v_ref, n0_ref, n1_ref, n2_ref,
             mat_ref, colr_ref, colg_ref, colb_ref, smooth_ref,
@@ -59,6 +61,7 @@ def _kernel(sphf, sphi, trif, trii, sphc_ref, tric_ref, sphs_ref, tris_ref,
             num_sph_clusters: int, num_tri_clusters: int,
             num_sph_supers: int, num_tri_supers: int,
             has_one_way: bool = True, needs_tri_uv: bool = True,
+            sph_ordered: bool = False, tri_ordered: bool = False,
             sph_leaf: int = 32, tri_leaf: int = 32,
             with_stats: bool = False):
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
@@ -76,12 +79,14 @@ def _kernel(sphf, sphi, trif, trii, sphc_ref, tric_ref, sphs_ref, tris_ref,
     zero_i = jnp.zeros((ROWS, LANES), jnp.int32)
     (bt, bc, bu, bv, g0, g1, g2, pa, pb) = sweep_tile(
         sphf, sphi, trif, trii, sphc_ref, tric_ref, sphs_ref, tris_ref,
+        sph_order_ref, tri_order_ref, grid_ref,
         ox, oy, oz, dx, dy, dz, zero_f, zero_i,
         num_spheres=num_spheres, num_tris=num_tris,
         num_sph_clusters=num_sph_clusters,
         num_tri_clusters=num_tri_clusters,
         num_sph_supers=num_sph_supers, num_tri_supers=num_tri_supers,
         has_one_way=has_one_way, needs_tri_uv=needs_tri_uv,
+        sph_ordered=sph_ordered, tri_ordered=tri_ordered,
         sph_leaf=sph_leaf, tri_leaf=tri_leaf,
         stats_ref=stats_ref)
 
@@ -99,6 +104,196 @@ def _kernel(sphf, sphi, trif, trii, sphc_ref, tric_ref, sphs_ref, tris_ref,
     colg_ref[:] = colg
     colb_ref[:] = colb
     smooth_ref[:] = bs
+
+
+# Primitive-block sizes for the HBM-streamed variant (scenes whose resident
+# SMEM layout would exceed sweep.SMEM_BUDGET): per grid step one block per
+# pool is pipelined HBM -> SMEM by Pallas while the previous block sweeps.
+SPH_BLOCK = 4096
+TRI_BLOCK = 1024
+_FORCE_BLOCKED = bool(os.environ.get("RAYTRACER_FORCE_BLOCKED", ""))
+
+
+def _kernel_blocked(sphf, sphi, trif, trii, sphc_ref, tric_ref,
+                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                    t_ref, code_ref, u_ref, v_ref,
+                    n0_ref, n1_ref, n2_ref, pa_ref, pb_ref,
+                    *, sph_blocks: int, tri_blocks: int,
+                    has_one_way: bool, needs_tri_uv: bool,
+                    sph_leaf: int, tri_leaf: int):
+    """Beyond-SMEM scenes: grid = (ray tiles, primitive blocks).
+
+    The scene lives in HBM; Pallas double-buffers one primitive block per
+    pool into SMEM per grid step (index_map on the j axis) while the
+    previous block sweeps — the analog of the reference holding geometry
+    in global memory (src/objects.cu:741-770), with the streaming the TPU
+    way. The running best rides the *output* refs across the j steps of a
+    ray tile (grid iterates j fastest, so the output block stays
+    VMEM-resident) — the standard accumulator pattern, carrying the
+    sweep's packed 9-tuple. Winner codes are re-based by the block offset
+    so the final code indexes the full pool. Per-leaf cluster gates prune
+    within each block.
+    """
+    j = pl.program_id(1)
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+
+    @pl.when(j == 0)
+    def _():
+        t_ref[:] = jnp.full((ROWS, LANES), _INF, jnp.float32)
+        code_ref[:] = jnp.zeros((ROWS, LANES), jnp.int32)
+        u_ref[:] = jnp.zeros((ROWS, LANES), jnp.float32)
+        v_ref[:] = jnp.zeros((ROWS, LANES), jnp.float32)
+        n0_ref[:] = jnp.zeros((ROWS, LANES), jnp.float32)
+        n1_ref[:] = jnp.zeros((ROWS, LANES), jnp.float32)
+        n2_ref[:] = jnp.zeros((ROWS, LANES), jnp.float32)
+        pa_ref[:] = jnp.zeros((ROWS, LANES), jnp.int32)
+        pb_ref[:] = jnp.zeros((ROWS, LANES), jnp.int32)
+
+    carry = (t_ref[:], code_ref[:], u_ref[:], v_ref[:],
+             n0_ref[:], n1_ref[:], n2_ref[:], pa_ref[:], pb_ref[:])
+
+    zero_f = jnp.zeros((ROWS, LANES), jnp.float32)
+    zero_i = jnp.zeros((ROWS, LANES), jnp.int32)
+
+    # Relativise the carried winner code to this block, sweep, re-globalise.
+    sph_base = j * SPH_BLOCK
+    tri_base = j * TRI_BLOCK
+
+    def localise(code):
+        is_tri = (code & 1) == 1
+        idx = code >> 1
+        return jnp.where(is_tri, (idx - tri_base) * 2 + 1,
+                         (idx - sph_base) * 2)
+
+    def globalise(code):
+        is_tri = (code & 1) == 1
+        idx = code >> 1
+        return jnp.where(is_tri, (idx + tri_base) * 2 + 1,
+                         (idx + sph_base) * 2)
+
+    carry = (carry[0], localise(carry[1])) + carry[2:]
+    carry = sweep_tile(
+        sphf, sphi, trif, trii, sphc_ref, tric_ref,
+        # supers/order/grid slots are statically disabled; any ref works
+        sphc_ref, tric_ref, sphc_ref, tric_ref, sphc_ref,
+        ox, oy, oz, dx, dy, dz, zero_f, zero_i,
+        num_spheres=SPH_BLOCK if sph_blocks > 0 else 0,
+        num_tris=TRI_BLOCK if tri_blocks > 0 else 0,
+        num_sph_clusters=(SPH_BLOCK // sph_leaf) if sph_blocks > 0 else 0,
+        num_tri_clusters=(TRI_BLOCK // tri_leaf) if tri_blocks > 0 else 0,
+        num_sph_supers=0, num_tri_supers=0,
+        has_one_way=has_one_way, needs_tri_uv=needs_tri_uv,
+        sph_leaf=sph_leaf, tri_leaf=tri_leaf,
+        carry=carry)
+    carry = (carry[0], globalise(carry[1])) + carry[2:]
+
+    t_ref[:], code_ref[:], u_ref[:], v_ref[:] = carry[0:4]
+    n0_ref[:], n1_ref[:], n2_ref[:] = carry[4:7]
+    pa_ref[:], pb_ref[:] = carry[7:9]
+
+
+def _run_kernel_blocked(planes, scene: SceneArrays, rows: int):
+    """Dispatch the HBM-streamed kernel; returns the sweep's raw 9 outputs."""
+    (sphf, sphi, trif, trii, sphc, tric, _, _, _, _, _) = pack_scene(scene)
+
+    def pad_pool(arr, block, fill=0.0):
+        total = max(block, -(-arr.shape[1] // block) * block)
+        pad = total - arr.shape[1]
+        if pad:
+            arr = jnp.pad(arr, ((0, 0), (0, pad)), constant_values=fill)
+        return arr, total // block
+
+    sphf, sb = pad_pool(sphf, SPH_BLOCK)
+    s_real = int(scene.sph_center.shape[0])
+    if sphf.shape[1] > s_real:
+        # poison the padding spheres (discriminant always negative)
+        from .sweep import S_CR2
+        sphf = sphf.at[S_CR2, s_real:].set(_INF)
+    sphi, _ = pad_pool(sphi, SPH_BLOCK)
+    trif, tb = pad_pool(trif, TRI_BLOCK)
+    trii, _ = pad_pool(trii, TRI_BLOCK)
+    nblocks = max(sb, tb)
+
+    def pad_clusters(cl, leaf, pool_slots, count):
+        """One row per leaf over the padded pool; missing leaves get
+        never-entered boxes (min=+INF > max=-INF fails the slab test)."""
+        rows_needed = pool_slots // leaf
+        out = jnp.tile(jnp.asarray(
+            [[_INF, _INF, _INF, -_INF, -_INF, -_INF, 0.0, 0.0]],
+            jnp.float32), (rows_needed, 1))
+        if count > 0:
+            out = out.at[:count].set(cl[:count])
+        return out
+
+    sphc = pad_clusters(sphc, int(scene.sph_leaf), sphf.shape[1],
+                        int(scene.sph_clusters.shape[0]))
+    tric = pad_clusters(tric, int(scene.tri_leaf), trif.shape[1],
+                        int(scene.tri_clusters.shape[0]))
+    # equalise the j axis across pools: every pool must provide a block
+    # (a never-entered one where it has run out of primitives)
+    def pad_j(arr, per_block):
+        want = nblocks * per_block
+        if arr.shape[0] < want:
+            fill = jnp.tile(jnp.asarray(
+                [[_INF, _INF, _INF, -_INF, -_INF, -_INF, 0.0, 0.0]],
+                jnp.float32), (want - arr.shape[0], 1))
+            arr = jnp.concatenate([arr, fill], axis=0)
+        return arr
+
+    sphc = pad_j(sphc, SPH_BLOCK // int(scene.sph_leaf))
+    tric = pad_j(tric, TRI_BLOCK // int(scene.tri_leaf))
+
+    from .sweep import S_CR2 as _S_CR2
+    want_s = nblocks * SPH_BLOCK
+    if sphf.shape[1] < want_s:
+        padn = want_s - sphf.shape[1]
+        sphf = jnp.pad(sphf, ((0, 0), (0, padn)))
+        sphf = sphf.at[_S_CR2, -padn:].set(_INF)
+        sphi = jnp.pad(sphi, ((0, 0), (0, padn)))
+    want_t = nblocks * TRI_BLOCK
+    if trif.shape[1] < want_t:
+        trif = jnp.pad(trif, ((0, 0), (0, want_t - trif.shape[1])))
+        trii = jnp.pad(trii, ((0, 0), (0, want_t - trii.shape[1])))
+
+    smem = pltpu.SMEM
+    ray_spec = pl.BlockSpec((ROWS, LANES), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    out_dts = [f32, jnp.int32, f32, f32, f32, f32, f32,
+               jnp.int32, jnp.int32]
+    sc_rows = SPH_BLOCK // int(scene.sph_leaf)
+    tc_rows = TRI_BLOCK // int(scene.tri_leaf)
+    outs = pl.pallas_call(
+        functools.partial(
+            _kernel_blocked,
+            sph_blocks=sb, tri_blocks=tb,
+            has_one_way=bool(scene.has_one_way),
+            needs_tri_uv=bool(scene.needs_tri_uv),
+            sph_leaf=int(scene.sph_leaf), tri_leaf=int(scene.tri_leaf)),
+        grid=(rows // ROWS, nblocks),
+        in_specs=[
+            pl.BlockSpec((sphf.shape[0], SPH_BLOCK), lambda i, j: (0, j),
+                         memory_space=smem),
+            pl.BlockSpec((sphi.shape[0], SPH_BLOCK), lambda i, j: (0, j),
+                         memory_space=smem),
+            pl.BlockSpec((trif.shape[0], TRI_BLOCK), lambda i, j: (0, j),
+                         memory_space=smem),
+            pl.BlockSpec((trii.shape[0], TRI_BLOCK), lambda i, j: (0, j),
+                         memory_space=smem),
+            pl.BlockSpec((sc_rows, 8), lambda i, j: (j, 0),
+                         memory_space=smem),
+            pl.BlockSpec((tc_rows, 8), lambda i, j: (j, 0),
+                         memory_space=smem),
+        ] + [ray_spec] * 6,
+        out_specs=tuple(
+            pl.BlockSpec((ROWS, LANES), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM) for _ in out_dts),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((rows, LANES), dt) for dt in out_dts),
+        interpret=_interpret(),
+    )(sphf, sphi, trif, trii, sphc, tric, *planes)
+    return outs
 
 
 def _run_kernel(o: jax.Array, d: jax.Array, scene: SceneArrays,
@@ -120,7 +315,24 @@ def _run_kernel(o: jax.Array, d: jax.Array, scene: SceneArrays,
     planes = [p.reshape(rows, LANES)
               for p in (o[0], o[1], o[2], d[0], d[1], d[2])]
 
-    sphf, sphi, trif, trii, sphc, tric, sphs, tris = pack_scene(scene)
+    from .sweep import fits_smem
+    if _FORCE_BLOCKED or not fits_smem(scene):
+        if with_stats:
+            raise ValueError(
+                "intersection_stats is unavailable for beyond-SMEM scenes "
+                "(the HBM-streamed kernel does not thread the counters).")
+        t, code, u, v, n0, n1, n2, pa, pb = _run_kernel_blocked(
+            planes, scene, rows)
+        colr, colg, colb = decode_colour30(pa)
+        bs, mat_id = decode_smooth_mat(pb)
+        outs = [t, code, u, v, n0, n1, n2, mat_id, colr, colg, colb, bs]
+        outs = [x.reshape(-1)[:n] for x in outs]
+        tt = outs[0]
+        outs[0] = jnp.where(tt < _INF, tt * inv_len[:n], INF)
+        return outs
+
+    (sphf, sphi, trif, trii, sphc, tric, sphs, tris,
+     sph_order, tri_order, cell_grid) = pack_scene(scene)
     num_spheres = int(scene.sph_center.shape[0])
     num_tris = int(scene.tri_v0.shape[0])
     num_sph_clusters = int(scene.sph_clusters.shape[0])
@@ -149,11 +361,13 @@ def _run_kernel(o: jax.Array, d: jax.Array, scene: SceneArrays,
                           num_tri_supers=num_tri_supers,
                           has_one_way=bool(scene.has_one_way),
                           needs_tri_uv=bool(scene.needs_tri_uv),
+                          sph_ordered=scene.sph_cell_order.shape[0] > 1,
+                          tri_ordered=scene.tri_cell_order.shape[0] > 1,
                           sph_leaf=int(scene.sph_leaf),
                           tri_leaf=int(scene.tri_leaf),
                           with_stats=with_stats),
         grid=(rows // ROWS,),
-        in_specs=[scene_spec] * 8 + [ray_spec] * 6,
+        in_specs=[scene_spec] * 11 + [ray_spec] * 6,
         out_specs=(ray_spec,) * len(out_dts),
         out_shape=tuple(
             jax.ShapeDtypeStruct((rows, LANES), dt) for dt in out_dts),
@@ -163,7 +377,8 @@ def _run_kernel(o: jax.Array, d: jax.Array, scene: SceneArrays,
             transcendentals=n_pad * num_spheres,
         ),
         interpret=_interpret(),
-    )(sphf, sphi, trif, trii, sphc, tric, sphs, tris, *planes)
+    )(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
+      sph_order, tri_order, cell_grid, *planes)
 
     outs = [x.reshape(-1)[:n] for x in outs]
     # rescale t (INF stays INF, not INF * inv_len)

@@ -38,7 +38,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import ANTIALIAS_OFFSET_RANGE, RenderSettings
 from ..models.materials import (MAT_EMISSIVE, MAT_REFRACTIVE,
-                                TEX_CHECKERBOARD, TEX_GRADIENT)
+                                TEX_CHECKERBOARD, TEX_GRADIENT,
+                                TEX_IMAGE)
 from ..models.scene import SceneArrays
 from .intersect_pallas import _interpret
 from .sweep import (LANES, decode_colour30, decode_smooth_mat,
@@ -51,10 +52,16 @@ _INF = 1e30
 # make tile-granular BVH culling coarser. Measured optimum: 64 rows for
 # cluster-light scenes, 32 for mesh-heavy ones (chosen per scene below).
 import os
-MROWS = int(os.environ.get("RAYTRACER_MROWS", "32"))
-MROWS_FLAT = int(os.environ.get("RAYTRACER_MROWS_FLAT", "64"))
-# Bounce-steps per while_loop iteration (amortises loop-condition reduces).
-_KSTEP = int(os.environ.get("RAYTRACER_KSTEP", "4"))
+# Rows per independent ray stream (measured best: 32).
+SROWS = int(os.environ.get("RAYTRACER_SROWS", "32"))
+# Independent ray streams interleaved per grid step (see _kernel). Measured
+# on v5e: 1 stream 251 Mrays/s, 2 streams 230, 3 streams 217 on the
+# reference workload — the extra register pressure (spills) costs more than
+# the latency hiding buys, so the default stays 1; the machinery remains
+# for future tuning on other TPU generations.
+NSTREAM = int(os.environ.get("RAYTRACER_STREAMS", "1"))
+MROWS = SROWS * NSTREAM
+MROWS_FLAT = MROWS
 # Timing ablations (measurement only): comma-separated flags.
 #   sweep2 — run the primitive sweep twice per bounce (marginal sweep cost)
 #   rng2   — draw every random twice (marginal RNG cost)
@@ -64,14 +71,51 @@ MEGA_TILE = MROWS * LANES
 # material table rows (behaviour only — colour/smoothness are denormalised
 # onto the primitives; ior is a per-material medium property)
 (_M_TYPE, _M_IOR, _M_EMR, _M_EMG, _M_EMB, _M_TEXTYPE,
- _M_LR, _M_LG, _M_LB, _M_DR, _M_DG, _M_DB, _M_NSQ) = range(13)
-_M_ROWS = 13
+ _M_LR, _M_LG, _M_LB, _M_DR, _M_DG, _M_DB, _M_NSQ,
+ _M_TW, _M_TH, _M_TROW) = range(16)
+_M_ROWS = 16
+
+
+IMG_MAX_ROWS = 128  # packed texture-plane rows the one-hot fetch supports
 
 
 def supports(scene: SceneArrays) -> bool:
-    """Megakernel preconditions: no image textures in the scene
-    (per-lane atlas gathers don't vectorise on TPU)."""
-    return not scene.has_image_tex
+    """Megakernel preconditions.
+
+    Image textures are sampled in-kernel with a factorised one-hot fetch
+    (one row-onehot matmul on the MXU + one column-masked reduce) as long
+    as every image fits the packed planes: total rows <= IMG_MAX_ROWS and
+    width <= 128 texels. Bigger atlases fall back to the wavefront
+    pipeline's XLA gather."""
+    from .sweep import fits_smem
+    if not fits_smem(scene):
+        # scene-resident SMEM layout would blow the ~1 MiB budget; the
+        # wavefront pipeline's HBM-streamed kernel takes over
+        return False
+    if not scene.has_image_tex:
+        return True
+    return (0 < scene.img_rows <= IMG_MAX_ROWS
+            and all(w <= LANES for (_, _, w, _) in scene.img_layout))
+
+
+def pack_textures(scene: SceneArrays) -> jax.Array:
+    """Image textures -> pre-transposed channel planes (3*128, img_rows).
+
+    Row c*128+col, column trow holds channel c of texel (trow, col): the
+    in-kernel fetch is then ``planes @ row_onehot`` (one MXU matmul per
+    128-lane chunk) followed by a column-masked reduce. Texel values are
+    bf16-representable (materials.compile_materials), so the single nonzero
+    product per output accumulates exactly in f32 at any MXU precision.
+    """
+    if scene.img_rows == 0:
+        return jnp.zeros((8, LANES), jnp.float32)
+    planes = jnp.zeros((3, scene.img_rows, LANES), jnp.float32)
+    for (off, h, w, row) in scene.img_layout:
+        img = scene.atlas[off:off + h * w].reshape(h, w, 3)
+        img = jnp.pad(img, ((0, 0), (0, LANES - w), (0, 0)))
+        planes = planes.at[:, row:row + h, :].set(jnp.moveaxis(img, 2, 0))
+    return jnp.transpose(planes, (0, 2, 1)).reshape(
+        3 * LANES, scene.img_rows)
 
 
 def mega_tile_for(scene: SceneArrays) -> int:
@@ -81,10 +125,7 @@ def mega_tile_for(scene: SceneArrays) -> int:
     to compute global tile offsets so megakernel RNG streams stay bitwise
     shard-invariant (one tile id per tile regardless of topology).
     """
-    total_clusters = (int(scene.sph_clusters.shape[0])
-                      + int(scene.tri_clusters.shape[0]))
-    mrows = MROWS if total_clusters > 16 else MROWS_FLAT
-    return mrows * LANES
+    return MROWS * LANES
 
 
 def pack_materials(scene: SceneArrays) -> jax.Array:
@@ -96,7 +137,41 @@ def pack_materials(scene: SceneArrays) -> jax.Array:
         scene.tex_light.T,
         scene.tex_dark.T,
         scene.tex_nsq[None, :],
+        scene.tex_width.astype(jnp.float32)[None, :],
+        scene.tex_height.astype(jnp.float32)[None, :],
+        scene.tex_row.astype(jnp.float32)[None, :],
     ], axis=0)
+
+
+def _fetch_image(tex_ref, uu, vv, mtw, mth, mtrow, *, img_rows: int):
+    """Factorised nearest-neighbour texel fetch (src/material.cu:119-124).
+
+    Per 128-lane chunk: a (img_rows, 128) row-onehot contracted with the
+    pre-transposed planes on the MXU picks each lane's texture *row* for
+    all 128 columns at once; a column mask + sublane reduce then picks the
+    lane's column. No per-lane gather ever happens — the TPU-native form
+    of the reference's image[v*w + u] indexing.
+    """
+    srows = uu.shape[0]
+    u_i = jnp.clip(((mtw - 1.0) * uu).astype(jnp.int32), 0,
+                   jnp.maximum(mtw.astype(jnp.int32) - 1, 0))
+    v_i = jnp.clip(((mth - 1.0) * vv).astype(jnp.int32), 0,
+                   jnp.maximum(mth.astype(jnp.int32) - 1, 0))
+    ty = mtrow.astype(jnp.int32) + v_i
+    texT = tex_ref[:]                      # (3*LANES, img_rows)
+    outs = ([], [], [])
+    for r in range(srows):
+        ty_r = ty[r:r + 1, :]
+        tx_r = u_i[r:r + 1, :]
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (img_rows, LANES), 0)
+              == ty_r).astype(jnp.float32)
+        colsel = jnp.dot(texT, oh, preferred_element_type=jnp.float32)
+        cmask = (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+                 == tx_r).astype(jnp.float32)
+        for c in range(3):
+            outs[c].append(jnp.sum(colsel[c * LANES:(c + 1) * LANES] * cmask,
+                                   axis=0, keepdims=True))
+    return tuple(jnp.concatenate(o, axis=0) for o in outs)
 
 
 def _asin(x):
@@ -124,7 +199,8 @@ def _uniform(shape):
 
 
 def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
-            sphc_ref, tric_ref, sphs_ref, tris_ref, mat_ref,
+            sphc_ref, tric_ref, sphs_ref, tris_ref,
+            sph_order_ref, tri_order_ref, grid_ref, mat_ref, tex_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             sum_r_ref, sum_g_ref, sum_b_ref, segs_ref,
             *, num_spheres: int, num_tris: int, num_sph_clusters: int,
@@ -133,7 +209,9 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
             limit: int, antialias: bool, sky: tuple,
             emissive_terminates: bool, fix_exit_ior: bool,
             need_sphere_uv: bool, has_one_way: bool, needs_tri_uv: bool,
-            sph_leaf: int, tri_leaf: int, mrows: int):
+            sph_ordered: bool, tri_ordered: bool,
+            sph_leaf: int, tri_leaf: int, mrows: int, nstream: int,
+            img_rows: int):
     tile = pl.program_id(0)
     # counter-based seeding: (frame key material, global tile index)
     # two 32-bit seed words max: fold (frame key, global tile) together
@@ -142,356 +220,376 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
         seed_ref[0],
         seed_ref[1] + (seed_ref[2] + tile) * jnp.int32(-1640531527))
 
-    o0x, o0y, o0z = ox_ref[:], oy_ref[:], oz_ref[:]
-    d0x, d0y, d0z = dx_ref[:], dy_ref[:], dz_ref[:]
+    o0x_t, o0y_t, o0z_t = ox_ref[:], oy_ref[:], oz_ref[:]
+    d0x_t, d0y_t, d0z_t = dx_ref[:], dy_ref[:], dz_ref[:]
+    srows = mrows // nstream
 
-    shape = (mrows, LANES)
-    # Derive loop-carry seeds from loaded data: broadcast constants get a
-    # "replicated" Mosaic layout that is invalid as a while_loop carry.
-    f0 = o0x * 0.0
-    i0 = f0.astype(jnp.int32)
+    # The per-bounce program is one long dependency chain of (rows, 128)
+    # ops; measured on v5e it is latency-bound with most VPU issue slots
+    # idle (doubling whole blocks costs ~nothing). Advancing ``nstream``
+    # independent ray streams per grid step lets their chains overlap in
+    # the pipeline — near-linear throughput gain until register pressure
+    # bites (2 x 32 rows measured best).
+    def make_stream(lo):
+      o0x, o0y, o0z = o0x_t[lo:lo + srows], o0y_t[lo:lo + srows], \
+          o0z_t[lo:lo + srows]
+      d0x, d0y, d0z = d0x_t[lo:lo + srows], d0y_t[lo:lo + srows], \
+          d0z_t[lo:lo + srows]
 
-    def sweep(ox, oy, oz, dx, dy, dz):
-        """Nearest hit + winner shade params (shared core, ops/sweep.py)."""
-        return sweep_tile(
-            sphf_ref, sphi_ref, trif_ref, trii_ref,
-            sphc_ref, tric_ref, sphs_ref, tris_ref,
-            ox, oy, oz, dx, dy, dz, f0, i0,
-            num_spheres=num_spheres, num_tris=num_tris,
-            num_sph_clusters=num_sph_clusters,
-            num_tri_clusters=num_tri_clusters,
-            num_sph_supers=num_sph_supers,
-            num_tri_supers=num_tri_supers,
-            has_one_way=has_one_way, needs_tri_uv=needs_tri_uv,
-            sph_leaf=sph_leaf, tri_leaf=tri_leaf)
+      shape = (srows, LANES)
+      # Derive loop-carry seeds from loaded data: broadcast constants get a
+      # "replicated" Mosaic layout that is invalid as a while_loop carry.
+      f0 = o0x * 0.0
+      i0 = f0.astype(jnp.int32)
 
-    def body(state):
-        (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, bounce_i, sample_i,
-         ior, sr, sg, sb, segs) = state
-        active = sample_i < spp
-        if "iters" in _ABLATE:
-            # measurement: count every lane-iteration instead of active ones
-            # (base_mrays / iters_mrays = mean lane activity)
-            segs = segs + 1.0
-        else:
-            segs = segs + jnp.where(active, 1.0, 0.0)
+      def sweep(  ox, oy, oz, dx, dy, dz):
+          """Nearest hit + winner shade params (shared core, ops/sweep.py)."""
+          return sweep_tile(
+              sphf_ref, sphi_ref, trif_ref, trii_ref,
+              sphc_ref, tric_ref, sphs_ref, tris_ref,
+              sph_order_ref, tri_order_ref, grid_ref,
+              ox, oy, oz, dx, dy, dz, f0, i0,
+              num_spheres=num_spheres, num_tris=num_tris,
+              num_sph_clusters=num_sph_clusters,
+              num_tri_clusters=num_tri_clusters,
+              num_sph_supers=num_sph_supers,
+              num_tri_supers=num_tri_supers,
+              has_one_way=has_one_way, needs_tri_uv=needs_tri_uv,
+              sph_ordered=sph_ordered, tri_ordered=tri_ordered,
+              sph_leaf=sph_leaf, tri_leaf=tri_leaf)
 
-        # --- randoms (on-core PRNG) ---
-        if antialias:
-            jx = (_uniform(shape) - 0.5) * (2 * ANTIALIAS_OFFSET_RANGE)
-            jy = (_uniform(shape) - 0.5) * (2 * ANTIALIAS_OFFSET_RANGE)
-            jz = (_uniform(shape) - 0.5) * (2 * ANTIALIAS_OFFSET_RANGE)
-            dx, dy, dz = dx + jx, dy + jy, dz + jz
-            inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
-            dx, dy, dz = dx * inv, dy * inv, dz * inv
-        # Box-Muller gaussian triple (the reference's normally_dist_num,
-        # src/utils.cu:234-239)
-        if "rng2" in _ABLATE:
-            for _ in range(8):
-                _uniform(shape)
-        def box_muller():
-            u1 = jnp.maximum(_uniform(shape), 1e-12)
-            u2 = _uniform(shape)
-            u3 = jnp.maximum(_uniform(shape), 1e-12)
-            u4 = _uniform(shape)
-            r1 = jnp.sqrt(-2.0 * jnp.log(u1))
-            r2 = jnp.sqrt(-2.0 * jnp.log(u3))
-            gx = r1 * jnp.cos(2 * jnp.pi * u2)
-            gy = r1 * jnp.sin(2 * jnp.pi * u2)
-            gz = r2 * jnp.cos(2 * jnp.pi * u4)
-            return gx, gy, gz, u1
+      def body(state):
+          (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, bounce_i, sample_i,
+           ior, sr, sg, sb, segs) = state
+          active = sample_i < spp
+          if "iters" in _ABLATE:
+              # measurement: count every lane-iteration instead of active ones
+              # (base_mrays / iters_mrays = mean lane activity)
+              segs = segs + 1.0
+          else:
+              segs = segs + jnp.where(active, 1.0, 0.0)
 
-        if "nobm" in _ABLATE:
-            # measurement: uniform triple instead of Box-Muller gaussians
-            gx = _uniform(shape) - 0.5
-            gy = _uniform(shape) - 0.5
-            gz = _uniform(shape) - 0.5
-            _u1 = gx
-        else:
-            gx, gy, gz, _u1 = box_muller()
-        if "bm2" in _ABLATE:
-            gx2, gy2, gz2, _ = box_muller()
-            take2 = _u1 < 2.0  # always true; opaque to the compiler
-            gx = jnp.where(take2, gx2, gx)
-            gy = jnp.where(take2, gy2, gy)
-            gz = jnp.where(take2, gz2, gz)
-        fres_u = _uniform(shape)
+          # --- randoms (on-core PRNG) ---
+          if antialias:
+              jx = (_uniform(shape) - 0.5) * (2 * ANTIALIAS_OFFSET_RANGE)
+              jy = (_uniform(shape) - 0.5) * (2 * ANTIALIAS_OFFSET_RANGE)
+              jz = (_uniform(shape) - 0.5) * (2 * ANTIALIAS_OFFSET_RANGE)
+              dx, dy, dz = dx + jx, dy + jy, dz + jz
+              inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+              dx, dy, dz = dx * inv, dy * inv, dz * inv
+          # Box-Muller gaussian triple (the reference's normally_dist_num,
+          # src/utils.cu:234-239)
+          if "rng2" in _ABLATE:
+              for _ in range(8):
+                  _uniform(shape)
+          def box_muller():
+              u1 = jnp.maximum(_uniform(shape), 1e-12)
+              u2 = _uniform(shape)
+              u3 = jnp.maximum(_uniform(shape), 1e-12)
+              u4 = _uniform(shape)
+              r1 = jnp.sqrt(-2.0 * jnp.log(u1))
+              r2 = jnp.sqrt(-2.0 * jnp.log(u3))
+              gx = r1 * jnp.cos(2 * jnp.pi * u2)
+              gy = r1 * jnp.sin(2 * jnp.pi * u2)
+              gz = r2 * jnp.cos(2 * jnp.pi * u4)
+              return gx, gy, gz, u1
 
-        # --- nearest hit + shade params ---
-        if "nosweep" in _ABLATE:
-            # measurement: fake always-hit, skip intersection entirely
-            bt = jnp.abs(oz) + 0.5
-            bc, pa, pb = i0, i0, i0
-            bu, bv = fres_u, fres_u
-            n0, n1, n2 = f0, f0 + 1.0, f0
-        else:
-            (bt, bc, bu, bv, n0, n1, n2, pa, pb) = sweep(
-                ox, oy, oz, dx, dy, dz)
-        if "noshade" in _ABLATE:
-            # measurement: consume every sweep output (so none of its
-            # selects are DCE'd), then regenerate immediately — isolates
-            # while+RNG+sweep from the shading/scatter half of the body.
-            dummy = (bt + bu + bv + n0 + n1 + n2 + msm
-                     + (bc + pa + pb).astype(jnp.float32))
-            sr = sr + jnp.where(active, dummy * 1e-30, 0.0)
-            sample_i = jnp.where(active, sample_i + 1, sample_i)
-            return (o0x, o0y, o0z, d0x, d0y, d0z, tr, tg, tb, rr, rg, rb,
-                    bounce_i, sample_i, ior, sr, sg, sb, segs)
-        if "sweep2" in _ABLATE:
-            # identical second sweep on epsilon-perturbed origins (defeats
-            # CSE; adding 1e-30 to scene-scale floats is bitwise identity)
-            bt2, *_ = sweep(ox + 1e-30, oy, oz, dx, dy, dz)
-            bt = jnp.minimum(bt, bt2)
-        msm, mid = decode_smooth_mat(pb)
-        pcol_r, pcol_g, pcol_b = decode_colour30(pa)
-        hit = bt < _INF
-        is_tri = (bc & 1) == 1
-        safe_t = jnp.where(hit, bt, 0.0)
-        px = ox + dx * safe_t
-        py = oy + dy * safe_t
-        pz = oz + dz * safe_t
+          if "nobm" in _ABLATE:
+              # measurement: uniform triple instead of Box-Muller gaussians
+              gx = _uniform(shape) - 0.5
+              gy = _uniform(shape) - 0.5
+              gz = _uniform(shape) - 0.5
+              _u1 = gx
+          else:
+              gx, gy, gz, _u1 = box_muller()
+          if "bm2" in _ABLATE:
+              gx2, gy2, gz2, _ = box_muller()
+              take2 = _u1 < 2.0  # always true; opaque to the compiler
+              gx = jnp.where(take2, gx2, gx)
+              gy = jnp.where(take2, gy2, gy)
+              gz = jnp.where(take2, gz2, gz)
+          fres_u = _uniform(shape)
 
-        # sphere outward normal = normalised (p - c); the reference divides
-        # by the radius then normalises (src/objects.cu:66) — the radius
-        # cancels, so it is never carried through the sweep.
-        rx = px - n0
-        ry = py - n1
-        rz = pz - n2
-        rmag = jax.lax.rsqrt(jnp.maximum(rx * rx + ry * ry + rz * rz, 1e-24))
-        # sphere UV (lat/long, src/objects.cu:82-97); statically skipped
-        # when no sphere carries a UV-dependent texture
-        if need_sphere_uv:
-            theta = _asin(jnp.clip(ry * rmag, -1.0, 1.0))
-            phi = jnp.pi / 2.0 - _asin(jnp.clip(rx * rmag, -1.0, 1.0))
-            sph_u = (theta + jnp.pi / 2.0) / jnp.pi
-            v_ratio = (1.0 - phi / jnp.pi) / 2.0
-            behind = jnp.where(pz > n2, 1.0, 0.0)
-            sph_v = behind + (1.0 - 2.0 * behind) * v_ratio
-        else:
-            sph_u = f0
-            sph_v = f0
+          # --- nearest hit + shade params ---
+          if "nosweep" in _ABLATE:
+              # measurement: fake always-hit, skip intersection entirely
+              bt = jnp.abs(oz) + 0.5
+              bc, pa, pb = i0, i0, i0
+              bu, bv = fres_u, fres_u
+              n0, n1, n2 = f0, f0 + 1.0, f0
+          else:
+              (bt, bc, bu, bv, n0, n1, n2, pa, pb) = sweep(
+                  ox, oy, oz, dx, dy, dz)
+          if "noshade" in _ABLATE:
+              # measurement: consume every sweep output (so none of its
+              # selects are DCE'd), then regenerate immediately — isolates
+              # while+RNG+sweep from the shading/scatter half of the body.
+              dummy = (bt + bu + bv + n0 + n1 + n2 + msm
+                       + (bc + pa + pb).astype(jnp.float32))
+              sr = sr + jnp.where(active, dummy * 1e-30, 0.0)
+              sample_i = jnp.where(active, sample_i + 1, sample_i)
+              return (o0x, o0y, o0z, d0x, d0y, d0z, tr, tg, tb, rr, rg, rb,
+                      bounce_i, sample_i, ior, sr, sg, sb, segs)
+          if "sweep2" in _ABLATE:
+              # identical second sweep on epsilon-perturbed origins (defeats
+              # CSE; adding 1e-30 to scene-scale floats is bitwise identity)
+              bt2, *_ = sweep(ox + 1e-30, oy, oz, dx, dy, dz)
+              bt = jnp.minimum(bt, bt2)
+          msm, mid = decode_smooth_mat(pb)
+          pcol_r, pcol_g, pcol_b = decode_colour30(pa)
+          hit = bt < _INF
+          is_tri = (bc & 1) == 1
+          safe_t = jnp.where(hit, bt, 0.0)
+          px = ox + dx * safe_t
+          py = oy + dy * safe_t
+          pz = oz + dz * safe_t
 
-        # triangle normal flipped against the ray (src/objects.cu:158)
-        ndd = n0 * dx + n1 * dy + n2 * dz
-        flip = jnp.where(ndd > 0.0, -1.0, 1.0)
-        nx = jnp.where(is_tri, n0 * flip, rx * rmag)
-        ny = jnp.where(is_tri, n1 * flip, ry * rmag)
-        nz = jnp.where(is_tri, n2 * flip, rz * rmag)
-        uu = jnp.where(is_tri, bu, sph_u)
-        vv = jnp.where(is_tri, bv, sph_v)
+          # sphere outward normal = normalised (p - c); the reference divides
+          # by the radius then normalises (src/objects.cu:66) — the radius
+          # cancels, so it is never carried through the sweep.
+          rx = px - n0
+          ry = py - n1
+          rz = pz - n2
+          rmag = jax.lax.rsqrt(jnp.maximum(rx * rx + ry * ry + rz * rz, 1e-24))
+          # sphere UV (lat/long, src/objects.cu:82-97); statically skipped
+          # when no sphere carries a UV-dependent texture
+          if need_sphere_uv:
+              theta = _asin(jnp.clip(ry * rmag, -1.0, 1.0))
+              phi = jnp.pi / 2.0 - _asin(jnp.clip(rx * rmag, -1.0, 1.0))
+              sph_u = (theta + jnp.pi / 2.0) / jnp.pi
+              v_ratio = (1.0 - phi / jnp.pi) / 2.0
+              behind = jnp.where(pz > n2, 1.0, 0.0)
+              sph_v = behind + (1.0 - 2.0 * behind) * v_ratio
+          else:
+              sph_u = f0
+              sph_v = f0
 
-        # --- material behaviour fetch (the per-primitive colour/smoothness
-        # came out of the sweep). For small tables the fetch is a chain of
-        # unconditional selects — a select on a (rows, 128) tile costs ~1
-        # VPU pass, while a lax.cond costs a cross-lane any-reduce plus a
-        # scalar branch (hundreds of cycles); gating only pays off for big
-        # tables where most materials are absent from the tile. ---
-        def mtake(m, acc, use):
-            (mtype, mior, mer, meg, meb, mtt,
-             ml0, ml1, ml2, md0, md1, md2, mnsq) = acc
-            return (
-                jnp.where(use, mat_ref[_M_TYPE, m], mtype),
-                jnp.where(use, mat_ref[_M_IOR, m], mior),
-                jnp.where(use, mat_ref[_M_EMR, m], mer),
-                jnp.where(use, mat_ref[_M_EMG, m], meg),
-                jnp.where(use, mat_ref[_M_EMB, m], meb),
-                jnp.where(use, mat_ref[_M_TEXTYPE, m], mtt),
-                jnp.where(use, mat_ref[_M_LR, m], ml0),
-                jnp.where(use, mat_ref[_M_LG, m], ml1),
-                jnp.where(use, mat_ref[_M_LB, m], ml2),
-                jnp.where(use, mat_ref[_M_DR, m], md0),
-                jnp.where(use, mat_ref[_M_DG, m], md1),
-                jnp.where(use, mat_ref[_M_DB, m], md2),
-                jnp.where(use, mat_ref[_M_NSQ, m], mnsq),
-            )
+          # triangle normal flipped against the ray (src/objects.cu:158)
+          ndd = n0 * dx + n1 * dy + n2 * dz
+          flip = jnp.where(ndd > 0.0, -1.0, 1.0)
+          nx = jnp.where(is_tri, n0 * flip, rx * rmag)
+          ny = jnp.where(is_tri, n1 * flip, ry * rmag)
+          nz = jnp.where(is_tri, n2 * flip, rz * rmag)
+          uu = jnp.where(is_tri, bu, sph_u)
+          vv = jnp.where(is_tri, bv, sph_v)
 
-        macc = (f0, f0 + 1.0) + (f0,) * 11
-        if num_materials <= 8:
-            for m in range(num_materials):
-                macc = mtake(m, macc, mid == m)
-        else:
-            def mbody(m, acc):
-                use = mid == m
-                return jax.lax.cond(jnp.any(use & hit),
-                                    lambda a: mtake(m, a, use),
-                                    lambda a: a, acc)
-            macc = jax.lax.fori_loop(0, num_materials, mbody, macc)
-        (mtype, mior, mer, meg, meb, mtt,
-         ml0, ml1, ml2, md0, md1, md2, mnsq) = macc
+          # --- material behaviour fetch (the per-primitive colour/smoothness
+          # came out of the sweep). For small tables the fetch is a chain of
+          # unconditional selects — a select on a (rows, 128) tile costs ~1
+          # VPU pass, while a lax.cond costs a cross-lane any-reduce plus a
+          # scalar branch (hundreds of cycles); gating only pays off for big
+          # tables where most materials are absent from the tile. ---
+          def mtake(m, acc, use):
+              (mtype, mior, mer, meg, meb, mtt,
+               ml0, ml1, ml2, md0, md1, md2, mnsq) = acc
+              return (
+                  jnp.where(use, mat_ref[_M_TYPE, m], mtype),
+                  jnp.where(use, mat_ref[_M_IOR, m], mior),
+                  jnp.where(use, mat_ref[_M_EMR, m], mer),
+                  jnp.where(use, mat_ref[_M_EMG, m], meg),
+                  jnp.where(use, mat_ref[_M_EMB, m], meb),
+                  jnp.where(use, mat_ref[_M_TEXTYPE, m], mtt),
+                  jnp.where(use, mat_ref[_M_LR, m], ml0),
+                  jnp.where(use, mat_ref[_M_LG, m], ml1),
+                  jnp.where(use, mat_ref[_M_LB, m], ml2),
+                  jnp.where(use, mat_ref[_M_DR, m], md0),
+                  jnp.where(use, mat_ref[_M_DG, m], md1),
+                  jnp.where(use, mat_ref[_M_DB, m], md2),
+                  jnp.where(use, mat_ref[_M_NSQ, m], mnsq),
+              )
 
-        # --- texture colour (const / gradient / checker; no images) ---
-        u_c = (uu * mnsq).astype(jnp.int32)
-        v_c = (vv * mnsq).astype(jnp.int32)
-        is_light = ((u_c + v_c) % 2) == 0
-        tex_r = jnp.where(mtt == TEX_CHECKERBOARD,
-                          jnp.where(is_light, ml0, md0),
-                          jnp.where(mtt == TEX_GRADIENT, uu, pcol_r))
-        tex_g = jnp.where(mtt == TEX_CHECKERBOARD,
-                          jnp.where(is_light, ml1, md1),
-                          jnp.where(mtt == TEX_GRADIENT, vv, pcol_g))
-        tex_b = jnp.where(mtt == TEX_CHECKERBOARD,
-                          jnp.where(is_light, ml2, md2),
-                          jnp.where(mtt == TEX_GRADIENT, 0.0, pcol_b))
+          macc = (f0, f0 + 1.0) + (f0,) * 11
+          if num_materials <= 8:
+              for m in range(num_materials):
+                  macc = mtake(m, macc, mid == m)
+          else:
+              def mbody(m, acc):
+                  use = mid == m
+                  return jax.lax.cond(jnp.any(use & hit),
+                                      lambda a: mtake(m, a, use),
+                                      lambda a: a, acc)
+              macc = jax.lax.fori_loop(0, num_materials, mbody, macc)
+          (mtype, mior, mer, meg, meb, mtt,
+           ml0, ml1, ml2, md0, md1, md2, mnsq) = macc
 
-        # --- radiance bookkeeping (src/raytracer.cu:76-90) ---
-        miss = active & ~hit
-        rr = rr + jnp.where(miss, tr * sky[0], 0.0)
-        rg = rg + jnp.where(miss, tg * sky[1], 0.0)
-        rb = rb + jnp.where(miss, tb * sky[2], 0.0)
+          # --- texture colour (const / gradient / checker; no images) ---
+          u_c = (uu * mnsq).astype(jnp.int32)
+          v_c = (vv * mnsq).astype(jnp.int32)
+          is_light = ((u_c + v_c) % 2) == 0
+          tex_r = jnp.where(mtt == TEX_CHECKERBOARD,
+                            jnp.where(is_light, ml0, md0),
+                            jnp.where(mtt == TEX_GRADIENT, uu, pcol_r))
+          tex_g = jnp.where(mtt == TEX_CHECKERBOARD,
+                            jnp.where(is_light, ml1, md1),
+                            jnp.where(mtt == TEX_GRADIENT, vv, pcol_g))
+          tex_b = jnp.where(mtt == TEX_CHECKERBOARD,
+                            jnp.where(is_light, ml2, md2),
+                            jnp.where(mtt == TEX_GRADIENT, 0.0, pcol_b))
 
-        is_em = mtype == float(MAT_EMISSIVE)
-        live_hit = active & hit
-        em = live_hit & is_em
-        rr = rr + jnp.where(em, tr * mer, 0.0)
-        rg = rg + jnp.where(em, tg * meg, 0.0)
-        rb = rb + jnp.where(em, tb * meb, 0.0)
-        absorb = live_hit & ~is_em
-        tr = jnp.where(absorb, tr * tex_r, tr)
-        tg = jnp.where(absorb, tg * tex_g, tg)
-        tb = jnp.where(absorb, tb * tex_b, tb)
+          # --- radiance bookkeeping (src/raytracer.cu:76-90) ---
+          miss = active & ~hit
+          rr = rr + jnp.where(miss, tr * sky[0], 0.0)
+          rg = rg + jnp.where(miss, tg * sky[1], 0.0)
+          rb = rb + jnp.where(miss, tb * sky[2], 0.0)
 
-        # --- scatter (src/ray.cu:67-128, transcendental-free) ---
-        def scatter_block(gx, gy, gz):
-            gdotn = gx * nx + gy * ny + gz * nz
-            gflip = jnp.where(gdotn < 0.0, -1.0, 1.0)
-            ginv = jax.lax.rsqrt(jnp.maximum(
-                gx * gx + gy * gy + gz * gz, 1e-24)) * gflip
-            ax_ = nx + gx * ginv
-            ay_ = ny + gy * ginv
-            az_ = nz + gz * ginv
-            dinv = jax.lax.rsqrt(jnp.maximum(
-                ax_ * ax_ + ay_ * ay_ + az_ * az_, 1e-24))
-            dfx, dfy, dfz = ax_ * dinv, ay_ * dinv, az_ * dinv  # diffuse
-            ddn = dx * nx + dy * ny + dz * nz
-            sx = dx - 2.0 * ddn * nx
-            sy = dy - 2.0 * ddn * ny
-            sz = dz - 2.0 * ddn * nz  # specular (unit already)
-            refx = dfx + (sx - dfx) * msm
-            refy = dfy + (sy - dfy) * msm
-            refz = dfz + (sz - dfz) * msm
-            rinv = jax.lax.rsqrt(jnp.maximum(
-                refx * refx + refy * refy + refz * refz, 1e-24))
-            refx, refy, refz = refx * rinv, refy * rinv, refz * rinv
+          is_em = mtype == float(MAT_EMISSIVE)
+          live_hit = active & hit
+          em = live_hit & is_em
+          rr = rr + jnp.where(em, tr * mer, 0.0)
+          rg = rg + jnp.where(em, tg * meg, 0.0)
+          rb = rb + jnp.where(em, tb * meb, 0.0)
+          absorb = live_hit & ~is_em
+          tr = jnp.where(absorb, tr * tex_r, tr)
+          tg = jnp.where(absorb, tg * tex_g, tg)
+          tb = jnp.where(absorb, tb * tex_b, tb)
 
-            exiting = ddn > 0.0
-            n1_ = jnp.where(exiting, mior, ior)
-            # exit medium: the reference forgets air (quirk), the fix restores it
-            exit_ior = jnp.ones_like(ior) if fix_exit_ior else ior
-            n2_ = jnp.where(exiting, exit_ior, mior)
-            sgn = jnp.where(exiting, 1.0, -1.0)
-            rnx, rny, rnz = nx * sgn, ny * sgn, nz * sgn
-            cos1 = jnp.minimum(dx * rnx + dy * rny + dz * rnz, 1.0)
-            sin1 = jnp.sqrt(jnp.maximum(1.0 - cos1 * cos1, 0.0))
-            sin2 = jnp.minimum(n1_ * sin1 / n2_, 1.0)
-            cos2 = jnp.sqrt(jnp.maximum(1.0 - sin2 * sin2, 0.0))
-            tir = sin1 > (n2_ / n1_)
-            sq0 = (n1_ - n2_) / (n1_ + n2_)
-            r0 = sq0 * sq0
-            mm_ = 1.0 - cos1
-            m2 = mm_ * mm_
-            refl = r0 + (1.0 - r0) * (m2 * m2 * mm_)
-            do_reflect = tir | (refl > fres_u)
-            ssin1 = jnp.where(sin1 == 0.0, 1.0, sin1)
-            pfx = jnp.where(sin1 != 0.0, (dx - rnx * cos1) / ssin1, 0.0)
-            pfy = jnp.where(sin1 != 0.0, (dy - rny * cos1) / ssin1, 0.0)
-            pfz = jnp.where(sin1 != 0.0, (dz - rnz * cos1) / ssin1, 0.0)
-            rfx = rnx * cos2 + pfx * sin2
-            rfy = rny * cos2 + pfy * sin2
-            rfz = rnz * cos2 + pfz * sin2
-            rfinv = jax.lax.rsqrt(jnp.maximum(
-                rfx * rfx + rfy * rfy + rfz * rfz, 1e-24))
-            rfx, rfy, rfz = rfx * rfinv, rfy * rfinv, rfz * rfinv
+          # --- scatter (src/ray.cu:67-128, transcendental-free) ---
+          def scatter_block(gx, gy, gz):
+              gdotn = gx * nx + gy * ny + gz * nz
+              gflip = jnp.where(gdotn < 0.0, -1.0, 1.0)
+              ginv = jax.lax.rsqrt(jnp.maximum(
+                  gx * gx + gy * gy + gz * gz, 1e-24)) * gflip
+              ax_ = nx + gx * ginv
+              ay_ = ny + gy * ginv
+              az_ = nz + gz * ginv
+              dinv = jax.lax.rsqrt(jnp.maximum(
+                  ax_ * ax_ + ay_ * ay_ + az_ * az_, 1e-24))
+              dfx, dfy, dfz = ax_ * dinv, ay_ * dinv, az_ * dinv  # diffuse
+              ddn = dx * nx + dy * ny + dz * nz
+              sx = dx - 2.0 * ddn * nx
+              sy = dy - 2.0 * ddn * ny
+              sz = dz - 2.0 * ddn * nz  # specular (unit already)
+              refx = dfx + (sx - dfx) * msm
+              refy = dfy + (sy - dfy) * msm
+              refz = dfz + (sz - dfz) * msm
+              rinv = jax.lax.rsqrt(jnp.maximum(
+                  refx * refx + refy * refy + refz * refz, 1e-24))
+              refx, refy, refz = refx * rinv, refy * rinv, refz * rinv
 
-            is_refr = mtype == float(MAT_REFRACTIVE)
-            use_refr = is_refr & ~do_reflect
-            ndx = jnp.where(is_refr, jnp.where(do_reflect, refx, rfx), refx)
-            ndy = jnp.where(is_refr, jnp.where(do_reflect, refy, rfy), refy)
-            ndz = jnp.where(is_refr, jnp.where(do_reflect, refz, rfz), refz)
-            ior_upd = (is_refr & use_refr) if fix_exit_ior else is_refr
-            new_ior = jnp.where(ior_upd & live_hit, n2_, ior)
-            return ndx, ndy, ndz, new_ior
+              exiting = ddn > 0.0
+              n1_ = jnp.where(exiting, mior, ior)
+              # exit medium: the reference forgets air (quirk), the fix restores it
+              exit_ior = jnp.ones_like(ior) if fix_exit_ior else ior
+              n2_ = jnp.where(exiting, exit_ior, mior)
+              sgn = jnp.where(exiting, 1.0, -1.0)
+              rnx, rny, rnz = nx * sgn, ny * sgn, nz * sgn
+              cos1 = jnp.minimum(dx * rnx + dy * rny + dz * rnz, 1.0)
+              sin1 = jnp.sqrt(jnp.maximum(1.0 - cos1 * cos1, 0.0))
+              sin2 = jnp.minimum(n1_ * sin1 / n2_, 1.0)
+              cos2 = jnp.sqrt(jnp.maximum(1.0 - sin2 * sin2, 0.0))
+              tir = sin1 > (n2_ / n1_)
+              sq0 = (n1_ - n2_) / (n1_ + n2_)
+              r0 = sq0 * sq0
+              mm_ = 1.0 - cos1
+              m2 = mm_ * mm_
+              refl = r0 + (1.0 - r0) * (m2 * m2 * mm_)
+              do_reflect = tir | (refl > fres_u)
+              ssin1 = jnp.where(sin1 == 0.0, 1.0, sin1)
+              pfx = jnp.where(sin1 != 0.0, (dx - rnx * cos1) / ssin1, 0.0)
+              pfy = jnp.where(sin1 != 0.0, (dy - rny * cos1) / ssin1, 0.0)
+              pfz = jnp.where(sin1 != 0.0, (dz - rnz * cos1) / ssin1, 0.0)
+              rfx = rnx * cos2 + pfx * sin2
+              rfy = rny * cos2 + pfy * sin2
+              rfz = rnz * cos2 + pfz * sin2
+              rfinv = jax.lax.rsqrt(jnp.maximum(
+                  rfx * rfx + rfy * rfy + rfz * rfz, 1e-24))
+              rfx, rfy, rfz = rfx * rfinv, rfy * rfinv, rfz * rfinv
 
-        if "noscat" in _ABLATE:
-            # measurement: skip the scatter/refraction block entirely
-            ndx, ndy, ndz = gx, gy, gz
-            new_ior = ior
-        else:
-            ndx, ndy, ndz, new_ior = scatter_block(gx, gy, gz)
-        if "scat2" in _ABLATE:
-            ndx2, ndy2, ndz2, nior2 = scatter_block(gx + 1e-30, gy, gz)
-            take2 = fres_u < 2.0  # always true; opaque to the compiler
-            ndx = jnp.where(take2, ndx2, ndx)
-            ndy = jnp.where(take2, ndy2, ndy)
-            ndz = jnp.where(take2, ndz2, ndz)
-            new_ior = jnp.where(take2, nior2, new_ior)
+              is_refr = mtype == float(MAT_REFRACTIVE)
+              use_refr = is_refr & ~do_reflect
+              ndx = jnp.where(is_refr, jnp.where(do_reflect, refx, rfx), refx)
+              ndy = jnp.where(is_refr, jnp.where(do_reflect, refy, rfy), refy)
+              ndz = jnp.where(is_refr, jnp.where(do_reflect, refz, rfz), refz)
+              ior_upd = (is_refr & use_refr) if fix_exit_ior else is_refr
+              new_ior = jnp.where(ior_upd & live_hit, n2_, ior)
+              return ndx, ndy, ndz, new_ior
 
-        ox = jnp.where(live_hit, px, ox)
-        oy = jnp.where(live_hit, py, oy)
-        oz = jnp.where(live_hit, pz, oz)
-        dx = jnp.where(live_hit, ndx, dx)
-        dy = jnp.where(live_hit, ndy, dy)
-        dz = jnp.where(live_hit, ndz, dz)
-        ior = new_ior
+          if "noscat" in _ABLATE:
+              # measurement: skip the scatter/refraction block entirely
+              ndx, ndy, ndz = gx, gy, gz
+              new_ior = ior
+          else:
+              ndx, ndy, ndz, new_ior = scatter_block(gx, gy, gz)
+          if "scat2" in _ABLATE:
+              ndx2, ndy2, ndz2, nior2 = scatter_block(gx + 1e-30, gy, gz)
+              take2 = fres_u < 2.0  # always true; opaque to the compiler
+              ndx = jnp.where(take2, ndx2, ndx)
+              ndy = jnp.where(take2, ndy2, ndy)
+              ndz = jnp.where(take2, ndz2, ndz)
+              new_ior = jnp.where(take2, nior2, new_ior)
 
-        continues = live_hit
-        if emissive_terminates:
-            continues = continues & ~is_em
-        at_limit = bounce_i + 1 >= limit
-        path_end = active & (~continues | at_limit)
+          ox = jnp.where(live_hit, px, ox)
+          oy = jnp.where(live_hit, py, oy)
+          oz = jnp.where(live_hit, pz, oz)
+          dx = jnp.where(live_hit, ndx, dx)
+          dy = jnp.where(live_hit, ndy, dy)
+          dz = jnp.where(live_hit, ndz, dz)
+          ior = new_ior
 
-        sr = sr + jnp.where(path_end, rr, 0.0)
-        sg = sg + jnp.where(path_end, rg, 0.0)
-        sb = sb + jnp.where(path_end, rb, 0.0)
+          continues = live_hit
+          if emissive_terminates:
+              continues = continues & ~is_em
+          at_limit = bounce_i + 1 >= limit
+          path_end = active & (~continues | at_limit)
 
-        sample_i = jnp.where(path_end, sample_i + 1, sample_i)
-        bounce_i = jnp.where(path_end, 0,
-                             jnp.where(active, bounce_i + 1, bounce_i))
-        ox = jnp.where(path_end, o0x, ox)
-        oy = jnp.where(path_end, o0y, oy)
-        oz = jnp.where(path_end, o0z, oz)
-        dx = jnp.where(path_end, d0x, dx)
-        dy = jnp.where(path_end, d0y, dy)
-        dz = jnp.where(path_end, d0z, dz)
-        tr = jnp.where(path_end, 1.0, tr)
-        tg = jnp.where(path_end, 1.0, tg)
-        tb = jnp.where(path_end, 1.0, tb)
-        rr = jnp.where(path_end, 0.0, rr)
-        rg = jnp.where(path_end, 0.0, rg)
-        rb = jnp.where(path_end, 0.0, rb)
-        ior = jnp.where(path_end, 1.0, ior)
+          sr = sr + jnp.where(path_end, rr, 0.0)
+          sg = sg + jnp.where(path_end, rg, 0.0)
+          sb = sb + jnp.where(path_end, rb, 0.0)
 
-        return (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
-                bounce_i, sample_i, ior, sr, sg, sb, segs)
+          sample_i = jnp.where(path_end, sample_i + 1, sample_i)
+          bounce_i = jnp.where(path_end, 0,
+                               jnp.where(active, bounce_i + 1, bounce_i))
+          ox = jnp.where(path_end, o0x, ox)
+          oy = jnp.where(path_end, o0y, oy)
+          oz = jnp.where(path_end, o0z, oz)
+          dx = jnp.where(path_end, d0x, dx)
+          dy = jnp.where(path_end, d0y, dy)
+          dz = jnp.where(path_end, d0z, dz)
+          tr = jnp.where(path_end, 1.0, tr)
+          tg = jnp.where(path_end, 1.0, tg)
+          tb = jnp.where(path_end, 1.0, tb)
+          rr = jnp.where(path_end, 0.0, rr)
+          rg = jnp.where(path_end, 0.0, rg)
+          rb = jnp.where(path_end, 0.0, rb)
+          ior = jnp.where(path_end, 1.0, ior)
 
-    def cond(state):
-        sample_i = state[13]
-        return jnp.any(sample_i < spp)
+          return (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
+                  bounce_i, sample_i, ior, sr, sg, sb, segs)
 
-    def body_k(state):
-        # K bounce-steps per while iteration: the loop condition is a
-        # cross-lane any-reduce plus a scalar branch, and the carry cycle
-        # has fixed cost — batching amortises both. The body is a no-op for
-        # lanes past their sample budget, so the only waste is up to K-1
-        # idle trailing steps per tile.
-        for _ in range(_KSTEP):
-            state = body(state)
-        return state
+      one = f0 + 1.0
+      state0 = (o0x, o0y, o0z, d0x, d0y, d0z,
+                one, one, one,          # throughput
+                f0, f0, f0,             # path radiance
+                i0, i0,                 # bounce, sample
+                one,                    # ior
+                f0, f0, f0,             # pixel sums
+                f0)                     # segments
+      return body, state0
 
-    one = f0 + 1.0
-    state = (o0x, o0y, o0z, d0x, d0y, d0z,
-             one, one, one,          # throughput
-             f0, f0, f0,             # path radiance
-             i0, i0,                 # bounce, sample
-             one,                    # ior
-             f0, f0, f0,             # pixel sums
-             f0)                     # segments
-    state = jax.lax.while_loop(cond, body_k, state)
+    streams = [make_stream(i * srows) for i in range(nstream)]
+
+    def cond(states):
+        live = [jnp.any(st[13] < spp) for st in states]
+        out = live[0]
+        for lv in live[1:]:
+            out = jnp.logical_or(out, lv)
+        return out
+
+    def body_all(states):
+        # The streams are data-independent; tracing them together lets the
+        # compiler interleave their chains.
+        return tuple(streams[i][0](st) for i, st in enumerate(states))
+
+    states = jax.lax.while_loop(
+        cond, body_all, tuple(b_s[1] for b_s in streams))
 
     inv_spp = 1.0 / float(spp)
-    sum_r_ref[:] = state[15] * inv_spp
-    sum_g_ref[:] = state[16] * inv_spp
-    sum_b_ref[:] = state[17] * inv_spp
-    segs_ref[:] = state[18]
+    for i, st in enumerate(states):
+        lo = i * srows
+        sum_r_ref[lo:lo + srows] = st[15] * inv_spp
+        sum_g_ref[lo:lo + srows] = st[16] * inv_spp
+        sum_b_ref[lo:lo + srows] = st[17] * inv_spp
+        segs_ref[lo:lo + srows] = st[18]
 
 
 def render_sample_mean_mega(
@@ -501,11 +599,14 @@ def render_sample_mean_mega(
     d: jax.Array,        # (3, N) primary directions
     frame_key: jax.Array,
     tile_offset=0,
+    lane_segs: bool = False,
 ):
     """Full-frame megakernel sampler; returns ((3, N) mean, segments).
 
     RNG is seeded per (frame key, global tile); ``tile_offset`` shifts tile
     ids under shard_map so multi-chip renders stay deterministic.
+    ``lane_segs=True`` returns the per-pixel segment counts instead of their
+    sum — the cost signal the Renderer's adaptive pixel binning sorts by.
     """
     n = o.shape[1]
     mega_tile = mega_tile_for(scene)
@@ -524,8 +625,10 @@ def render_sample_mean_mega(
 
     planes = [p.reshape(rows, LANES)
               for p in (o[0], o[1], o[2], d[0], d[1], d[2])]
-    sphf, sphi, trif, trii, sphc, tric, sphs, tris = pack_scene(scene)
+    (sphf, sphi, trif, trii, sphc, tric, sphs, tris,
+     sph_order, tri_order, cell_grid) = pack_scene(scene)
     mat = pack_materials(scene)
+    tex = pack_textures(scene)
     kd = jax.random.key_data(frame_key).astype(jnp.int32).reshape(-1)
     seed = jnp.concatenate(
         [kd[:2], jnp.asarray([tile_offset], jnp.int32).reshape(1)])
@@ -554,18 +657,27 @@ def render_sample_mean_mega(
             need_sphere_uv=bool(scene.needs_sphere_uv),
             has_one_way=bool(scene.has_one_way),
             needs_tri_uv=bool(scene.needs_tri_uv),
+            sph_ordered=scene.sph_cell_order.shape[0] > 1,
+            tri_ordered=scene.tri_cell_order.shape[0] > 1,
             sph_leaf=int(scene.sph_leaf),
             tri_leaf=int(scene.tri_leaf),
             mrows=mrows,
+            nstream=NSTREAM,
+            img_rows=int(scene.img_rows),
         ),
         grid=(rows // mrows,),
-        in_specs=[smem] * 10 + [ray_spec] * 6,
+        in_specs=([smem] * 13
+                  + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+                  + [ray_spec] * 6),
         out_specs=(ray_spec,) * 4,
         out_shape=tuple(jax.ShapeDtypeStruct((rows, LANES), f32)
                         for _ in range(4)),
         interpret=_interpret(),
-    )(seed, sphf, sphi, trif, trii, sphc, tric, sphs, tris, mat, *planes)
+    )(seed, sphf, sphi, trif, trii, sphc, tric, sphs, tris,
+      sph_order, tri_order, cell_grid, mat, tex, *planes)
 
     mean = jnp.stack([x.reshape(-1)[:n] for x in outs[:3]])
-    segs = jnp.sum(outs[3].reshape(-1)[:n])
-    return mean, segs
+    segs_plane = outs[3].reshape(-1)[:n]
+    if lane_segs:
+        return mean, segs_plane
+    return mean, jnp.sum(segs_plane)

@@ -47,6 +47,7 @@ import os
 
 LANES = 128
 LEAF_TARGET = 32  # target primitives per BVH leaf cluster
+ORDER_GRID = 4    # cells per axis of the near-first order lattice
 UNROLL = int(os.environ.get("RAYTRACER_SWEEP_UNROLL", "4"))
 
 
@@ -133,6 +134,38 @@ def decode_smooth_mat(pb):
     return smooth, pb & 0xFFFF
 
 
+# Mosaic SMEM capacity on v5e is ~1 MiB; leave headroom for the compiler's
+# own scalar spills (a 10k-sphere scene once compiled at 1.5M/1.0M and died
+# with a raw Mosaic stack trace — the budget makes the limit a structured,
+# testable property instead).
+SMEM_BUDGET = 800_000
+
+
+def smem_bytes(scene) -> int:
+    """Bytes of SMEM the sweep's scene-resident layout needs.
+
+    Mirrors pack_scene exactly: spheres 6 words each (4 f32 + 2 i32),
+    triangles 26 words (24 f32 + 2 i32), cluster/super rows 8 f32 each,
+    cell-order tables 1 i32 per entry, material table 16 f32 rows.
+    """
+    s = int(scene.sph_center.shape[0])
+    t = int(scene.tri_v0.shape[0])
+    rows = (s * (S_F32_ROWS + S_I32_ROWS)
+            + t * (T_F32_ROWS + T_I32_ROWS)
+            + 8 * (max(int(scene.sph_clusters.shape[0]), 1)
+                   + max(int(scene.tri_clusters.shape[0]), 1)
+                   + max(int(scene.sph_supers.shape[0]), 1)
+                   + max(int(scene.tri_supers.shape[0]), 1))
+            + int(scene.sph_cell_order.shape[0])
+            + int(scene.tri_cell_order.shape[0])
+            + 16 * int(scene.mat_type.shape[0]) + 16)
+    return rows * 4
+
+
+def fits_smem(scene) -> bool:
+    return smem_bytes(scene) <= SMEM_BUDGET
+
+
 def safe_inv_dir(dx, dy, dz):
     """Robust slab-test reciprocals: a zero direction component maps to a
     large finite value instead of inf, so (box_bound - origin) * inv never
@@ -147,7 +180,7 @@ def pack_scene(scene):
     """SceneArrays -> SMEM-resident row matrices for the sweep.
 
     Returns (sph_f32, sph_i32, tri_f32, tri_i32, sph_clusters, tri_clusters,
-    sph_supers, tri_supers). Padding primitives are poisoned here: padding
+    sph_supers, tri_supers, sph_cell_order, tri_cell_order, cell_grid). Padding primitives are poisoned here: padding
     spheres (radius <= 0) get ``cr2 = 1e30`` (discriminant always negative —
     ``h² = (d·(c-o))² <= |c-o|²`` stays far below 1e30 for any ray the
     camera can produce); padding triangles already carry all-zero Woop rows.
@@ -190,17 +223,20 @@ def pack_scene(scene):
             clusters_or_dummy(scene.sph_clusters),
             clusters_or_dummy(scene.tri_clusters),
             clusters_or_dummy(scene.sph_supers),
-            clusters_or_dummy(scene.tri_supers))
+            clusters_or_dummy(scene.tri_supers),
+            scene.sph_cell_order, scene.tri_cell_order, scene.cell_grid)
 
 
 def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
+               sph_order, tri_order, grid_ref,
                ox, oy, oz, dx, dy, dz, zero_f, zero_i, *,
                num_spheres: int, num_tris: int,
                num_sph_clusters: int, num_tri_clusters: int,
                num_sph_supers: int, num_tri_supers: int,
                has_one_way: bool, needs_tri_uv: bool,
+               sph_ordered: bool = False, tri_ordered: bool = False,
                sph_leaf: int = LEAF_TARGET, tri_leaf: int = LEAF_TARGET,
-               stats_ref=None):
+               stats_ref=None, carry=None):
     """Nearest hit + winner shading params for one ray tile.
 
     ``ox..dz`` are (rows, 128) component planes with **unit** directions;
@@ -279,11 +315,29 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
                 lambda c, cr2: cluster_gate(cl_ref, leaf, c, cr2, body), cr),
             lambda cr: cr, carry)
 
-    carry = (zero_f + _INF,    # bt
-             zero_i,           # bc
-             zero_f, zero_f,   # bu, bv
-             zero_f, zero_f, zero_f,   # g0..g2
-             zero_i, zero_i)   # pa, pb
+    if carry is None:
+        carry = (zero_f + _INF,    # bt
+                 zero_i,           # bc
+                 zero_f, zero_f,   # bu, bv
+                 zero_f, zero_f, zero_f,   # g0..g2
+                 zero_i, zero_i)   # pa, pb
+
+    if sph_ordered or tri_ordered:
+        # Tile's coarse spatial cell from its mean origin: selects the
+        # host-precomputed near-first cluster order (see scene._cell_order)
+        # so best-t pruning closes far clusters' gates.
+        inv_n = 1.0 / float(ox.size)
+        mox = jnp.sum(ox) * inv_n
+        moy = jnp.sum(oy) * inv_n
+        moz = jnp.sum(oz) * inv_n
+        g = ORDER_GRID
+        cxi = jnp.clip(((mox - grid_ref[0]) * grid_ref[3]).astype(jnp.int32),
+                       0, g - 1)
+        cyi = jnp.clip(((moy - grid_ref[1]) * grid_ref[4]).astype(jnp.int32),
+                       0, g - 1)
+        czi = jnp.clip(((moz - grid_ref[2]) * grid_ref[5]).astype(jnp.int32),
+                       0, g - 1)
+        cell = (cxi * g + cyi) * g + czi
 
     def sph_body(s, cr):
         bt, bc, bu, bv, g0, g1, g2, pa, pb = cr
@@ -310,7 +364,14 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
         pb = jnp.where(better, sphi[S_PB, s], pb)
         return bt, bc, bu, bv, g0, g1, g2, pa, pb
 
-    if num_sph_supers > 0:
+    if sph_ordered:
+        base = cell * num_sph_clusters
+        carry = jax.lax.fori_loop(
+            0, num_sph_clusters,
+            lambda i, cr: cluster_gate(sphc, sph_leaf, sph_order[base + i],
+                                       cr, sph_body),
+            carry)
+    elif num_sph_supers > 0:
         carry = jax.lax.fori_loop(
             0, num_sph_supers,
             lambda g, cr: super_gate(sphs, sphc, sph_leaf, g, cr, sph_body),
@@ -373,7 +434,14 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
         pb = jnp.where(better, trii[1, k], pb)
         return bt, bc, bu, bv, g0, g1, g2, pa, pb
 
-    if num_tri_supers > 0:
+    if tri_ordered:
+        base = cell * num_tri_clusters
+        carry = jax.lax.fori_loop(
+            0, num_tri_clusters,
+            lambda i, cr: cluster_gate(tric, tri_leaf, tri_order[base + i],
+                                       cr, tri_body),
+            carry)
+    elif num_tri_supers > 0:
         carry = jax.lax.fori_loop(
             0, num_tri_supers,
             lambda g, cr: super_gate(tris, tric, tri_leaf, g, cr, tri_body),

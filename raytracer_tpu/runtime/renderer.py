@@ -43,6 +43,8 @@ class Renderer:
         backend: str | None = None,
         seed: int = 0,
         sharding=None,
+        shard_mode: str = "pixel",
+        adaptive_order: bool = False,
     ):
         self.scene = scene
         self.camera_cfg = camera
@@ -54,15 +56,30 @@ class Renderer:
         self.backend = backend
 
         self._sharding = sharding
+        self._shard_mode = shard_mode
         # Morton pixel order: kernel ray tiles become compact screen blocks
         # (the wavefront analog of the reference's 8x8 thread grid,
         # src/dispatch.cu:136) — primary-ray coherence for cluster culling.
         self._pixel_order = morton_order(camera.width, camera.height)
         self._set_rays(camera)
 
+        # Adaptive pixel binning (off by default — measured net-negative):
+        # after the first frame, re-sort the pixel order by measured
+        # per-pixel path cost so megakernel tiles get homogeneous workloads.
+        # Lane activity does improve, but the re-binned tiles lose
+        # primary-ray spatial coherence and the BVH gates stop pruning for
+        # primaries, which costs more than the ~26% idle-lane recovery is
+        # worth on the reference workload (252 -> 239 Mrays/s pixel-granular,
+        # 252 -> ~204 row-granular). Kept as an option for scenes with
+        # extreme per-pixel cost variance and no culling benefit.
+        self._adaptive_pending = (
+            adaptive_order and sharding is None and backend == "pallas"
+            and jax.default_backend() == "tpu"
+            and settings.sampler in ("auto", "mega"))
+
         self.frame_num = 0
         self.accum = film.new_accumulator(camera.num_pixels)
-        if sharding is not None:
+        if sharding is not None and shard_mode == "pixel":
             self.accum = jax.device_put(self.accum, sharding)
         self.base_key = jax.random.key(seed)
         self.total_segments = 0.0
@@ -70,13 +87,26 @@ class Renderer:
         self.stats_log: list = []
 
         if sharding is not None:
-            # Multi-chip: the explicit shard_map step (pixel tiles sharded,
-            # scene replicated, zero steady-state collectives). GSPMD cannot
+            # Multi-chip: the explicit shard_map step. GSPMD cannot
             # auto-partition the Pallas kernels, so this is the supported
-            # multi-device path.
-            from ..parallel.shard import make_pixel_sharded_step
-            self._step = make_pixel_sharded_step(
-                sharding.mesh, settings, backend=backend)
+            # multi-device path. Two strategies (SURVEY.md §2.3):
+            # - "pixel": pixel tiles sharded, scene replicated, zero
+            #   steady-state collectives (default);
+            # - "spp": every chip traces all pixels with its own slice of
+            #   the sample budget, one psum-mean over ICI per frame — for
+            #   images too small to shard with a large sample budget.
+            if shard_mode == "spp":
+                from ..parallel.shard import make_spp_sharded_step
+                self._step = make_spp_sharded_step(
+                    sharding.mesh, settings, backend=backend)
+            elif shard_mode == "pixel":
+                from ..parallel.shard import make_pixel_sharded_step
+                self._step = make_pixel_sharded_step(
+                    sharding.mesh, settings, backend=backend)
+            else:
+                raise ValueError(
+                    f"unknown shard_mode {shard_mode!r}; use 'pixel' or "
+                    "'spp'")
         else:
             # Rays are runtime args so moving the camera (set_camera) reuses
             # the compiled step instead of recompiling — needed for
@@ -97,7 +127,7 @@ class Renderer:
         o, d = primary_rays(cam, camera.width, camera.height,
                             pixel_order=self._pixel_order)
         ray_idx = jnp.asarray(self._pixel_order, jnp.int32)
-        if self._sharding is not None:
+        if self._sharding is not None and self._shard_mode == "pixel":
             # Pixel rows sharded across the mesh; the scene pytree stays
             # replicated (it is broadcast on first use).
             o = jax.device_put(o, self._sharding)
@@ -114,13 +144,49 @@ class Renderer:
         self.camera_cfg = camera
         self._set_rays(camera)
         self.accum = film.new_accumulator(camera.num_pixels)
-        if self._sharding is not None:
+        if self._sharding is not None and self._shard_mode == "pixel":
             self.accum = jax.device_put(self.accum, self._sharding)
         self.frame_num = 0
+
+    def _maybe_learn_order(self) -> None:
+        """One-shot adaptive pixel binning (see __init__)."""
+        if not self._adaptive_pending or self.frame_num < 1:
+            return
+        self._adaptive_pending = False
+        from ..ops import rng
+        from ..ops.megakernel import render_sample_mean_mega, supports
+        if not supports(self.scene):
+            return
+        import dataclasses
+        probe = dataclasses.replace(self.settings, rays_per_pixel=4)
+        fkey = rng.frame_key(self.base_key, jnp.int32(-1))
+        _, lane_segs = jax.jit(
+            lambda o, d, k: render_sample_mean_mega(
+                self.scene, probe, o, d, k, lane_segs=True)
+        )(self._o.T, self._d.T, fkey)
+        costs = np.asarray(lane_segs)
+        n = costs.shape[0]
+        if n % 128 == 0:
+            # Row-granular: move whole 128-pixel Morton runs so their
+            # primary-ray spatial coherence survives the re-binning
+            # (pixel-granular sorting was measured net-negative — it opens
+            # the BVH gates for primary rays).
+            row_cost = costs.reshape(-1, 128).sum(axis=1)
+            row_order = np.argsort(row_cost, kind="stable")
+            order = (row_order[:, None] * 128
+                     + np.arange(128)[None, :]).reshape(-1)
+        else:
+            order = np.argsort(costs, kind="stable")
+        self._pixel_order = self._pixel_order[order]
+        self._o = jnp.take(self._o, order, axis=0)
+        self._d = jnp.take(self._d, order, axis=0)
+        self._ray_idx = jnp.take(self._ray_idx, order)
+        self.accum = jnp.take(self.accum, order, axis=0)
 
     # -- frame loop ----------------------------------------------------------
     def render_frame(self, block: bool = False) -> jax.Array:
         """Render one progressive frame; returns the (device) accumulator."""
+        self._maybe_learn_order()
         t0 = time.perf_counter()
         self.accum, segs = self._step(
             self.scene, self._ray_idx, self._o, self._d, self.accum,
@@ -137,28 +203,86 @@ class Renderer:
             self.stats_log.append(self.frame_stats(segs_f, dt))
         return self.accum
 
-    def render_frames(self, n: int) -> dict:
-        """Render ``n`` progressive frames with async dispatch and a single
-        final sync — frames pipeline on device (host bookkeeping overlaps
-        execution), unlike the reference's per-frame ``cudaDeviceSynchronize``
-        (src/dispatch.cu:141). Returns the aggregated stats record."""
+    def render_frames(self, n: int, fuse: bool = False) -> dict:
+        """Render ``n`` progressive frames with a single final sync.
+
+        With ``fuse=True`` and no sharding, the n frames run as
+        ONE launch carrying n x rays_per_pixel samples: the progressive
+        running mean over equal-spp frames is just the mean of all their
+        samples, so the result is mathematically the same accumulator while
+        the megakernel's per-tile retirement tail is paid once instead of n
+        times (a tile runs until its slowest lane finishes its budget; the
+        idle fraction shrinks ~1/sqrt(n)). Sample streams differ from n
+        sequential ``render_frame`` calls (one frame key covers the batch)
+        but stay fully deterministic. Measured on v5e the tail saving is a
+        wash against the async pipeline (247 vs 251 Mrays/s on the
+        reference workload), so the default stays the sequential pipeline
+        (the reference's per-frame dispatch analog, src/dispatch.cu:141,
+        minus its per-frame synchronise).
+        """
+        self._maybe_learn_order()
+        if fuse and n > 1 and self._sharding is None:
+            rec = self._render_frames_fused(n)
+        else:
+            t0 = time.perf_counter()
+            seg_handles = []
+            for _ in range(n):
+                self.accum, segs = self._step(
+                    self.scene, self._ray_idx, self._o, self._d, self.accum,
+                    jnp.int32(self.frame_num), self.base_key
+                )
+                self.frame_num += 1
+                seg_handles.append(segs)
+            jax.block_until_ready(self.accum)
+            dt = time.perf_counter() - t0
+            segments = float(sum(float(s) for s in seg_handles))
+            self.total_segments += segments
+            self.last_frame_ms = dt / n * 1000.0
+            rec = self.frame_stats(segments, dt)
+            rec["frames"] = n
+        self.stats_log.append(rec)
+        return rec
+
+    def _render_frames_fused(self, n: int) -> dict:
+        import dataclasses
+
+        from ..ops import rng as _rng
+        from ..ops.integrator import render_sample_mean
+
+        if getattr(self, "_fused_n", None) != n:
+            batch = dataclasses.replace(
+                self.settings,
+                rays_per_pixel=self.settings.rays_per_pixel * n)
+
+            @functools.partial(jax.jit, donate_argnums=(4,))
+            def _batch_step(scene, ray_idx, o, d, accum, frame_num, key):
+                fkey = _rng.frame_key(key, frame_num)
+                mean, segs = render_sample_mean(
+                    scene, batch, ray_idx, o, d, fkey,
+                    backend=self.backend)
+                fn = frame_num.astype(jnp.float32)
+                return (mean * n + accum * fn) / (fn + n), segs
+
+            # AOT-compile outside the timed region (a fused-step compile is
+            # expensive and must not pollute frame timings or benchmarks)
+            self._batch_step = _batch_step.lower(
+                self.scene, self._ray_idx, self._o, self._d,
+                jax.ShapeDtypeStruct(self.accum.shape, self.accum.dtype),
+                jnp.int32(0), self.base_key).compile()
+            self._fused_n = n
+
         t0 = time.perf_counter()
-        seg_handles = []
-        for _ in range(n):
-            self.accum, segs = self._step(
-                self.scene, self._ray_idx, self._o, self._d, self.accum,
-                jnp.int32(self.frame_num), self.base_key
-            )
-            self.frame_num += 1
-            seg_handles.append(segs)
+        self.accum, segs = self._batch_step(
+            self.scene, self._ray_idx, self._o, self._d, self.accum,
+            jnp.int32(self.frame_num), self.base_key)
         jax.block_until_ready(self.accum)
         dt = time.perf_counter() - t0
-        segments = float(sum(float(s) for s in seg_handles))
+        self.frame_num += n
+        segments = float(segs)
         self.total_segments += segments
         self.last_frame_ms = dt / n * 1000.0
         rec = self.frame_stats(segments, dt)
         rec["frames"] = n
-        self.stats_log.append(rec)
         return rec
 
     def frame_stats(self, segments: float, seconds: float) -> dict:

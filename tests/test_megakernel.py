@@ -24,13 +24,23 @@ def test_supports_flags():
     scene, _ = rt.build_scene(1)
     assert supports(scene)          # const/checker textures only
     scene2, _ = rt.build_scene(2)
-    assert not supports(scene2)     # image texture => fallback
+    # scene 2's earth image fits the packed planes => in-kernel sampling
+    assert scene2.has_image_tex and scene2.img_rows > 0
+    assert supports(scene2)
+    # an image too big for the planes falls back to the wavefront
+    import numpy as np
+    from raytracer_tpu.models.materials import Material, Texture
+    from raytracer_tpu.models.scene import SceneBuilder
+    b = SceneBuilder()
+    big = Texture.from_image(np.zeros((256, 64, 3), np.float32))
+    b.add_sphere((0, 0, 2), 1.0, Material.standard(big, 0))
+    assert not supports(b.build())
 
 
 def test_pack_materials_shape():
     scene, _ = rt.build_scene(1)
     mat = pack_materials(scene)
-    assert mat.shape == (13, scene.mat_type.shape[0])
+    assert mat.shape == (16, scene.mat_type.shape[0])
 
 
 def test_auto_sampler_falls_back_off_tpu():
@@ -87,3 +97,90 @@ def test_mega_deterministic():
                                 jax.random.key(7), backend="pallas")
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
     assert float(s1) == float(s2)
+
+
+def test_fetch_image_matches_atlas_gather():
+    """The megakernel's factorised one-hot texel fetch (no PRNG involved —
+    runs under the interpreter on CPU) must reproduce the wavefront path's
+    atlas gather exactly (texels are bf16-representable by construction)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from raytracer_tpu.models.scenes import procedural_earth_texture
+    from raytracer_tpu.models.materials import Material, Texture
+    from raytracer_tpu.models.scene import SceneBuilder
+    from raytracer_tpu.ops.megakernel import (_fetch_image, pack_textures,
+                                              supports)
+
+    b = SceneBuilder()
+    tex = Texture.from_image(procedural_earth_texture(32))  # (32, 64, 3)
+    b.add_sphere((0, 0, 2), 1.0, Material.standard(tex, 0))
+    scene = b.build()
+    assert scene.img_rows == 32 and supports(scene)
+    planes = pack_textures(scene)
+
+    rng = np.random.default_rng(3)
+    rows, lanes = 4, 128
+    uu = jnp.asarray(rng.uniform(0, 1, (rows, lanes)), jnp.float32)
+    vv = jnp.asarray(rng.uniform(0, 1, (rows, lanes)), jnp.float32)
+    w = jnp.full((rows, lanes), 64.0)
+    h = jnp.full((rows, lanes), 32.0)
+    trow = jnp.zeros((rows, lanes))
+
+    def kernel(tex_ref, u_ref, v_ref, w_ref, h_ref, row_ref,
+               r_ref, g_ref, b_ref):
+        r, g, bb = _fetch_image(tex_ref, u_ref[:], v_ref[:], w_ref[:],
+                                h_ref[:], row_ref[:], img_rows=32)
+        r_ref[:] = r
+        g_ref[:] = g
+        b_ref[:] = bb
+
+    r, g, bch = pl.pallas_call(
+        kernel,
+        out_shape=tuple(jax.ShapeDtypeStruct((rows, lanes), jnp.float32)
+                        for _ in range(3)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                        for _ in range(3)),
+        interpret=True,
+    )(planes, uu, vv, w, h, trow)
+
+    # oracle: the wavefront atlas gather (src/material.cu:119-124 formula)
+    u_i = np.clip((63.0 * np.asarray(uu)).astype(np.int32), 0, 63)
+    v_i = np.clip((31.0 * np.asarray(vv)).astype(np.int32), 0, 31)
+    flat = 1 + v_i * 64 + u_i  # atlas slot 0 is the dummy texel
+    atlas = np.asarray(scene.atlas)
+    expect = atlas[flat]       # (rows, lanes, 3)
+    np.testing.assert_array_equal(np.asarray(r), expect[..., 0])
+    np.testing.assert_array_equal(np.asarray(g), expect[..., 1])
+    np.testing.assert_array_equal(np.asarray(bch), expect[..., 2])
+
+
+@pytest.mark.skipif(not ON_TPU, reason="megakernel needs a TPU")
+def test_mega_image_texture_matches_regen():
+    """Scene 2 (image-textured earth sphere) on the megakernel's in-kernel
+    one-hot texel fetch must agree with the wavefront pipeline's atlas
+    gather within Monte-Carlo noise."""
+    scene, use_sky = rt.build_scene(2)
+    assert supports(scene)
+    base = rt.RenderSettings(rays_per_pixel=48, reflect_limit=4
+                             ).with_sky(use_sky)
+    w, h = 64, 32
+    cam = build_camera(rt.CameraConfig(width=w, height=h))
+    o, d = primary_rays(cam, w, h)
+    idx = jnp.arange(w * h, dtype=jnp.int32)
+
+    mega = dataclasses.replace(base, sampler="mega")
+    regen = dataclasses.replace(base, sampler="regen")
+    m_m, _ = render_sample_mean(scene, mega, idx, o, d, jax.random.key(1),
+                                backend="pallas")
+    m_r, _ = render_sample_mean(scene, regen, idx, o, d, jax.random.key(1),
+                                backend="pallas")
+    m_r2, _ = render_sample_mean(scene, regen, idx, o, d, jax.random.key(2),
+                                 backend="pallas")
+    m_m, m_r, m_r2 = (np.asarray(x) for x in (m_m, m_r, m_r2))
+    assert np.isfinite(m_m).all()
+    err = np.abs(m_m - m_r).mean()
+    noise = np.abs(m_r - m_r2).mean()
+    assert err < 2.0 * noise + 1e-3, (err, noise)

@@ -120,3 +120,67 @@ def test_intersection_stats_with_clusters():
     t = np.asarray(tests)
     assert boxes > 0
     assert 0 < t.mean() < scene.num_spheres  # culling strictly beats brute
+
+
+def test_cell_ordered_traversal_matches_oracle():
+    """Near-first per-cell cluster ordering (scene._cell_order) changes only
+    the sweep's visit order; results must match the index-order oracle."""
+    rng = np.random.default_rng(21)
+    from raytracer_tpu.models.materials import Material, Texture
+    from raytracer_tpu.models.scene import SceneBuilder
+    b = SceneBuilder()
+    b.add_spheres(
+        rng.uniform(-10, 10, (1500, 3)), rng.uniform(0.1, 0.4, 1500),
+        Material.standard(Texture.const_colour((1, 1, 1)), 0),
+        colours=rng.uniform(0, 1, (1500, 3)))
+    scene = b.build()
+    assert scene.sph_cell_order.shape[0] > 1  # ordered path active
+
+    o, d = _rand_rays(512, seed=22, spread=12.0)
+    rec_p = nearest_hit_pallas(o, d, scene)
+    rec_x = I.nearest_hit(o, d, scene, backend="xla")
+    np.testing.assert_array_equal(np.asarray(rec_p.hit), np.asarray(rec_x.hit))
+    both = np.asarray(rec_p.hit)
+    np.testing.assert_allclose(np.asarray(rec_p.t)[both],
+                               np.asarray(rec_x.t)[both], rtol=3e-4, atol=3e-4)
+    np.testing.assert_array_equal(np.asarray(rec_p.idx)[both],
+                                  np.asarray(rec_x.idx)[both])
+
+
+def test_blocked_kernel_matches_oracle(monkeypatch):
+    """The HBM-streamed blocked kernel (beyond-SMEM scenes) must agree with
+    the index-order oracle; forced on via the env knob so the test scene
+    stays small enough for the interpreter."""
+    monkeypatch.setattr(
+        __import__("raytracer_tpu.ops.intersect_pallas",
+                   fromlist=["x"]), "_FORCE_BLOCKED", True)
+    rng = np.random.default_rng(31)
+    from raytracer_tpu.models.materials import Material, Texture
+    from raytracer_tpu.models.scene import SceneBuilder
+    b = SceneBuilder()
+    b.add_spheres(
+        rng.uniform(-10, 10, (700, 3)), rng.uniform(0.1, 0.4, 700),
+        Material.standard(Texture.const_colour((1, 1, 1)), 0.3),
+        colours=rng.uniform(0, 1, (700, 3)))
+    # a few triangles so the triangle block path runs too
+    white = Material.standard(Texture.const_colour((0.9, 0.9, 0.9)), 0)
+    for k in range(40):
+        p = rng.uniform(-10, 10, 3)
+        b.add_triangle(p, p + rng.uniform(-1, 1, 3), p + rng.uniform(-1, 1, 3),
+                       white)
+    scene = b.build()
+
+    o, d = _rand_rays(512, seed=32, spread=12.0)
+    rec_p, sd_p = hit_and_resolve_pallas(o, d, scene)
+    rec_x = I.nearest_hit(o, d, scene, backend="xla")
+    sd_x = I.resolve_hit(o, d, scene, rec_x)
+    np.testing.assert_array_equal(np.asarray(rec_p.hit), np.asarray(rec_x.hit))
+    both = np.asarray(rec_p.hit)
+    np.testing.assert_allclose(np.asarray(rec_p.t)[both],
+                               np.asarray(rec_x.t)[both], rtol=3e-4, atol=3e-4)
+    np.testing.assert_array_equal(np.asarray(rec_p.idx)[both],
+                                  np.asarray(rec_x.idx)[both])
+    np.testing.assert_array_equal(np.asarray(sd_p.mat_id)[both],
+                                  np.asarray(sd_x.mat_id)[both])
+    np.testing.assert_allclose(np.asarray(sd_p.colour)[:, both],
+                               np.asarray(sd_x.colour)[:, both], atol=1e-6)

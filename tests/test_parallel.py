@@ -112,3 +112,24 @@ def test_renderer_sharded_end_to_end():
     np.testing.assert_array_equal(r_sharded.image(), r_single.image())
     assert r_sharded.stats_log[-1]["segments"] == \
         r_single.stats_log[-1]["segments"]
+
+
+def test_renderer_spp_sharded_mode():
+    """Renderer(shard_mode='spp'): D chips render D x rays_per_pixel samples
+    per frame via one psum-mean; result must be finite and segments scale
+    with the device count."""
+    import raytracer_tpu as rt
+    from raytracer_tpu.parallel.mesh import make_mesh, pixel_sharding
+    devs = jax.devices()
+    mesh = make_mesh(devs)
+    sharding = pixel_sharding(mesh)
+    scene, use_sky = rt.build_scene(1)
+    settings = rt.RenderSettings(rays_per_pixel=2, reflect_limit=3
+                                 ).with_sky(use_sky)
+    r = rt.Renderer(scene, rt.CameraConfig(width=32, height=16), settings,
+                    sharding=sharding, shard_mode="spp")
+    r.render_frame(block=True)
+    img = np.asarray(r.accum)
+    assert np.isfinite(img).all()
+    # D devices x 2 spp x 512 pixels: at least one segment per sample
+    assert r.total_segments >= len(devs) * 2 * 512
