@@ -43,16 +43,27 @@ def run_config(name, scene, use_sky, cam, spp, bounces, frames):
 
 
 def run_flythrough(width, height, positions, spp=1):
+    """Progressive fly-through with temporal reprojection: each camera move
+    forward-warps the accumulated image into the new view (per-pixel
+    weights, depth from the megakernel) instead of restarting from black —
+    the BASELINE stretch config's temporal accumulation."""
+    import jax
     scene, use_sky = bench_scenes.stress_10k_scene(2000)
     settings = rt.RenderSettings(rays_per_pixel=spp, reflect_limit=5
                                  ).with_sky(use_sky)
     cam = rt.CameraConfig(width=width, height=height, position=(0, 1, -4))
-    r = rt.Renderer(scene, cam, settings)
-    r.render_frame(block=True)  # compile
+    temporal = jax.default_backend() == "tpu"
+    r = rt.Renderer(scene, cam, settings, temporal=temporal)
+    r.render_frame(block=True)  # compile + capture depth
+    if temporal:
+        # compile the warp outside the timed loop
+        r.move_camera(rt.CameraConfig(width=width, height=height,
+                                      position=(0, 1, -4)))
+        r.render_frame(block=True)
     t0 = time.perf_counter()
     segs = 0.0
     for i in range(positions):
-        r.set_camera(rt.CameraConfig(
+        r.move_camera(rt.CameraConfig(
             width=width, height=height,
             position=(0.0, 1.0, -4.0 + 0.25 * i), y_rot=0.02 * i))
         r.render_frame(block=True)
@@ -63,6 +74,7 @@ def run_flythrough(width, height, positions, spp=1):
         "value": round(positions / dt, 2),
         "unit": "fps",
         "mrays_per_sec": round(segs / dt / 1e6, 1),
+        "temporal_reprojection": temporal,
     }
     print(json.dumps(rec), flush=True)
     return rec

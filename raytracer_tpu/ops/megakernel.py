@@ -19,9 +19,13 @@ chip, TPU-style:
   "does any lane in this tile use material m" — the tile-level analog of the
   reference's per-thread switch.
 
-Limitations (statically checked; the caller falls back to the wavefront
-pipeline): image textures (per-lane atlas gathers don't vectorise on TPU) —
-const/gradient/checkerboard textures are supported.
+All four texture types are supported in-kernel, including images: distinct
+images pack into pre-transposed channel planes and each lane's texel is
+fetched with a factorised one-hot contraction on the MXU (no per-lane
+gather — see ``_fetch_image``). Statically checked limits (the caller
+falls back to the wavefront pipeline): packed texture rows <= IMG_MAX_ROWS,
+image width <= 128 texels, and the scene's SMEM-resident layout within
+``sweep.SMEM_BUDGET``.
 
 Outputs per pixel: the mean radiance over ``rays_per_pixel`` samples plus
 the traced segment count, i.e. exactly ``render_sample_mean``.
@@ -202,7 +206,7 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
             sphc_ref, tric_ref, sphs_ref, tris_ref,
             sph_order_ref, tri_order_ref, grid_ref, mat_ref, tex_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-            sum_r_ref, sum_g_ref, sum_b_ref, segs_ref,
+            sum_r_ref, sum_g_ref, sum_b_ref, segs_ref, depth_ref,
             *, num_spheres: int, num_tris: int, num_sph_clusters: int,
             num_tri_clusters: int, num_sph_supers: int,
             num_tri_supers: int, num_materials: int, spp: int,
@@ -260,7 +264,7 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
 
       def body(state):
           (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, bounce_i, sample_i,
-           ior, sr, sg, sb, segs) = state
+           ior, sr, sg, sb, segs, t0) = state
           active = sample_i < spp
           if "iters" in _ABLATE:
               # measurement: count every lane-iteration instead of active ones
@@ -329,7 +333,7 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
               sr = sr + jnp.where(active, dummy * 1e-30, 0.0)
               sample_i = jnp.where(active, sample_i + 1, sample_i)
               return (o0x, o0y, o0z, d0x, d0y, d0z, tr, tg, tb, rr, rg, rb,
-                      bounce_i, sample_i, ior, sr, sg, sb, segs)
+                      bounce_i, sample_i, ior, sr, sg, sb, segs, t0)
           if "sweep2" in _ABLATE:
               # identical second sweep on epsilon-perturbed origins (defeats
               # CSE; adding 1e-30 to scene-scale floats is bitwise identity)
@@ -339,6 +343,10 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
           pcol_r, pcol_g, pcol_b = decode_colour30(pa)
           hit = bt < _INF
           is_tri = (bc & 1) == 1
+          # primary-hit depth (sample 0, bounce 0): free per-pixel depth
+          # for temporal reprojection of camera moves (runtime/renderer.py)
+          first = active & (sample_i == 0) & (bounce_i == 0)
+          t0 = jnp.where(first, bt, t0)
           safe_t = jnp.where(hit, bt, 0.0)
           px = ox + dx * safe_t
           py = oy + dy * safe_t
@@ -554,7 +562,7 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
           ior = jnp.where(path_end, 1.0, ior)
 
           return (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
-                  bounce_i, sample_i, ior, sr, sg, sb, segs)
+                  bounce_i, sample_i, ior, sr, sg, sb, segs, t0)
 
       one = f0 + 1.0
       state0 = (o0x, o0y, o0z, d0x, d0y, d0z,
@@ -563,7 +571,8 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
                 i0, i0,                 # bounce, sample
                 one,                    # ior
                 f0, f0, f0,             # pixel sums
-                f0)                     # segments
+                f0,                     # segments
+                f0 + _INF)              # primary-hit depth
       return body, state0
 
     streams = [make_stream(i * srows) for i in range(nstream)]
@@ -590,6 +599,7 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
         sum_g_ref[lo:lo + srows] = st[16] * inv_spp
         sum_b_ref[lo:lo + srows] = st[17] * inv_spp
         segs_ref[lo:lo + srows] = st[18]
+        depth_ref[lo:lo + srows] = st[19]
 
 
 def render_sample_mean_mega(
@@ -600,6 +610,7 @@ def render_sample_mean_mega(
     frame_key: jax.Array,
     tile_offset=0,
     lane_segs: bool = False,
+    want_depth: bool = False,
 ):
     """Full-frame megakernel sampler; returns ((3, N) mean, segments).
 
@@ -669,15 +680,17 @@ def render_sample_mean_mega(
         in_specs=([smem] * 13
                   + [pl.BlockSpec(memory_space=pltpu.VMEM)]
                   + [ray_spec] * 6),
-        out_specs=(ray_spec,) * 4,
+        out_specs=(ray_spec,) * 5,
         out_shape=tuple(jax.ShapeDtypeStruct((rows, LANES), f32)
-                        for _ in range(4)),
+                        for _ in range(5)),
         interpret=_interpret(),
     )(seed, sphf, sphi, trif, trii, sphc, tric, sphs, tris,
       sph_order, tri_order, cell_grid, mat, tex, *planes)
 
     mean = jnp.stack([x.reshape(-1)[:n] for x in outs[:3]])
     segs_plane = outs[3].reshape(-1)[:n]
+    if want_depth:
+        return mean, jnp.sum(segs_plane), outs[4].reshape(-1)[:n]
     if lane_segs:
         return mean, segs_plane
     return mean, jnp.sum(segs_plane)

@@ -49,6 +49,11 @@ LANES = 128
 LEAF_TARGET = 32  # target primitives per BVH leaf cluster
 ORDER_GRID = 4    # cells per axis of the near-first order lattice
 UNROLL = int(os.environ.get("RAYTRACER_SWEEP_UNROLL", "4"))
+# Independent best-hit carries: the nearest-hit reduction is a serial chain
+# of compare+select through every swept primitive, and the kernels are
+# latency-bound — K parallel chains (merged once at the end of the sweep)
+# cut the critical path by ~K at the cost of K-1 extra carry registers.
+KCARRY = int(os.environ.get("RAYTRACER_KCARRY", "1"))
 
 
 def leaf_size(n: int) -> int:
@@ -278,34 +283,42 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
         tmin = jnp.maximum(tmin, 0.0)
         return (tmin <= tmax) & (tmax > 0.0) & (tmin < bt)
 
-    def leaf_sweep(start, leaf, carry, body):
+    def best_t(carries):
+        bt = carries[0][0]
+        for cr in carries[1:]:
+            bt = jnp.minimum(bt, cr[0])
+        return bt
+
+    def leaf_sweep(start, leaf, carries, body):
         """Sweep exactly ``leaf`` primitives from ``start`` (static trip
         count, UNROLL-wide so independent primitive tests overlap in the
-        VPU pipeline)."""
-        def step(j, cr):
+        VPU pipeline; bodies feed the KCARRY chains round-robin)."""
+        def step(j, crs):
             base = start + j * UNROLL
+            crs = list(crs)
             for u in range(UNROLL):
-                cr = body(base + u, cr)
-            return cr
-        return jax.lax.fori_loop(0, leaf // UNROLL, step, carry)
+                k = u % KCARRY
+                crs[k] = body(base + u, crs[k])
+            return tuple(crs)
+        return jax.lax.fori_loop(0, leaf // UNROLL, step, carries)
 
-    def cluster_gate(cl_ref, leaf, c, carry, body):
+    def cluster_gate(cl_ref, leaf, c, carries, body):
         """Gate one leaf cluster: sweep its leaf-primitive block only if
         some lane in the tile can beat its current best inside the AABB
         (tile-granular analog of BVH pruning, src/objects.cu:508-516)."""
-        hit_box = slab(cl_ref, c, carry[0])
+        hit_box = slab(cl_ref, c, best_t(carries))
         if stats_ref is not None:
             stats_ref[:] = stats_ref[:] + jnp.where(
                 hit_box, cl_ref[c, 7], 0.0)
         return jax.lax.cond(
             jnp.any(hit_box),
             lambda cr: leaf_sweep(c * leaf, leaf, cr, body),
-            lambda cr: cr, carry)
+            lambda cr: cr, carries)
 
-    def super_gate(sup_ref, cl_ref, leaf, g, carry, body):
+    def super_gate(sup_ref, cl_ref, leaf, g, carries, body):
         """Second BVH level: slab-test a super-cluster, then its cluster
         range (each cluster gated again)."""
-        enter = jnp.any(slab(sup_ref, g, carry[0]))
+        enter = jnp.any(slab(sup_ref, g, best_t(carries)))
         start = sup_ref[g, 6].astype(jnp.int32)
         count = sup_ref[g, 7].astype(jnp.int32)
         return jax.lax.cond(
@@ -313,7 +326,7 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
             lambda cr: jax.lax.fori_loop(
                 start, start + count,
                 lambda c, cr2: cluster_gate(cl_ref, leaf, c, cr2, body), cr),
-            lambda cr: cr, carry)
+            lambda cr: cr, carries)
 
     if carry is None:
         carry = (zero_f + _INF,    # bt
@@ -321,6 +334,9 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
                  zero_f, zero_f,   # bu, bv
                  zero_f, zero_f, zero_f,   # g0..g2
                  zero_i, zero_i)   # pa, pb
+    fresh = (zero_f + _INF, zero_i, zero_f, zero_f,
+             zero_f, zero_f, zero_f, zero_i, zero_i)
+    carry = (carry,) + (fresh,) * (KCARRY - 1)
 
     if sph_ordered or tri_ordered:
         # Tile's coarse spatial cell from its mean origin: selects the
@@ -383,11 +399,13 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
             carry)
     elif num_spheres > 0:
         # flat pool: padded to a multiple of UNROLL, pads poisoned
-        def sflat(j, cr):
+        def sflat(j, crs):
             base = j * UNROLL
+            crs = list(crs)
             for u in range(UNROLL):
-                cr = sph_body(base + u, cr)
-            return cr
+                k = u % KCARRY
+                crs[k] = sph_body(base + u, crs[k])
+            return tuple(crs)
         carry = jax.lax.fori_loop(0, num_spheres // UNROLL, sflat, carry)
 
     def tri_body(k, cr):
@@ -452,11 +470,13 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
             lambda c, cr: cluster_gate(tric, tri_leaf, c, cr, tri_body),
             carry)
     elif num_tris > 0:
-        def tflat(j, cr):
+        def tflat(j, crs):
             base = j * UNROLL
+            crs = list(crs)
             for u in range(UNROLL):
-                cr = tri_body(base + u, cr)
-            return cr
+                k = u % KCARRY
+                crs[k] = tri_body(base + u, crs[k])
+            return tuple(crs)
         carry = jax.lax.fori_loop(0, num_tris // UNROLL, tflat, carry)
 
     if stats_ref is not None:
@@ -467,4 +487,11 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
             flat_adjust += float(num_tris)
         if flat_adjust:
             stats_ref[:] = stats_ref[:] + flat_adjust
-    return carry
+
+    # merge the K independent chains into the final nearest hit
+    merged = carry[0]
+    for other in carry[1:]:
+        better = other[0] < merged[0]
+        merged = tuple(jnp.where(better, other[i], merged[i])
+                       for i in range(9))
+    return merged

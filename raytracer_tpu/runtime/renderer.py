@@ -32,6 +32,43 @@ from ..ops import film
 from ..ops.integrator import render_frame
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1),
+                   donate_argnums=(6, 7))
+def _reproject_warp(width, height, inv_order, o, d, depth, accum, wpix,
+                    pos, tl, du, dv, history):
+    """Forward-warp the accumulated image into a new camera pose.
+
+    Projects each source pixel's primary-hit world point through the new
+    pinhole (the inverse of camera.pixel_to_world) and scatter-averages its
+    radiance into the landing pixel. Weights are the source's accumulated
+    frame count capped at ``history``; pixels nothing lands on get weight 0
+    (progressive restart — the disocclusion fallback).
+    """
+    hit = depth < 1e29
+    p_world = o + d * jnp.minimum(depth, 1e29)[:, None]
+    v = p_world - pos
+    n = jnp.cross(dv, du)
+    n = n / jnp.linalg.norm(n)
+    focal = jnp.dot(tl - pos, n)
+    vn = v @ n
+    s = focal / jnp.where(vn > 1e-9, vn, 1.0)
+    r = pos + v * s[:, None] - tl
+    x = (r @ du) / jnp.dot(du, du)
+    y = (r @ dv) / jnp.dot(dv, dv)
+    xi = jnp.floor(x).astype(jnp.int32)
+    yi = jnp.floor(y).astype(jnp.int32)
+    valid = (hit & (vn > 1e-9) & (xi >= 0) & (xi < width)
+             & (yi >= 0) & (yi < height))
+    flat = jnp.clip(yi * width + xi, 0, width * height - 1)
+    slot = inv_order[flat]
+    w = jnp.where(valid, jnp.minimum(wpix, history), 0.0)
+    num = jnp.zeros_like(accum).at[slot].add(accum * w[:, None])
+    wsum = jnp.zeros_like(wpix).at[slot].add(w)
+    out = num / jnp.maximum(wsum, 1e-6)[:, None]
+    out = jnp.where((wsum > 0.0)[:, None], out, 0.0)
+    return out, jnp.minimum(wsum, history)
+
+
 class Renderer:
     """Progressive renderer with a persistent on-device accumulator."""
 
@@ -45,6 +82,7 @@ class Renderer:
         sharding=None,
         shard_mode: str = "pixel",
         adaptive_order: bool = False,
+        temporal: bool = False,
     ):
         self.scene = scene
         self.camera_cfg = camera
@@ -85,6 +123,20 @@ class Renderer:
         self.total_segments = 0.0
         self.last_frame_ms = float("nan")
         self.stats_log: list = []
+
+        # Temporal accumulation mode (fly-throughs, BASELINE stretch
+        # config): per-pixel accumulation weights instead of the scalar
+        # frame counter, and the megakernel's free primary-hit depth output
+        # — move_camera() then re-projects the accumulated image into the
+        # new view instead of restarting from black. Megakernel-only (the
+        # depth rides its carry), so it requires the TPU pallas path.
+        self._temporal = bool(
+            temporal and sharding is None and backend == "pallas"
+            and jax.default_backend() == "tpu")
+        self._wpix = (jnp.zeros(camera.num_pixels, jnp.float32)
+                      if self._temporal else None)
+        self._depth = None
+        self._rng_frame = 0  # monotonic RNG frame counter (never reset)
 
         if sharding is not None:
             # Multi-chip: the explicit shard_map step. GSPMD cannot
@@ -146,6 +198,9 @@ class Renderer:
         self.accum = film.new_accumulator(camera.num_pixels)
         if self._sharding is not None and self._shard_mode == "pixel":
             self.accum = jax.device_put(self.accum, self._sharding)
+        if self._wpix is not None:
+            self._wpix = jnp.zeros_like(self._wpix)
+        self._depth = None
         self.frame_num = 0
 
     def _maybe_learn_order(self) -> None:
@@ -183,15 +238,78 @@ class Renderer:
         self._ray_idx = jnp.take(self._ray_idx, order)
         self.accum = jnp.take(self.accum, order, axis=0)
 
+    # -- temporal accumulation (fly-through) ---------------------------------
+    def _temporal_render(self):
+        """One frame in temporal mode: per-pixel-weight accumulation plus
+        the megakernel's primary-hit depth capture."""
+        import dataclasses
+
+        from ..ops import rng as _rng
+        from ..ops.megakernel import render_sample_mean_mega
+
+        if getattr(self, "_tstep", None) is None:
+            settings = self.settings
+
+            @functools.partial(jax.jit, donate_argnums=(3, 4))
+            def _tstep(scene, o, d, accum, wpix, fkey):
+                mean, segs, depth = render_sample_mean_mega(
+                    scene, settings, o.T, d.T, fkey, want_depth=True)
+                w = wpix[:, None]
+                accum2 = (mean.T + accum * w) / (w + 1.0)
+                return accum2, wpix + 1.0, segs, depth
+
+            self._tstep = _tstep
+        fkey = _rng.frame_key(self.base_key, jnp.int32(self._rng_frame))
+        self._rng_frame += 1
+        self.accum, self._wpix, segs, self._depth = self._tstep(
+            self.scene, self._o, self._d, self.accum, self._wpix, fkey)
+        return segs
+
+    def move_camera(self, camera: CameraConfig, reproject: bool = True,
+                    history: float = 8.0) -> None:
+        """Camera move with temporal reprojection (temporal mode only).
+
+        The accumulated image is forward-warped into the new view: each
+        pixel's primary-hit world point (from the megakernel's depth
+        output) is projected through the new camera and its radiance
+        scatter-averaged into the target pixel, weighted by its
+        accumulated sample count capped at ``history`` frames (stale data
+        decays; disoccluded pixels get weight 0 and restart clean). Falls
+        back to a plain restart (set_camera) when no depth is available.
+        """
+        if not (self._temporal and reproject and self._depth is not None
+                and (camera.width, camera.height) == (self.camera_cfg.width,
+                                                      self.camera_cfg.height)):
+            if self._wpix is not None:
+                self._wpix = jnp.zeros_like(self._wpix)
+            self._depth = None
+            self.set_camera(camera)
+            return
+        new_cam = build_camera(camera)
+        inv_order = np.zeros_like(self._pixel_order)
+        inv_order[self._pixel_order] = np.arange(len(self._pixel_order))
+        self.accum, self._wpix = _reproject_warp(
+            self.camera_cfg.width, self.camera_cfg.height,
+            jnp.asarray(inv_order), self._o, self._d, self._depth,
+            self.accum, self._wpix, new_cam.position, new_cam.tl_pixel,
+            new_cam.delta_u, new_cam.delta_v, float(history))
+        self._depth = None
+        self.camera_cfg = camera
+        self._set_rays(camera)
+        self.frame_num = 0
+
     # -- frame loop ----------------------------------------------------------
     def render_frame(self, block: bool = False) -> jax.Array:
         """Render one progressive frame; returns the (device) accumulator."""
         self._maybe_learn_order()
         t0 = time.perf_counter()
-        self.accum, segs = self._step(
-            self.scene, self._ray_idx, self._o, self._d, self.accum,
-            jnp.int32(self.frame_num), self.base_key
-        )
+        if self._temporal:
+            segs = self._temporal_render()
+        else:
+            self.accum, segs = self._step(
+                self.scene, self._ray_idx, self._o, self._d, self.accum,
+                jnp.int32(self.frame_num), self.base_key
+            )
         if block:
             self.accum.block_until_ready()
         dt = time.perf_counter() - t0
@@ -221,7 +339,7 @@ class Renderer:
         minus its per-frame synchronise).
         """
         self._maybe_learn_order()
-        if fuse and n > 1 and self._sharding is None:
+        if fuse and n > 1 and self._sharding is None and not self._temporal:
             rec = self._render_frames_fused(n)
         else:
             t0 = time.perf_counter()

@@ -53,10 +53,14 @@ def test_scene_matches_golden(scene_num):
         pytest.skip("golden not generated")
     golden = np.load(path).astype(np.float32)
     img = _render(scene_num)
-    # Same key => near-bitwise; generous tolerance absorbs compiler and
-    # platform drift while still catching semantic regressions.
+    # Same key => deterministic render; the only differences vs the stored
+    # golden are fp16 storage and compiler drift. Measured same-key PSNR is
+    # 79-87 dB; the 55 dB bound leaves ~25 dB of drift headroom while any
+    # semantic regression (wrong checker parity, flipped UV, broken
+    # material) craters PSNR far below it — a 35 dB bound could hide those
+    # at this resolution.
     p = psnr(np.clip(img, 0, 1), np.clip(golden, 0, 1))
-    assert p > 35.0, f"scene {scene_num} PSNR {p:.1f} dB vs golden"
+    assert p > 55.0, f"scene {scene_num} PSNR {p:.1f} dB vs golden"
 
 
 def test_progressive_variance_decreases():

@@ -184,3 +184,26 @@ def test_mega_image_texture_matches_regen():
     err = np.abs(m_m - m_r).mean()
     noise = np.abs(m_r - m_r2).mean()
     assert err < 2.0 * noise + 1e-3, (err, noise)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="temporal mode needs the megakernel")
+def test_temporal_reprojection_flythrough():
+    """Temporal mode: camera moves re-project the accumulated image (with
+    per-pixel weights) instead of restarting from black."""
+    scene, use_sky = rt.build_scene(1)
+    settings = rt.RenderSettings(rays_per_pixel=4, reflect_limit=4
+                                 ).with_sky(use_sky)
+    cam = rt.CameraConfig(width=64, height=32)
+    r = rt.Renderer(scene, cam, settings, temporal=True)
+    assert r._temporal
+    r.render_frame(block=True)
+    r.render_frame(block=True)
+    assert r._depth is not None
+    # small dolly forward: most pixels should survive the warp
+    r.move_camera(rt.CameraConfig(width=64, height=32,
+                                  position=(0.0, 0.0, 0.05)))
+    w = np.asarray(r._wpix)
+    assert np.isfinite(np.asarray(r.accum)).all()
+    assert (w > 0).mean() > 0.5, f"only {(w > 0).mean():.2f} pixels kept"
+    r.render_frame(block=True)
+    assert np.isfinite(np.asarray(r.accum)).all()
