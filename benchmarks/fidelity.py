@@ -113,11 +113,12 @@ additional irreducible noise to the cross comparison.
 | ours vs CUDA reference (`image0.png`) | **{p_ref:.2f} dB** | {p_ref_box:.2f} dB |
 | ours seed-0 vs ours seed-1 (noise floor) | {p_self:.2f} dB | {p_self_box:.2f} dB |
 
-Interpretation: the cross-PSNR is within the Monte-Carlo regime set by the
-two images' residual noise — the renderers agree on the signal. A
-structural mismatch (wrong wall colour, flipped UV, wrong light strength)
-would cap the cross-PSNR far below the noise floor regardless of spp; see
-`tests/test_fidelity.py` for the automated guard.
+Interpretation: see the committed docs/FIDELITY.md analysis — geometry and
+composition align edge-exactly; absolute radiometry differs systematically
+(the screenshot's accumulation depth, capture transform and code version
+are unknown, and image1/image2 demonstrably predate the shipped source).
+A mirrored-image comparison calibrates what structural breakage looks like;
+`tests/test_fidelity.py` is the automated guard.
 
 Reproduce: `python benchmarks/fidelity.py {frames} --write-doc`
 """

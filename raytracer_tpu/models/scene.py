@@ -622,10 +622,17 @@ class SceneBuilder:
             extent = np.maximum(all_b[:, 3:6].max(axis=0) - lo, 1e-6)
             cell_grid = np.concatenate(
                 [lo, grid_n / extent]).astype(np.float32)
-            if 24 <= sph_clusters.shape[0] <= 512:
-                sph_cell_order = _cell_order(sph_clusters, lo, extent, grid_n)
-            if 24 <= tri_clusters.shape[0] <= 512:
-                tri_cell_order = _cell_order(tri_clusters, lo, extent, grid_n)
+
+            def order_for(clusters, supers):
+                # order the TOP level the sweep will traverse: supers when
+                # present (each gate covers a cluster range), else leaves
+                top = supers if supers.shape[0] > 0 else clusters
+                if 8 <= top.shape[0] <= 512:
+                    return _cell_order(top, lo, extent, grid_n)
+                return np.zeros((1,), np.int32)
+
+            sph_cell_order = order_for(sph_clusters, sph_supers)
+            tri_cell_order = order_for(tri_clusters, tri_supers)
 
         table = compile_materials(self._materials)
 

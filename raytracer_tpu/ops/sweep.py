@@ -380,7 +380,14 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
         pb = jnp.where(better, sphi[S_PB, s], pb)
         return bt, bc, bu, bv, g0, g1, g2, pa, pb
 
-    if sph_ordered:
+    if sph_ordered and num_sph_supers > 0:
+        base = cell * num_sph_supers
+        carry = jax.lax.fori_loop(
+            0, num_sph_supers,
+            lambda i, cr: super_gate(sphs, sphc, sph_leaf,
+                                     sph_order[base + i], cr, sph_body),
+            carry)
+    elif sph_ordered:
         base = cell * num_sph_clusters
         carry = jax.lax.fori_loop(
             0, num_sph_clusters,
@@ -452,7 +459,14 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
         pb = jnp.where(better, trii[1, k], pb)
         return bt, bc, bu, bv, g0, g1, g2, pa, pb
 
-    if tri_ordered:
+    if tri_ordered and num_tri_supers > 0:
+        base = cell * num_tri_supers
+        carry = jax.lax.fori_loop(
+            0, num_tri_supers,
+            lambda i, cr: super_gate(tris, tric, tri_leaf,
+                                     tri_order[base + i], cr, tri_body),
+            carry)
+    elif tri_ordered:
         base = cell * num_tri_clusters
         carry = jax.lax.fori_loop(
             0, num_tri_clusters,
