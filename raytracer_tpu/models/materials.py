@@ -177,11 +177,12 @@ def compile_materials(materials: List[Material]) -> MaterialTable:
             table.tex_width[i] = w
             table.tex_height[i] = h
 
-    # Texels are stored at bf16 precision (well above 8-bit image sources):
-    # the megakernel's in-kernel one-hot texel fetch rides the MXU, and
-    # bf16-representable values make its result bit-identical to the XLA
-    # atlas gather regardless of matmul precision.
-    import ml_dtypes
-    table.atlas = np.concatenate(atlas_parts, axis=0).astype(
-        ml_dtypes.bfloat16).astype(np.float32)
+    # Texels are quantised to 10 bits per channel (still above the 8-bit
+    # image sources, src/material.cu feeds u8/256 texels): the megakernel's
+    # in-kernel fetch packs each texel into one int32 (same colour30 scheme
+    # as ops.sweep.quantise_colour), and quantising once here makes its
+    # decoded values bit-identical to the XLA atlas gather.
+    atlas = np.concatenate(atlas_parts, axis=0)
+    q = np.round(np.clip(atlas, 0.0, 1.0) * 1023.0).astype(np.float32)
+    table.atlas = q * np.float32(1.0 / 1023.0)
     return table

@@ -20,9 +20,9 @@ chip, TPU-style:
   reference's per-thread switch.
 
 All four texture types are supported in-kernel, including images: distinct
-images pack into pre-transposed channel planes and each lane's texel is
-fetched with a factorised one-hot contraction on the MXU (no per-lane
-gather — see ``_fetch_image``). Statically checked limits (the caller
+images pack into one colour30-packed texel plane and each lane's texel is
+fetched with Mosaic's native lane-dimension dynamic gather plus a static
+row-select sweep (see ``_fetch_image``). Statically checked limits (the caller
 falls back to the wavefront pipeline): packed texture rows <= IMG_MAX_ROWS,
 image width <= 128 texels, and the scene's SMEM-resident layout within
 ``sweep.SMEM_BUDGET``.
@@ -47,7 +47,7 @@ from ..models.materials import (MAT_EMISSIVE, MAT_REFRACTIVE,
 from ..models.scene import SceneArrays
 from .intersect_pallas import _interpret
 from .sweep import (LANES, decode_colour30, decode_smooth_mat,
-                    pack_scene, sweep_tile)
+                    encode_colour30, pack_scene, sweep_tile)
 
 _EPS = 1e-6
 _INF = 1e30
@@ -86,11 +86,10 @@ IMG_MAX_ROWS = 128  # packed texture-plane rows the one-hot fetch supports
 def supports(scene: SceneArrays) -> bool:
     """Megakernel preconditions.
 
-    Image textures are sampled in-kernel with a factorised one-hot fetch
-    (one row-onehot matmul on the MXU + one column-masked reduce) as long
-    as every image fits the packed planes: total rows <= IMG_MAX_ROWS and
-    width <= 128 texels. Bigger atlases fall back to the wavefront
-    pipeline's XLA gather."""
+    Image textures are sampled in-kernel with a lane-gather + row-select
+    fetch (_fetch_image) as long as every image fits the packed texel
+    plane: total rows <= IMG_MAX_ROWS and width <= 128 texels. Bigger
+    atlases fall back to the wavefront pipeline's XLA gather."""
     from .sweep import fits_smem
     if not fits_smem(scene):
         # scene-resident SMEM layout would blow the ~1 MiB budget; the
@@ -103,23 +102,24 @@ def supports(scene: SceneArrays) -> bool:
 
 
 def pack_textures(scene: SceneArrays) -> jax.Array:
-    """Image textures -> pre-transposed channel planes (3*128, img_rows).
+    """Image textures -> packed colour30 texel plane (img_rows, 128).
 
-    Row c*128+col, column trow holds channel c of texel (trow, col): the
-    in-kernel fetch is then ``planes @ row_onehot`` (one MXU matmul per
-    128-lane chunk) followed by a column-masked reduce. Texel values are
-    bf16-representable (materials.compile_materials), so the single nonzero
-    product per output accumulates exactly in f32 at any MXU precision.
+    Row ``trow + v``, lane ``u`` holds texel (v, u) of the image whose
+    packed rows start at ``trow``, all three channels in one int32 (10 bits
+    per channel — the same colour30 scheme the sweep uses for primitive
+    albedo; the atlas is quantised to these exact values at scene build,
+    materials.compile_materials). One int32 per texel means the in-kernel
+    fetch needs a single lane-gather + select per packed row (_fetch_image).
     """
     if scene.img_rows == 0:
-        return jnp.zeros((8, LANES), jnp.float32)
-    planes = jnp.zeros((3, scene.img_rows, LANES), jnp.float32)
+        return jnp.zeros((8, LANES), jnp.int32)
+    planes = jnp.zeros((scene.img_rows, LANES), jnp.int32)
     for (off, h, w, row) in scene.img_layout:
         img = scene.atlas[off:off + h * w].reshape(h, w, 3)
-        img = jnp.pad(img, ((0, 0), (0, LANES - w), (0, 0)))
-        planes = planes.at[:, row:row + h, :].set(jnp.moveaxis(img, 2, 0))
-    return jnp.transpose(planes, (0, 2, 1)).reshape(
-        3 * LANES, scene.img_rows)
+        packed = encode_colour30(img)
+        packed = jnp.pad(packed, ((0, 0), (0, LANES - w)))
+        planes = planes.at[row:row + h, :].set(packed)
+    return planes
 
 
 def mega_tile_for(scene: SceneArrays) -> int:
@@ -148,34 +148,28 @@ def pack_materials(scene: SceneArrays) -> jax.Array:
 
 
 def _fetch_image(tex_ref, uu, vv, mtw, mth, mtrow, *, img_rows: int):
-    """Factorised nearest-neighbour texel fetch (src/material.cu:119-124).
+    """Nearest-neighbour texel fetch (src/material.cu:119-124), pure VPU.
 
-    Per 128-lane chunk: a (img_rows, 128) row-onehot contracted with the
-    pre-transposed planes on the MXU picks each lane's texture *row* for
-    all 128 columns at once; a column mask + sublane reduce then picks the
-    lane's column. No per-lane gather ever happens — the TPU-native form
-    of the reference's image[v*w + u] indexing.
+    The texture column select is Mosaic's native lane-dimension dynamic
+    gather (``take_along_axis(..., axis=1)`` — one vector op per vreg); the
+    row select is a static sweep over the packed texel rows with a
+    select-accumulate (texels ride one colour30 int32 each, so the whole
+    fetch is ~3 vector ops per packed row per tile). No MXU round-trips,
+    no per-lane scalar work — the TPU-native form of the reference's
+    ``image[v * width + u]`` indexing.
     """
-    srows = uu.shape[0]
+    shape = uu.shape
     u_i = jnp.clip(((mtw - 1.0) * uu).astype(jnp.int32), 0,
                    jnp.maximum(mtw.astype(jnp.int32) - 1, 0))
     v_i = jnp.clip(((mth - 1.0) * vv).astype(jnp.int32), 0,
                    jnp.maximum(mth.astype(jnp.int32) - 1, 0))
     ty = mtrow.astype(jnp.int32) + v_i
-    texT = tex_ref[:]                      # (3*LANES, img_rows)
-    outs = ([], [], [])
-    for r in range(srows):
-        ty_r = ty[r:r + 1, :]
-        tx_r = u_i[r:r + 1, :]
-        oh = (jax.lax.broadcasted_iota(jnp.int32, (img_rows, LANES), 0)
-              == ty_r).astype(jnp.float32)
-        colsel = jnp.dot(texT, oh, preferred_element_type=jnp.float32)
-        cmask = (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
-                 == tx_r).astype(jnp.float32)
-        for c in range(3):
-            outs[c].append(jnp.sum(colsel[c * LANES:(c + 1) * LANES] * cmask,
-                                   axis=0, keepdims=True))
-    return tuple(jnp.concatenate(o, axis=0) for o in outs)
+    acc = u_i * 0
+    for i in range(img_rows):
+        g = jnp.take_along_axis(
+            jnp.broadcast_to(tex_ref[i:i + 1, :], shape), u_i, axis=1)
+        acc = jnp.where(ty == i, g, acc)
+    return decode_colour30(acc)
 
 
 def _asin(x):
@@ -328,7 +322,7 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
               # measurement: consume every sweep output (so none of its
               # selects are DCE'd), then regenerate immediately — isolates
               # while+RNG+sweep from the shading/scatter half of the body.
-              dummy = (bt + bu + bv + n0 + n1 + n2 + msm
+              dummy = (bt + bu + bv + n0 + n1 + n2
                        + (bc + pa + pb).astype(jnp.float32))
               sr = sr + jnp.where(active, dummy * 1e-30, 0.0)
               sample_i = jnp.where(active, sample_i + 1, sample_i)
@@ -387,26 +381,33 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
           # VPU pass, while a lax.cond costs a cross-lane any-reduce plus a
           # scalar branch (hundreds of cycles); gating only pays off for big
           # tables where most materials are absent from the tile. ---
-          def mtake(m, acc, use):
-              (mtype, mior, mer, meg, meb, mtt,
-               ml0, ml1, ml2, md0, md1, md2, mnsq) = acc
-              return (
-                  jnp.where(use, mat_ref[_M_TYPE, m], mtype),
-                  jnp.where(use, mat_ref[_M_IOR, m], mior),
-                  jnp.where(use, mat_ref[_M_EMR, m], mer),
-                  jnp.where(use, mat_ref[_M_EMG, m], meg),
-                  jnp.where(use, mat_ref[_M_EMB, m], meb),
-                  jnp.where(use, mat_ref[_M_TEXTYPE, m], mtt),
-                  jnp.where(use, mat_ref[_M_LR, m], ml0),
-                  jnp.where(use, mat_ref[_M_LG, m], ml1),
-                  jnp.where(use, mat_ref[_M_LB, m], ml2),
-                  jnp.where(use, mat_ref[_M_DR, m], md0),
-                  jnp.where(use, mat_ref[_M_DG, m], md1),
-                  jnp.where(use, mat_ref[_M_DB, m], md2),
-                  jnp.where(use, mat_ref[_M_NSQ, m], mnsq),
-              )
+          has_img = img_rows > 0
 
-          macc = (f0, f0 + 1.0) + (f0,) * 11
+          def mtake(m, acc, use):
+              out = (
+                  jnp.where(use, mat_ref[_M_TYPE, m], acc[0]),
+                  jnp.where(use, mat_ref[_M_IOR, m], acc[1]),
+                  jnp.where(use, mat_ref[_M_EMR, m], acc[2]),
+                  jnp.where(use, mat_ref[_M_EMG, m], acc[3]),
+                  jnp.where(use, mat_ref[_M_EMB, m], acc[4]),
+                  jnp.where(use, mat_ref[_M_TEXTYPE, m], acc[5]),
+                  jnp.where(use, mat_ref[_M_LR, m], acc[6]),
+                  jnp.where(use, mat_ref[_M_LG, m], acc[7]),
+                  jnp.where(use, mat_ref[_M_LB, m], acc[8]),
+                  jnp.where(use, mat_ref[_M_DR, m], acc[9]),
+                  jnp.where(use, mat_ref[_M_DG, m], acc[10]),
+                  jnp.where(use, mat_ref[_M_DB, m], acc[11]),
+                  jnp.where(use, mat_ref[_M_NSQ, m], acc[12]),
+              )
+              if has_img:
+                  out = out + (
+                      jnp.where(use, mat_ref[_M_TW, m], acc[13]),
+                      jnp.where(use, mat_ref[_M_TH, m], acc[14]),
+                      jnp.where(use, mat_ref[_M_TROW, m], acc[15]),
+                  )
+              return out
+
+          macc = (f0, f0 + 1.0) + (f0,) * (14 if has_img else 11)
           if num_materials <= 8:
               for m in range(num_materials):
                   macc = mtake(m, macc, mid == m)
@@ -418,9 +419,9 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
                                       lambda a: a, acc)
               macc = jax.lax.fori_loop(0, num_materials, mbody, macc)
           (mtype, mior, mer, meg, meb, mtt,
-           ml0, ml1, ml2, md0, md1, md2, mnsq) = macc
+           ml0, ml1, ml2, md0, md1, md2, mnsq) = macc[:13]
 
-          # --- texture colour (const / gradient / checker; no images) ---
+          # --- texture colour (const / gradient / checker / image) ---
           u_c = (uu * mnsq).astype(jnp.int32)
           v_c = (vv * mnsq).astype(jnp.int32)
           is_light = ((u_c + v_c) % 2) == 0
@@ -433,6 +434,27 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
           tex_b = jnp.where(mtt == TEX_CHECKERBOARD,
                             jnp.where(is_light, ml2, md2),
                             jnp.where(mtt == TEX_GRADIENT, 0.0, pcol_b))
+
+          if has_img:
+              # In-kernel nearest-neighbour texel fetch (the reference
+              # samples image texels inside its one kernel,
+              # src/material.cu:119-124). Gated per iteration: a tile whose
+              # live rays hit no image-textured primitive this bounce skips
+              # the MXU fetch entirely.
+              mtw, mth, mtrow = macc[13], macc[14], macc[15]
+              is_img = (mtt == float(TEX_IMAGE)) & hit
+
+              def img_fetch(args):
+                  tr_, tg_, tb_ = args
+                  ir, ig, ib = _fetch_image(tex_ref, uu, vv, mtw, mth,
+                                            mtrow, img_rows=img_rows)
+                  return (jnp.where(is_img, ir, tr_),
+                          jnp.where(is_img, ig, tg_),
+                          jnp.where(is_img, ib, tb_))
+
+              tex_r, tex_g, tex_b = jax.lax.cond(
+                  jnp.any(is_img), img_fetch, lambda args: args,
+                  (tex_r, tex_g, tex_b))
 
           # --- radiance bookkeeping (src/raytracer.cu:76-90) ---
           miss = active & ~hit

@@ -100,9 +100,10 @@ def test_mega_deterministic():
 
 
 def test_fetch_image_matches_atlas_gather():
-    """The megakernel's factorised one-hot texel fetch (no PRNG involved —
-    runs under the interpreter on CPU) must reproduce the wavefront path's
-    atlas gather exactly (texels are bf16-representable by construction)."""
+    """The megakernel's lane-gather texel fetch (no PRNG involved — runs
+    under the interpreter on CPU) must reproduce the wavefront path's atlas
+    gather exactly (texels are colour30-quantised at scene build, so the
+    packed int32 decode round-trips bitwise)."""
     import numpy as np
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
