@@ -64,6 +64,12 @@ SROWS = int(os.environ.get("RAYTRACER_SROWS", "32"))
 # the latency hiding buys, so the default stays 1; the machinery remains
 # for future tuning on other TPU generations.
 NSTREAM = int(os.environ.get("RAYTRACER_STREAMS", "1"))
+# Bounce-body applications per while_loop iteration: each iteration carries
+# a fixed scalar-unit cost (loop control plus the vector->scalar sync of the
+# any-lane-live exit test); applying the body K times per iteration divides
+# that cost by K for <= K-1 wasted tail iterations per tile (~1% at K=2 on
+# the reference workload's ~100-iteration tiles).
+BODY_UNROLL = int(os.environ.get("RAYTRACER_BODY_UNROLL", "1"))
 MROWS = SROWS * NSTREAM
 MROWS_FLAT = MROWS
 # Timing ablations (measurement only): comma-separated flags.
@@ -183,22 +189,10 @@ def _asin(x):
     return jnp.where(x < 0.0, -v, v)
 
 
-def _uniform(shape):
-    """Uniform [0,1) from the on-core PRNG.
-
-    Bits arrive as signed int32 — bitcast to uint32 before the shift or the
-    arithmetic shift leaks the sign into the mantissa.
-    """
-    bits = pltpu.prng_random_bits(shape)
-    # low 24 bits as a non-negative int32 (uint32->f32 casts are
-    # unsupported in Mosaic) -> [0, 1) with full mantissa precision
-    return (bits & jnp.int32(0x00FFFFFF)).astype(jnp.float32) * (
-        1.0 / 16777216.0)
-
-
 def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
             sphc_ref, tric_ref, sphs_ref, tris_ref,
-            sph_order_ref, tri_order_ref, grid_ref, mat_ref, tex_ref,
+            sph_order_ref, tri_order_ref, grid_ref, mat_ref, matv_ref,
+            tex_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             sum_r_ref, sum_g_ref, sum_b_ref, segs_ref, depth_ref,
             *, num_spheres: int, num_tris: int, num_sph_clusters: int,
@@ -267,46 +261,55 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
           else:
               segs = segs + jnp.where(active, 1.0, 0.0)
 
-          # --- randoms (on-core PRNG) ---
+          # --- randoms (on-core PRNG). One batched draw per iteration:
+          # every prng_random_bits call is ordered on the PRNG state, so k
+          # separate draws serialise k generation latencies at the head of
+          # the bounce chain; slicing one (k*rows, 128) draw pays that
+          # latency once. ---
+          nrand = (3 if antialias else 0) + 3
+          bits = pltpu.prng_random_bits((nrand * srows, LANES))
+          if "rng2" in _ABLATE:
+              # measurement: a second full batch, opaquely mixed in
+              bits2 = pltpu.prng_random_bits((nrand * srows, LANES))
+              bits = jnp.where(bits2 < jnp.int32(0x7FFFFFFF), bits, bits2)
+
+          def uni(i):
+              # low 24 bits as non-negative int32 (uint32->f32 casts are
+              # unsupported in Mosaic) -> [0, 1) with full mantissa precision
+              b = bits[i * srows:(i + 1) * srows]
+              return (b & jnp.int32(0x00FFFFFF)).astype(jnp.float32) * (
+                  1.0 / 16777216.0)
+
           if antialias:
-              jx = (_uniform(shape) - 0.5) * (2 * ANTIALIAS_OFFSET_RANGE)
-              jy = (_uniform(shape) - 0.5) * (2 * ANTIALIAS_OFFSET_RANGE)
-              jz = (_uniform(shape) - 0.5) * (2 * ANTIALIAS_OFFSET_RANGE)
+              jx = (uni(3) - 0.5) * (2 * ANTIALIAS_OFFSET_RANGE)
+              jy = (uni(4) - 0.5) * (2 * ANTIALIAS_OFFSET_RANGE)
+              jz = (uni(5) - 0.5) * (2 * ANTIALIAS_OFFSET_RANGE)
               dx, dy, dz = dx + jx, dy + jy, dz + jz
               inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
               dx, dy, dz = dx * inv, dy * inv, dz * inv
-          # Box-Muller gaussian triple (the reference's normally_dist_num,
-          # src/utils.cu:234-239)
-          if "rng2" in _ABLATE:
-              for _ in range(8):
-                  _uniform(shape)
-          def box_muller():
-              u1 = jnp.maximum(_uniform(shape), 1e-12)
-              u2 = _uniform(shape)
-              u3 = jnp.maximum(_uniform(shape), 1e-12)
-              u4 = _uniform(shape)
-              r1 = jnp.sqrt(-2.0 * jnp.log(u1))
-              r2 = jnp.sqrt(-2.0 * jnp.log(u3))
-              gx = r1 * jnp.cos(2 * jnp.pi * u2)
-              gy = r1 * jnp.sin(2 * jnp.pi * u2)
-              gz = r2 * jnp.cos(2 * jnp.pi * u4)
-              return gx, gy, gz, u1
 
-          if "nobm" in _ABLATE:
-              # measurement: uniform triple instead of Box-Muller gaussians
-              gx = _uniform(shape) - 0.5
-              gy = _uniform(shape) - 0.5
-              gz = _uniform(shape) - 0.5
-              _u1 = gx
-          else:
-              gx, gy, gz, _u1 = box_muller()
+          # Uniform unit vector, sampled directly on the sphere. The
+          # reference draws a gaussian triple and normalises it
+          # (src/utils.cu:234-239 + src/ray.cu:157-170); only the
+          # *normalised* vector is ever used, and a gaussian triple's
+          # direction is exactly uniform on the sphere — so this is the
+          # same distribution with 2 fewer uniforms, no logs and no
+          # normalise on the bounce chain.
+          def sphere_dir(u1, u2):
+              z = 2.0 * u1 - 1.0
+              phi = (2.0 * jnp.pi) * u2
+              r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+              return r * jnp.cos(phi), r * jnp.sin(phi), z
+
+          gx, gy, gz = sphere_dir(uni(0), uni(1))
           if "bm2" in _ABLATE:
-              gx2, gy2, gz2, _ = box_muller()
-              take2 = _u1 < 2.0  # always true; opaque to the compiler
+              # measurement: duplicate the direction sampling, opaque take
+              gx2, gy2, gz2 = sphere_dir(uni(1), uni(0))
+              take2 = gz < 2.0  # always true; opaque to the compiler
               gx = jnp.where(take2, gx2, gx)
               gy = jnp.where(take2, gy2, gy)
               gz = jnp.where(take2, gz2, gz)
-          fres_u = _uniform(shape)
+          fres_u = uni(2)
 
           # --- nearest hit + shade params ---
           if "nosweep" in _ABLATE:
@@ -376,42 +379,53 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
           vv = jnp.where(is_tri, bv, sph_v)
 
           # --- material behaviour fetch (the per-primitive colour/smoothness
-          # came out of the sweep). For small tables the fetch is a chain of
-          # unconditional selects — a select on a (rows, 128) tile costs ~1
-          # VPU pass, while a lax.cond costs a cross-lane any-reduce plus a
-          # scalar branch (hundreds of cycles); gating only pays off for big
-          # tables where most materials are absent from the tile. ---
+          # came out of the sweep). For tables up to 128 materials the fetch
+          # is one lane-dimension dynamic gather per behaviour row — 13
+          # independent vector ops of depth 1, regardless of table size.
+          # (The previous per-material masked loop cost a cross-lane
+          # any-reduce plus a scalar branch per material — 36 scalar-unit
+          # syncs per bounce on the 36-material RTiOW scene.) ---
           has_img = img_rows > 0
 
-          def mtake(m, acc, use):
-              out = (
-                  jnp.where(use, mat_ref[_M_TYPE, m], acc[0]),
-                  jnp.where(use, mat_ref[_M_IOR, m], acc[1]),
-                  jnp.where(use, mat_ref[_M_EMR, m], acc[2]),
-                  jnp.where(use, mat_ref[_M_EMG, m], acc[3]),
-                  jnp.where(use, mat_ref[_M_EMB, m], acc[4]),
-                  jnp.where(use, mat_ref[_M_TEXTYPE, m], acc[5]),
-                  jnp.where(use, mat_ref[_M_LR, m], acc[6]),
-                  jnp.where(use, mat_ref[_M_LG, m], acc[7]),
-                  jnp.where(use, mat_ref[_M_LB, m], acc[8]),
-                  jnp.where(use, mat_ref[_M_DR, m], acc[9]),
-                  jnp.where(use, mat_ref[_M_DG, m], acc[10]),
-                  jnp.where(use, mat_ref[_M_DB, m], acc[11]),
-                  jnp.where(use, mat_ref[_M_NSQ, m], acc[12]),
-              )
-              if has_img:
-                  out = out + (
-                      jnp.where(use, mat_ref[_M_TW, m], acc[13]),
-                      jnp.where(use, mat_ref[_M_TH, m], acc[14]),
-                      jnp.where(use, mat_ref[_M_TROW, m], acc[15]),
-                  )
-              return out
+          if num_materials <= LANES:
+              def mfetch(row):
+                  return jnp.take_along_axis(
+                      jnp.broadcast_to(matv_ref[row:row + 1, :], shape),
+                      mid, axis=1)
 
-          macc = (f0, f0 + 1.0) + (f0,) * (14 if has_img else 11)
-          if num_materials <= 8:
-              for m in range(num_materials):
-                  macc = mtake(m, macc, mid == m)
+              rows = [_M_TYPE, _M_IOR, _M_EMR, _M_EMG, _M_EMB, _M_TEXTYPE,
+                      _M_LR, _M_LG, _M_LB, _M_DR, _M_DG, _M_DB, _M_NSQ]
+              if has_img:
+                  rows += [_M_TW, _M_TH, _M_TROW]
+              macc = tuple(mfetch(r) for r in rows)
           else:
+              # fallback: per-material masked loop, gated per material
+              def mtake(m, acc, use):
+                  out = (
+                      jnp.where(use, mat_ref[_M_TYPE, m], acc[0]),
+                      jnp.where(use, mat_ref[_M_IOR, m], acc[1]),
+                      jnp.where(use, mat_ref[_M_EMR, m], acc[2]),
+                      jnp.where(use, mat_ref[_M_EMG, m], acc[3]),
+                      jnp.where(use, mat_ref[_M_EMB, m], acc[4]),
+                      jnp.where(use, mat_ref[_M_TEXTYPE, m], acc[5]),
+                      jnp.where(use, mat_ref[_M_LR, m], acc[6]),
+                      jnp.where(use, mat_ref[_M_LG, m], acc[7]),
+                      jnp.where(use, mat_ref[_M_LB, m], acc[8]),
+                      jnp.where(use, mat_ref[_M_DR, m], acc[9]),
+                      jnp.where(use, mat_ref[_M_DG, m], acc[10]),
+                      jnp.where(use, mat_ref[_M_DB, m], acc[11]),
+                      jnp.where(use, mat_ref[_M_NSQ, m], acc[12]),
+                  )
+                  if has_img:
+                      out = out + (
+                          jnp.where(use, mat_ref[_M_TW, m], acc[13]),
+                          jnp.where(use, mat_ref[_M_TH, m], acc[14]),
+                          jnp.where(use, mat_ref[_M_TROW, m], acc[15]),
+                      )
+                  return out
+
+              macc = (f0, f0 + 1.0) + (f0,) * (14 if has_img else 11)
+
               def mbody(m, acc):
                   use = mid == m
                   return jax.lax.cond(jnp.any(use & hit),
@@ -475,13 +489,14 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
 
           # --- scatter (src/ray.cu:67-128, transcendental-free) ---
           def scatter_block(gx, gy, gz):
+              # g arrives unit (sphere_dir), so hemisphere-flipping it is a
+              # sign select, not a normalise (src/ray.cu:157-170 flips the
+              # normalised gaussian the same way).
               gdotn = gx * nx + gy * ny + gz * nz
               gflip = jnp.where(gdotn < 0.0, -1.0, 1.0)
-              ginv = jax.lax.rsqrt(jnp.maximum(
-                  gx * gx + gy * gy + gz * gz, 1e-24)) * gflip
-              ax_ = nx + gx * ginv
-              ay_ = ny + gy * ginv
-              az_ = nz + gz * ginv
+              ax_ = nx + gx * gflip
+              ay_ = ny + gy * gflip
+              az_ = nz + gz * gflip
               dinv = jax.lax.rsqrt(jnp.maximum(
                   ax_ * ax_ + ay_ * ay_ + az_ * az_, 1e-24))
               dfx, dfy, dfz = ax_ * dinv, ay_ * dinv, az_ * dinv  # diffuse
@@ -609,7 +624,9 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
     def body_all(states):
         # The streams are data-independent; tracing them together lets the
         # compiler interleave their chains.
-        return tuple(streams[i][0](st) for i, st in enumerate(states))
+        for _ in range(BODY_UNROLL):
+            states = tuple(streams[i][0](st) for i, st in enumerate(states))
+        return states
 
     states = jax.lax.while_loop(
         cond, body_all, tuple(b_s[1] for b_s in streams))
@@ -661,6 +678,11 @@ def render_sample_mean_mega(
     (sphf, sphi, trif, trii, sphc, tric, sphs, tris,
      sph_order, tri_order, cell_grid) = pack_scene(scene)
     mat = pack_materials(scene)
+    # VMEM copy of the table, lane-padded: the in-kernel fetch gathers each
+    # behaviour row by material id along the lane dimension (<= 128 mats)
+    matv = jnp.zeros((_M_ROWS, LANES), jnp.float32)
+    if mat.shape[1] <= LANES:
+        matv = matv.at[:, :mat.shape[1]].set(mat)
     tex = pack_textures(scene)
     kd = jax.random.key_data(frame_key).astype(jnp.int32).reshape(-1)
     seed = jnp.concatenate(
@@ -700,14 +722,14 @@ def render_sample_mean_mega(
         ),
         grid=(rows // mrows,),
         in_specs=([smem] * 13
-                  + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
                   + [ray_spec] * 6),
         out_specs=(ray_spec,) * 5,
         out_shape=tuple(jax.ShapeDtypeStruct((rows, LANES), f32)
                         for _ in range(5)),
         interpret=_interpret(),
     )(seed, sphf, sphi, trif, trii, sphc, tric, sphs, tris,
-      sph_order, tri_order, cell_grid, mat, tex, *planes)
+      sph_order, tri_order, cell_grid, mat, matv, tex, *planes)
 
     mean = jnp.stack([x.reshape(-1)[:n] for x in outs[:3]])
     segs_plane = outs[3].reshape(-1)[:n]
