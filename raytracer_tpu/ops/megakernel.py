@@ -47,7 +47,8 @@ from ..models.materials import (MAT_EMISSIVE, MAT_REFRACTIVE,
 from ..models.scene import SceneArrays
 from .intersect_pallas import _interpret
 from .sweep import (LANES, decode_colour30, decode_smooth_mat,
-                    encode_colour30, pack_scene, sweep_tile)
+                    encode_colour30, fetch_winner_param, pack_param_planes,
+                    pack_scene, param_rows, sweep_tile)
 
 _EPS = 1e-6
 _INF = 1e30
@@ -192,6 +193,7 @@ def _asin(x):
 def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
             sphc_ref, tric_ref, sphs_ref, tris_ref,
             sph_order_ref, tri_order_ref, grid_ref, mat_ref, matv_ref,
+            sphpf_ref, sphpi_ref, tripf_ref, tripi_ref,
             tex_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             sum_r_ref, sum_g_ref, sum_b_ref, segs_ref, depth_ref,
@@ -203,7 +205,7 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
             need_sphere_uv: bool, has_one_way: bool, needs_tri_uv: bool,
             sph_ordered: bool, tri_ordered: bool,
             sph_leaf: int, tri_leaf: int, mrows: int, nstream: int,
-            img_rows: int):
+            img_rows: int, rows_s: int, rows_t: int):
     tile = pl.program_id(0)
     # counter-based seeding: (frame key material, global tile index)
     # two 32-bit seed words max: fold (frame key, global tile) together
@@ -248,7 +250,7 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
               num_tri_supers=num_tri_supers,
               has_one_way=has_one_way, needs_tri_uv=needs_tri_uv,
               sph_ordered=sph_ordered, tri_ordered=tri_ordered,
-              sph_leaf=sph_leaf, tri_leaf=tri_leaf)
+              sph_leaf=sph_leaf, tri_leaf=tri_leaf, defer_params=True)
 
       def body(state):
           (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, bounce_i, sample_i,
@@ -311,7 +313,7 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
               gz = jnp.where(take2, gz2, gz)
           fres_u = uni(2)
 
-          # --- nearest hit + shade params ---
+          # --- nearest hit + deferred winner-param fetch ---
           if "nosweep" in _ABLATE:
               # measurement: fake always-hit, skip intersection entirely
               bt = jnp.abs(oz) + 0.5
@@ -319,8 +321,57 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
               bu, bv = fres_u, fres_u
               n0, n1, n2 = f0, f0 + 1.0, f0
           else:
-              (bt, bc, bu, bv, n0, n1, n2, pa, pb) = sweep(
-                  ox, oy, oz, dx, dy, dz)
+              bt, bc, bu, bv = sweep(ox, oy, oz, dx, dy, dz)
+              # The sweep carried only (best t, winner code): reconstruct
+              # the winner's parameters with one lane-gather per plane row
+              # instead of one select per swept primitive (see
+              # sweep.pack_param_planes / fetch_winner_param).
+              prim = bc >> 1
+              lane_i = prim & (LANES - 1)
+              row_i = prim >> 7
+              is_tri_w = (bc & 1) == 1
+              if num_spheres > 0:
+                  scx = fetch_winner_param(sphpf_ref, 0, rows_s,
+                                           row_i, lane_i, f0)
+                  scy = fetch_winner_param(sphpf_ref, rows_s, rows_s,
+                                           row_i, lane_i, f0)
+                  scz = fetch_winner_param(sphpf_ref, 2 * rows_s, rows_s,
+                                           row_i, lane_i, f0)
+                  spa = fetch_winner_param(sphpi_ref, 0, rows_s,
+                                           row_i, lane_i, i0)
+                  spb = fetch_winner_param(sphpi_ref, rows_s, rows_s,
+                                           row_i, lane_i, i0)
+              else:
+                  scx = scy = scz = f0
+                  spa = spb = i0
+              if num_tris > 0:
+                  tn0 = fetch_winner_param(tripf_ref, 0, rows_t,
+                                           row_i, lane_i, f0)
+                  tn1 = fetch_winner_param(tripf_ref, rows_t, rows_t,
+                                           row_i, lane_i, f0)
+                  tn2 = fetch_winner_param(tripf_ref, 2 * rows_t, rows_t,
+                                           row_i, lane_i, f0)
+                  tpa = fetch_winner_param(tripi_ref, 0, rows_t,
+                                           row_i, lane_i, i0)
+                  tpb = fetch_winner_param(tripi_ref, rows_t, rows_t,
+                                           row_i, lane_i, i0)
+              else:
+                  tn0 = tn1 = tn2 = f0
+                  tpa = tpb = i0
+              n0 = jnp.where(is_tri_w, tn0, scx)
+              n1 = jnp.where(is_tri_w, tn1, scy)
+              n2 = jnp.where(is_tri_w, tn2, scz)
+              pa = jnp.where(is_tri_w, tpa, spa)
+              pb = jnp.where(is_tri_w, tpb, spb)
+              if needs_tri_uv and num_tris > 0:
+                  uvp = [fetch_winner_param(tripf_ref, (3 + c) * rows_t,
+                                            rows_t, row_i, lane_i, f0)
+                         for c in range(6)]
+                  # barycentric UV with the reference's argument order
+                  # (src/objects.cu:160,196-199): uv0*w + uv1*u + uv2*v
+                  w_bar = 1.0 - bu - bv
+                  bu, bv = (uvp[0] * w_bar + uvp[2] * bu + uvp[4] * bv,
+                            uvp[1] * w_bar + uvp[3] * bu + uvp[5] * bv)
           if "noshade" in _ABLATE:
               # measurement: consume every sweep output (so none of its
               # selects are DCE'd), then regenerate immediately — isolates
@@ -683,6 +734,7 @@ def render_sample_mean_mega(
     matv = jnp.zeros((_M_ROWS, LANES), jnp.float32)
     if mat.shape[1] <= LANES:
         matv = matv.at[:, :mat.shape[1]].set(mat)
+    sphp_f, sphp_i, trip_f, trip_i = pack_param_planes(scene)
     tex = pack_textures(scene)
     kd = jax.random.key_data(frame_key).astype(jnp.int32).reshape(-1)
     seed = jnp.concatenate(
@@ -719,17 +771,20 @@ def render_sample_mean_mega(
             mrows=mrows,
             nstream=NSTREAM,
             img_rows=int(scene.img_rows),
+            rows_s=param_rows(int(scene.sph_center.shape[0])),
+            rows_t=param_rows(int(scene.tri_v0.shape[0])),
         ),
         grid=(rows // mrows,),
         in_specs=([smem] * 13
-                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
                   + [ray_spec] * 6),
         out_specs=(ray_spec,) * 5,
         out_shape=tuple(jax.ShapeDtypeStruct((rows, LANES), f32)
                         for _ in range(5)),
         interpret=_interpret(),
     )(seed, sphf, sphi, trif, trii, sphc, tric, sphs, tris,
-      sph_order, tri_order, cell_grid, mat, matv, tex, *planes)
+      sph_order, tri_order, cell_grid, mat, matv,
+      sphp_f, sphp_i, trip_f, trip_i, tex, *planes)
 
     mean = jnp.stack([x.reshape(-1)[:n] for x in outs[:3]])
     segs_plane = outs[3].reshape(-1)[:n]

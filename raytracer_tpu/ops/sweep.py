@@ -46,7 +46,10 @@ _INF = 1e30
 import os
 
 LANES = 128
-LEAF_TARGET = 32  # target primitives per BVH leaf cluster
+# target primitives per BVH leaf cluster (smaller = finer culling, more
+# cluster gates; each gate costs a slab test + a cross-lane any + a scalar
+# branch). 32 measured best on the reference workloads.
+LEAF_TARGET = int(os.environ.get("RAYTRACER_LEAF", "32"))
 ORDER_GRID = 4    # cells per axis of the near-first order lattice
 UNROLL = int(os.environ.get("RAYTRACER_SWEEP_UNROLL", "4"))
 # Independent best-hit carries: the nearest-hit reduction is a serial chain
@@ -241,7 +244,7 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
                has_one_way: bool, needs_tri_uv: bool,
                sph_ordered: bool = False, tri_ordered: bool = False,
                sph_leaf: int = LEAF_TARGET, tri_leaf: int = LEAF_TARGET,
-               stats_ref=None, carry=None):
+               stats_ref=None, carry=None, defer_params: bool = False):
     """Nearest hit + winner shading params for one ray tile.
 
     ``ox..dz`` are (rows, 128) component planes with **unit** directions;
@@ -250,7 +253,7 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
     broadcast-constant "replicated" layouts, so the caller controls the
     provenance of the init).
 
-    Returns a 9-tuple carry:
+    With ``defer_params=False`` returns a 9-tuple carry:
       (bt, bc, bu, bv, g0, g1, g2, pa, pb)
     - bt: best t (unit-direction parameterisation; _INF = miss)
     - bc: winner code = prim_index * 2 + is_triangle
@@ -258,6 +261,13 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
     - g0..g2: sphere centre / triangle geometric normal
     - pa: winner colour30 (i32)
     - pb: winner smooth8<<16 | mat_id (i32) — see decode_smooth_mat
+
+    With ``defer_params=True`` returns only (bt, bc, bu, bv) where bu/bv
+    are the winner's *raw barycentrics* (when needs_tri_uv): the sweep is
+    issue-bound and the per-primitive winner-param selects are most of its
+    issue cost, so callers that can afford one post-sweep lane-gather per
+    param (fetch_winner_param over pack_param_planes) drop from 7-9 selects
+    per primitive to 2-4.
     """
     # per-ray invariants (directions are unit: a = 1)
     ddo = dx * ox + dy * oy + dz * oz
@@ -328,14 +338,13 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
                 lambda c, cr2: cluster_gate(cl_ref, leaf, c, cr2, body), cr),
             lambda cr: cr, carries)
 
+    if defer_params:
+        fresh = (zero_f + _INF, zero_i, zero_f, zero_f)
+    else:
+        fresh = (zero_f + _INF, zero_i, zero_f, zero_f,
+                 zero_f, zero_f, zero_f, zero_i, zero_i)
     if carry is None:
-        carry = (zero_f + _INF,    # bt
-                 zero_i,           # bc
-                 zero_f, zero_f,   # bu, bv
-                 zero_f, zero_f, zero_f,   # g0..g2
-                 zero_i, zero_i)   # pa, pb
-    fresh = (zero_f + _INF, zero_i, zero_f, zero_f,
-             zero_f, zero_f, zero_f, zero_i, zero_i)
+        carry = fresh
     carry = (carry,) + (fresh,) * (KCARRY - 1)
 
     if sph_ordered or tri_ordered:
@@ -356,7 +365,7 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
         cell = (cxi * g + cyi) * g + czi
 
     def sph_body(s, cr):
-        bt, bc, bu, bv, g0, g1, g2, pa, pb = cr
+        bt = cr[0]
         cx = sphf[S_CX, s]
         cy = sphf[S_CY, s]
         cz = sphf[S_CZ, s]
@@ -372,13 +381,15 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
         t = jnp.where(valid, t, _INF)
         better = t < bt
         bt = jnp.where(better, t, bt)
-        bc = jnp.where(better, s * 2, bc)          # even code = sphere
-        g0 = jnp.where(better, cx, g0)
-        g1 = jnp.where(better, cy, g1)
-        g2 = jnp.where(better, cz, g2)
-        pa = jnp.where(better, sphi[S_PA, s], pa)
-        pb = jnp.where(better, sphi[S_PB, s], pb)
-        return bt, bc, bu, bv, g0, g1, g2, pa, pb
+        bc = jnp.where(better, s * 2, cr[1])       # even code = sphere
+        if defer_params:
+            return (bt, bc) + cr[2:]
+        g0 = jnp.where(better, cx, cr[4])
+        g1 = jnp.where(better, cy, cr[5])
+        g2 = jnp.where(better, cz, cr[6])
+        pa = jnp.where(better, sphi[S_PA, s], cr[7])
+        pb = jnp.where(better, sphi[S_PB, s], cr[8])
+        return bt, bc, cr[2], cr[3], g0, g1, g2, pa, pb
 
     if sph_ordered and num_sph_supers > 0:
         base = cell * num_sph_supers
@@ -416,7 +427,7 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
         carry = jax.lax.fori_loop(0, num_spheres // UNROLL, sflat, carry)
 
     def tri_body(k, cr):
-        bt, bc, bu, bv, g0, g1, g2, pa, pb = cr
+        bt = cr[0]
         wu0, wu1, wu2, wu3 = (trif[T_WU + r, k] for r in range(4))
         wv0, wv1, wv2, wv3 = (trif[T_WV + r, k] for r in range(4))
         ww0, ww1, ww2, ww3 = (trif[T_WW + r, k] for r in range(4))
@@ -441,7 +452,16 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
         t = jnp.where(valid, t, _INF)
         better = t < bt
         bt = jnp.where(better, t, bt)
-        bc = jnp.where(better, k * 2 + 1, bc)      # odd code = triangle
+        bc = jnp.where(better, k * 2 + 1, cr[1])   # odd code = triangle
+        if defer_params:
+            if needs_tri_uv:
+                # raw winner barycentrics; the caller interpolates after
+                # fetching the winner's uv rows (fetch_winner_param)
+                bu = jnp.where(better, u, cr[2])
+                bv = jnp.where(better, v, cr[3])
+                return bt, bc, bu, bv
+            return (bt, bc) + cr[2:]
+        bu, bv = cr[2], cr[3]
         if needs_tri_uv:
             # barycentric UV with the reference's argument order
             # (src/objects.cu:160,196-199): uv0*w + uv1*u + uv2*v
@@ -452,11 +472,11 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
                      + trif[T_UV + 5, k] * v)
             bu = jnp.where(better, tex_u, bu)
             bv = jnp.where(better, tex_v, bv)
-        g0 = jnp.where(better, trif[T_NRM, k], g0)
-        g1 = jnp.where(better, trif[T_NRM + 1, k], g1)
-        g2 = jnp.where(better, trif[T_NRM + 2, k], g2)
-        pa = jnp.where(better, trii[0, k], pa)
-        pb = jnp.where(better, trii[1, k], pb)
+        g0 = jnp.where(better, trif[T_NRM, k], cr[4])
+        g1 = jnp.where(better, trif[T_NRM + 1, k], cr[5])
+        g2 = jnp.where(better, trif[T_NRM + 2, k], cr[6])
+        pa = jnp.where(better, trii[0, k], cr[7])
+        pb = jnp.where(better, trii[1, k], cr[8])
         return bt, bc, bu, bv, g0, g1, g2, pa, pb
 
     if tri_ordered and num_tri_supers > 0:
@@ -507,5 +527,61 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
     for other in carry[1:]:
         better = other[0] < merged[0]
         merged = tuple(jnp.where(better, other[i], merged[i])
-                       for i in range(9))
+                       for i in range(len(merged)))
     return merged
+
+
+def param_rows(n: int) -> int:
+    """Lane-padded rows one primitive-parameter plane needs for n prims."""
+    return max(1, -(-n // LANES))
+
+
+def pack_param_planes(scene):
+    """Winner-parameter planes for the deferred post-sweep fetch (VMEM).
+
+    Plane layout: row ``p * rows + r``, lane ``l`` holds parameter ``p`` of
+    primitive ``r * 128 + l``. Returns (sphp_f, sphp_i, trip_f, trip_i):
+      sphp_f: centre x/y/z            (3 * rows_s, 128) f32
+      sphp_i: colour30, smooth|mat    (2 * rows_s, 128) i32
+      trip_f: normal x/y/z [+ uv0..2] (3 or 9 * rows_t, 128) f32
+      trip_i: colour30, smooth|mat    (2 * rows_t, 128) i32
+    """
+    def to_plane(col):
+        rows = param_rows(col.shape[0])
+        pad = rows * LANES - col.shape[0]
+        return jnp.pad(col, (0, pad)).reshape(rows, LANES)
+
+    sphp_f = jnp.concatenate([to_plane(scene.sph_center[:, c])
+                              for c in range(3)], axis=0)
+    sphp_i = jnp.concatenate([
+        to_plane(encode_colour30(scene.sph_colour)),
+        to_plane(encode_smooth_mat(scene.sph_smooth, scene.sph_mat)),
+    ], axis=0)
+    tri_cols = [scene.tri_normal[:, c] for c in range(3)]
+    if scene.needs_tri_uv:
+        tri_cols += [scene.tri_uv0[:, 0], scene.tri_uv0[:, 1],
+                     scene.tri_uv1[:, 0], scene.tri_uv1[:, 1],
+                     scene.tri_uv2[:, 0], scene.tri_uv2[:, 1]]
+    trip_f = jnp.concatenate([to_plane(c) for c in tri_cols], axis=0)
+    trip_i = jnp.concatenate([
+        to_plane(encode_colour30(scene.tri_colour)),
+        to_plane(encode_smooth_mat(scene.tri_smooth, scene.tri_mat)),
+    ], axis=0)
+    return sphp_f, sphp_i, trip_f, trip_i
+
+
+def fetch_winner_param(ref, base: int, nrows: int, row_idx, lane_idx, init):
+    """Per-lane fetch of one parameter plane by (row, lane) primitive index.
+
+    One native lane-dimension dynamic gather + select per plane row — the
+    deferred replacement for a per-primitive winner select inside the sweep
+    (~3 vector ops per plane row per tile, independent of how many
+    primitives were swept)."""
+    shape = lane_idx.shape
+    acc = init
+    for r in range(nrows):
+        g = jnp.take_along_axis(
+            jnp.broadcast_to(ref[base + r:base + r + 1, :], shape),
+            lane_idx, axis=1)
+        acc = jnp.where(row_idx == r, g, acc)
+    return acc
