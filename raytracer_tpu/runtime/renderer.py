@@ -32,17 +32,36 @@ from ..ops import film
 from ..ops.integrator import render_frame
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1),
-                   donate_argnums=(6, 7))
-def _reproject_warp(width, height, inv_order, o, d, depth, accum, wpix,
-                    pos, tl, du, dv, history):
-    """Forward-warp the accumulated image into a new camera pose.
+# Temporal history rides ONE int32 per pixel: XLA random-index gathers on
+# TPU cost ~5 ms per (N,) plane per 1M pixels (a forward scatter-add warp
+# was ~750 ms per 4K move), so the inverse warp is engineered down to a
+# single packed gather. Radiance is sqrt-encoded at 9 bits/channel over
+# [0, _HIST_MAX) (history is decaying approximate data; fresh samples are
+# never quantised) and the capped frame-count weight takes the low 5 bits.
+_HIST_MAX = 8.0
 
-    Projects each source pixel's primary-hit world point through the new
-    pinhole (the inverse of camera.pixel_to_world) and scatter-averages its
-    radiance into the landing pixel. Weights are the source's accumulated
-    frame count capped at ``history``; pixels nothing lands on get weight 0
-    (progressive restart — the disocclusion fallback).
+
+@jax.jit
+def _pack_history(accum, wpix, inv_order, history):
+    """(slot-ordered accum, weights) -> pixel-ordered packed history."""
+    w = jnp.clip(jnp.minimum(wpix, history), 0.0, 31.0).astype(jnp.int32)
+    q = jnp.round(jnp.sqrt(jnp.clip(accum / _HIST_MAX, 0.0, 1.0))
+                  * 511.0).astype(jnp.int32)
+    packed = (q[:, 0] << 23) | (q[:, 1] << 14) | (q[:, 2] << 5) | w
+    return packed[inv_order]
+
+
+def _gather_history(width, height, order, o, d, depth, packed_pix,
+                    pos, tl, du, dv):
+    """Inverse-warp the previous accumulation into the current view.
+
+    For each *current* pixel, projects its primary-hit world point (depth
+    from the megakernel) through the *old* pinhole and gathers the packed
+    old accumulation there — fused elementwise math plus ONE (N,) gather.
+    Out-of-view or missed pixels get weight 0: the disocclusion fallback
+    is a clean progressive restart.
+
+    Returns (history radiance, history weight) per current pixel.
     """
     hit = depth < 1e29
     p_world = o + d * jnp.minimum(depth, 1e29)[:, None]
@@ -60,13 +79,20 @@ def _reproject_warp(width, height, inv_order, o, d, depth, accum, wpix,
     valid = (hit & (vn > 1e-9) & (xi >= 0) & (xi < width)
              & (yi >= 0) & (yi < height))
     flat = jnp.clip(yi * width + xi, 0, width * height - 1)
-    slot = inv_order[flat]
-    w = jnp.where(valid, jnp.minimum(wpix, history), 0.0)
-    num = jnp.zeros_like(accum).at[slot].add(accum * w[:, None])
-    wsum = jnp.zeros_like(wpix).at[slot].add(w)
-    out = num / jnp.maximum(wsum, 1e-6)[:, None]
-    out = jnp.where((wsum > 0.0)[:, None], out, 0.0)
-    return out, jnp.minimum(wsum, history)
+    packed = packed_pix[flat]
+    # velocity-aware history: fast-moving pixels keep less history (their
+    # reprojection error and ghost-trail length grow with screen motion)
+    xd = (order % width).astype(jnp.float32)
+    yd = (order // width).astype(jnp.float32)
+    motion = jnp.sqrt((x - xd) ** 2 + (y - yd) ** 2)
+    w = jnp.where(valid, (packed & 31).astype(jnp.float32), 0.0)
+    w = jnp.minimum(w, 31.0 / (1.0 + 0.5 * motion))
+    scale = jnp.float32(_HIST_MAX / (511.0 * 511.0))
+    cr = ((packed >> 23) & 511).astype(jnp.float32)
+    cg = ((packed >> 14) & 511).astype(jnp.float32)
+    cb = ((packed >> 5) & 511).astype(jnp.float32)
+    hist = jnp.stack([cr * cr, cg * cg, cb * cb], axis=-1) * scale
+    return hist, w
 
 
 class Renderer:
@@ -136,6 +162,8 @@ class Renderer:
         self._wpix = (jnp.zeros(camera.num_pixels, jnp.float32)
                       if self._temporal else None)
         self._depth = None
+        self._inv_order = None  # cached pixel->slot map (reprojection)
+        self._warp_src = None   # pending history to inverse-warp next frame
         self._rng_frame = 0  # monotonic RNG frame counter (never reset)
 
         if sharding is not None:
@@ -176,9 +204,14 @@ class Renderer:
 
     def _set_rays(self, camera: CameraConfig) -> None:
         cam = build_camera(camera)
-        o, d = primary_rays(cam, camera.width, camera.height,
-                            pixel_order=self._pixel_order)
-        ray_idx = jnp.asarray(self._pixel_order, jnp.int32)
+        # jit the (H*W)-sized ray build: camera moves re-run it every frame
+        # of a fly-through, and eager dispatch costs ~10 ops x 8M pixels
+        if getattr(self, "_ray_fn", None) is None:
+            self._ray_fn = jax.jit(functools.partial(
+                primary_rays, width=camera.width, height=camera.height))
+            self._order_dev = jnp.asarray(self._pixel_order, jnp.int32)
+        o, d = self._ray_fn(cam, pixel_order=self._order_dev)
+        ray_idx = self._order_dev
         if self._sharding is not None and self._shard_mode == "pixel":
             # Pixel rows sharded across the mesh; the scene pytree stays
             # replicated (it is broadcast on first use).
@@ -233,6 +266,9 @@ class Renderer:
         else:
             order = np.argsort(costs, kind="stable")
         self._pixel_order = self._pixel_order[order]
+        self._inv_order = None  # pixel->slot map changed; rebuild lazily
+        if getattr(self, "_ray_fn", None) is not None:
+            self._order_dev = jnp.asarray(self._pixel_order, jnp.int32)
         self._o = jnp.take(self._o, order, axis=0)
         self._d = jnp.take(self._d, order, axis=0)
         self._ray_idx = jnp.take(self._ray_idx, order)
@@ -249,53 +285,98 @@ class Renderer:
 
         if getattr(self, "_tstep", None) is None:
             settings = self.settings
+            width, height = self.camera_cfg.width, self.camera_cfg.height
 
-            @functools.partial(jax.jit, donate_argnums=(3, 4))
-            def _tstep(scene, o, d, accum, wpix, fkey):
+            # Primary rays are generated INSIDE the step jit from the tiny
+            # camera basis: a camera move then costs nothing outside the
+            # frame launch (a separate 8M-ray build + dispatch was ~40 ms
+            # per 4K move).
+            @functools.partial(jax.jit, donate_argnums=(4, 5))
+            def _tstep(scene, cam, order, accum, wpix, fkey):
+                o, d = primary_rays(cam, width, height, pixel_order=order)
                 mean, segs, depth = render_sample_mean_mega(
                     scene, settings, o.T, d.T, fkey, want_depth=True)
                 w = wpix[:, None]
                 accum2 = (mean.T + accum * w) / (w + 1.0)
                 return accum2, wpix + 1.0, segs, depth
 
+            @jax.jit
+            def _tstep_warp(scene, cam, order, packed_pix,
+                            pos, tl, du, dv, fkey):
+                # first frame after a camera move: render the new view,
+                # then gather the old accumulation into it (inverse warp —
+                # see _gather_history) in the same launch
+                o, d = primary_rays(cam, width, height, pixel_order=order)
+                mean, segs, depth = render_sample_mean_mega(
+                    scene, settings, o.T, d.T, fkey, want_depth=True)
+                hist, w = _gather_history(
+                    width, height, order, o, d, depth, packed_pix,
+                    pos, tl, du, dv)
+                wcol = w[:, None]
+                accum2 = (mean.T + hist * wcol) / (wcol + 1.0)
+                return accum2, w + 1.0, segs, depth
+
             self._tstep = _tstep
+            self._tstep_warp = _tstep_warp
         fkey = _rng.frame_key(self.base_key, jnp.int32(self._rng_frame))
         self._rng_frame += 1
-        self.accum, self._wpix, segs, self._depth = self._tstep(
-            self.scene, self._o, self._d, self.accum, self._wpix, fkey)
+        cam = build_camera(self.camera_cfg)
+        if getattr(self, "_order_dev", None) is None:
+            self._order_dev = jnp.asarray(self._pixel_order, jnp.int32)
+        if self._warp_src is not None:
+            packed_pix, pos, tl, du, dv = self._warp_src
+            self._warp_src = None
+            self.accum, self._wpix, segs, self._depth = self._tstep_warp(
+                self.scene, cam, self._order_dev, packed_pix,
+                pos, tl, du, dv, fkey)
+        else:
+            self.accum, self._wpix, segs, self._depth = self._tstep(
+                self.scene, cam, self._order_dev, self.accum, self._wpix,
+                fkey)
         return segs
 
     def move_camera(self, camera: CameraConfig, reproject: bool = True,
                     history: float = 8.0) -> None:
         """Camera move with temporal reprojection (temporal mode only).
 
-        The accumulated image is forward-warped into the new view: each
-        pixel's primary-hit world point (from the megakernel's depth
-        output) is projected through the new camera and its radiance
-        scatter-averaged into the target pixel, weighted by its
-        accumulated sample count capped at ``history`` frames (stale data
-        decays; disoccluded pixels get weight 0 and restart clean). Falls
-        back to a plain restart (set_camera) when no depth is available.
+        The warp is deferred and inverse: the old accumulation (and the old
+        camera basis) are stashed, and the *next* rendered frame gathers
+        history into the new view per pixel using its own primary-hit depth
+        (_gather_history — gather-only; the scatter-based forward warp cost
+        ~750 ms per 4K move on v5e). History weight is capped at
+        ``history`` frames so stale radiance decays; disoccluded or
+        out-of-view pixels restart clean. Repeated moves before the next
+        frame keep warping from the last *rendered* view. Falls back to a
+        plain restart (set_camera) when there is nothing to reproject.
         """
-        if not (self._temporal and reproject and self._depth is not None
+        rendered = (self._wpix is not None
+                    and (self.frame_num > 0 or self._warp_src is not None))
+        if not (self._temporal and reproject and rendered
                 and (camera.width, camera.height) == (self.camera_cfg.width,
                                                       self.camera_cfg.height)):
             if self._wpix is not None:
                 self._wpix = jnp.zeros_like(self._wpix)
             self._depth = None
+            self._warp_src = None
             self.set_camera(camera)
             return
-        new_cam = build_camera(camera)
-        inv_order = np.zeros_like(self._pixel_order)
-        inv_order[self._pixel_order] = np.arange(len(self._pixel_order))
-        self.accum, self._wpix = _reproject_warp(
-            self.camera_cfg.width, self.camera_cfg.height,
-            jnp.asarray(inv_order), self._o, self._d, self._depth,
-            self.accum, self._wpix, new_cam.position, new_cam.tl_pixel,
-            new_cam.delta_u, new_cam.delta_v, float(history))
+        if self._warp_src is None:
+            old_cam = build_camera(self.camera_cfg)
+            if self._inv_order is None:
+                inv = np.zeros_like(self._pixel_order)
+                inv[self._pixel_order] = np.arange(len(self._pixel_order))
+                self._inv_order = jnp.asarray(inv, jnp.int32)
+            packed_pix = _pack_history(self.accum, self._wpix,
+                                       self._inv_order,
+                                       jnp.float32(history))
+            self._warp_src = (packed_pix, old_cam.position,
+                              old_cam.tl_pixel, old_cam.delta_u,
+                              old_cam.delta_v)
+            self._wpix = jnp.zeros(self.camera_cfg.num_pixels, jnp.float32)
+            self.accum = film.new_accumulator(self.camera_cfg.num_pixels)
         self._depth = None
         self.camera_cfg = camera
-        self._set_rays(camera)
+        # no _set_rays: the temporal step builds rays in-jit from the basis
         self.frame_num = 0
 
     # -- frame loop ----------------------------------------------------------
@@ -310,6 +391,7 @@ class Renderer:
                 self.scene, self._ray_idx, self._o, self._d, self.accum,
                 jnp.int32(self.frame_num), self.base_key
             )
+        self._last_segs = segs  # device scalar; float() it after a sync
         if block:
             self.accum.block_until_ready()
         dt = time.perf_counter() - t0
