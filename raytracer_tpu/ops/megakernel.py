@@ -74,6 +74,9 @@ BODY_UNROLL = int(os.environ.get("RAYTRACER_BODY_UNROLL", "1"))
 # Scene size (spheres + triangles) from which the megakernel defers winner
 # params out of the sweep (sweep.defer_params + post-sweep lane-gather).
 DEFER_MIN = int(os.environ.get("RAYTRACER_DEFER_MIN", "64"))
+# Approximate-reciprocal triangle divide in the sweep (statistically
+# validated; exact divide in the wavefront kernels regardless).
+FAST_DIV = os.environ.get("RAYTRACER_FAST_DIV", "1") == "1"
 MROWS = SROWS * NSTREAM
 MROWS_FLAT = MROWS
 # Timing ablations (measurement only): comma-separated flags.
@@ -257,7 +260,8 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
               num_tri_supers=num_tri_supers,
               has_one_way=has_one_way, needs_tri_uv=needs_tri_uv,
               sph_ordered=sph_ordered, tri_ordered=tri_ordered,
-              sph_leaf=sph_leaf, tri_leaf=tri_leaf, defer_params=defer)
+              sph_leaf=sph_leaf, tri_leaf=tri_leaf, defer_params=defer,
+              fast_div=FAST_DIV)
 
       def body(state):
           (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, bounce_i, sample_i,

@@ -244,7 +244,8 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
                has_one_way: bool, needs_tri_uv: bool,
                sph_ordered: bool = False, tri_ordered: bool = False,
                sph_leaf: int = LEAF_TARGET, tri_leaf: int = LEAF_TARGET,
-               stats_ref=None, carry=None, defer_params: bool = False):
+               stats_ref=None, carry=None, defer_params: bool = False,
+               fast_div: bool = False):
     """Nearest hit + winner shading params for one ray tile.
 
     ``ox..dz`` are (rows, 128) component planes with **unit** directions;
@@ -436,7 +437,23 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
         # triangles have all-zero rows: t = -0/0 = NaN fails every check.
         ow = ww0 * ox + ww1 * oy + ww2 * oz + ww3
         dw = ww0 * dx + ww1 * dy + ww2 * dz
-        t = -ow / dw
+        if fast_div:
+            # Approximate reciprocal + one Newton step (~2^-24 relative):
+            # a full divide per triangle is the most expensive op of the
+            # body. The raw ~2^-12 approximation was measured to leak
+            # light through quad seams (t error above the intersection
+            # epsilon at scene scale); one refinement restores f32-class
+            # accuracy at a fraction of the divide's cost. Only the
+            # megakernel opts in (it is held to statistical/PSNR tests);
+            # the wavefront kernels keep the exact divide so they stay
+            # bitwise equal to the XLA oracle. Padding rows still poison:
+            # reciprocal(0) = inf -> NaN t fails every compare.
+            import jax.experimental.pallas as _pl
+            r0 = _pl.reciprocal(dw, approx=True)
+            r0 = r0 * (2.0 - dw * r0)
+            t = -ow * r0
+        else:
+            t = -ow / dw
         ou = wu0 * ox + wu1 * oy + wu2 * oz + wu3
         du = wu0 * dx + wu1 * dy + wu2 * dz
         u = ou + t * du
