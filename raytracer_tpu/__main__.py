@@ -51,6 +51,13 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--checkpoint-every", type=int, default=0)
     r.add_argument("--stats", type=str, default=None,
                    help="JSONL stats sink path")
+    r.add_argument("--temporal", action="store_true",
+                   help="temporal accumulation: camera moves (set_camera/"
+                        "move_camera on the Renderer) re-project history "
+                        "instead of restarting (TPU megakernel only)")
+    r.add_argument("--orbit", type=float, default=0.0,
+                   help="with --temporal: rotate the camera this many "
+                        "radians per frame around Y (fly-through demo)")
     r.add_argument("--shard", choices=("none", "pixel", "spp"),
                    default="none",
                    help="multi-chip strategy over all visible devices: "
@@ -107,13 +114,23 @@ def cmd_render(args) -> int:
 
     renderer = rt.Renderer(scene, camera, settings, backend=args.backend,
                            seed=args.seed, sharding=sharding,
-                           shard_mode=args.shard if sharding else "pixel")
+                           shard_mode=args.shard if sharding else "pixel",
+                           temporal=args.temporal)
     if args.resume:
         renderer.load_checkpoint(args.resume)
 
+    move = None
+    if args.temporal and args.orbit:
+        import dataclasses as _dc
+
+        def move(frame_i):
+            renderer.move_camera(_dc.replace(
+                camera, y_rot=camera.y_rot + args.orbit * frame_i))
+
     run_render_loop(renderer, frames=args.frames, out_path=args.out,
                     display=args.view, checkpoint=args.checkpoint,
-                    checkpoint_every=args.checkpoint_every)
+                    checkpoint_every=args.checkpoint_every,
+                    per_frame=move)
     if args.stats:
         renderer.write_stats(args.stats)
     print(f"wrote {args.out} ({renderer.frame_num} frames, "

@@ -39,7 +39,7 @@ from ..models.scene import SceneArrays
 from ..utils.vec import INF
 from .intersect import HitRecord, ShadeData
 from .sweep import (LANES, decode_colour30, decode_smooth_mat,
-                    pack_scene, sweep_tile)
+                    pack_scene, safe_inv_dir, sweep_tile)
 
 _INF = 1e30
 
@@ -114,83 +114,159 @@ TRI_BLOCK = 1024
 _FORCE_BLOCKED = bool(os.environ.get("RAYTRACER_FORCE_BLOCKED", ""))
 
 
-def _kernel_blocked(sphf, sphi, trif, trii, sphc_ref, tric_ref,
+def _kernel_blocked(sphc_ref, tric_ref, bbox_ref,
+                    sphf_hbm, sphi_hbm, trif_hbm, trii_hbm,
                     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                     t_ref, code_ref, u_ref, v_ref,
                     n0_ref, n1_ref, n2_ref, pa_ref, pb_ref,
-                    *, sph_blocks: int, tri_blocks: int,
+                    sphf_s, sphi_s, trif_s, trii_s, sems,
+                    *, nblocks: int, sph_blocks: int, tri_blocks: int,
                     has_one_way: bool, needs_tri_uv: bool,
                     sph_leaf: int, tri_leaf: int):
-    """Beyond-SMEM scenes: grid = (ray tiles, primitive blocks).
+    """Beyond-SMEM scenes: the scene lives in HBM; only its *boxes* are
+    SMEM-resident (per-block unions + every leaf-cluster box). Each ray
+    tile loops over primitive blocks and DMAs a block into SMEM scratch
+    only when some lane can beat its best inside the block's union box —
+    the analog of the reference holding geometry in global memory
+    (src/objects.cu:741-770), with demand-paged streaming instead of a
+    fixed per-step prefetch (Pallas' automatic j-axis streaming cost
+    ~106 us per (tile, block) step whether or not the block mattered).
 
-    The scene lives in HBM; Pallas double-buffers one primitive block per
-    pool into SMEM per grid step (index_map on the j axis) while the
-    previous block sweeps — the analog of the reference holding geometry
-    in global memory (src/objects.cu:741-770), with the streaming the TPU
-    way. The running best rides the *output* refs across the j steps of a
-    ray tile (grid iterates j fastest, so the output block stays
-    VMEM-resident) — the standard accumulator pattern, carrying the
-    sweep's packed 9-tuple. Winner codes are re-based by the block offset
-    so the final code indexes the full pool. Per-leaf cluster gates prune
-    within each block.
+    Primitive pools use a (word-chunk, 128) block layout (SMEM DMAs
+    require a 128-wide minor dimension); the sweep addresses them through
+    accessors (sweep_tile sget_f/...). Winner codes come back block-local
+    and are re-based before merging into the running global best.
     """
-    j = pl.program_id(1)
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-
-    @pl.when(j == 0)
-    def _():
-        t_ref[:] = jnp.full((ROWS, LANES), _INF, jnp.float32)
-        code_ref[:] = jnp.zeros((ROWS, LANES), jnp.int32)
-        u_ref[:] = jnp.zeros((ROWS, LANES), jnp.float32)
-        v_ref[:] = jnp.zeros((ROWS, LANES), jnp.float32)
-        n0_ref[:] = jnp.zeros((ROWS, LANES), jnp.float32)
-        n1_ref[:] = jnp.zeros((ROWS, LANES), jnp.float32)
-        n2_ref[:] = jnp.zeros((ROWS, LANES), jnp.float32)
-        pa_ref[:] = jnp.zeros((ROWS, LANES), jnp.int32)
-        pb_ref[:] = jnp.zeros((ROWS, LANES), jnp.int32)
-
-    carry = (t_ref[:], code_ref[:], u_ref[:], v_ref[:],
-             n0_ref[:], n1_ref[:], n2_ref[:], pa_ref[:], pb_ref[:])
+    inv_dx, inv_dy, inv_dz = safe_inv_dir(dx, dy, dz)
 
     zero_f = jnp.zeros((ROWS, LANES), jnp.float32)
     zero_i = jnp.zeros((ROWS, LANES), jnp.int32)
 
-    # Relativise the carried winner code to this block, sweep, re-globalise.
-    sph_base = j * SPH_BLOCK
-    tri_base = j * TRI_BLOCK
+    sc_rows = SPH_BLOCK // sph_leaf
+    tc_rows = TRI_BLOCK // tri_leaf
+    s_chunks = SPH_BLOCK // LANES      # 32
+    t_chunks = TRI_BLOCK // LANES      # 8
 
-    def localise(code):
-        is_tri = (code & 1) == 1
-        idx = code >> 1
-        return jnp.where(is_tri, (idx - tri_base) * 2 + 1,
-                         (idx - sph_base) * 2)
+    # resident box tables ride a (word-row, 128) layout: an (N, 8) SMEM
+    # array pads its minor dim to 128 (16x waste — a 100k-sphere cluster
+    # table would alone blow the 1 MiB SMEM)
+    n_cl_s = nblocks * sc_rows
+    n_cl_t = nblocks * tc_rows
+    cc_s = -(-n_cl_s // LANES)
+    cc_t = -(-n_cl_t // LANES)
+    bb = -(-(nblocks * 2) // LANES)
+    scl_get = lambda i, k: sphc_ref[k * cc_s + (i >> 7), i & 127]
+    tcl_get = lambda i, k: tric_ref[k * cc_t + (i >> 7), i & 127]
+    bget = lambda i, k: bbox_ref[k * bb + (i >> 7), i & 127]
 
-    def globalise(code):
-        is_tri = (code & 1) == 1
-        idx = code >> 1
-        return jnp.where(is_tri, (idx + tri_base) * 2 + 1,
-                         (idx + sph_base) * 2)
+    def box_enter(i, bt):
+        t1 = (bget(i, 0) - ox) * inv_dx
+        t2 = (bget(i, 3) - ox) * inv_dx
+        tmin = jnp.minimum(t1, t2)
+        tmax = jnp.maximum(t1, t2)
+        t1 = (bget(i, 1) - oy) * inv_dy
+        t2 = (bget(i, 4) - oy) * inv_dy
+        tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+        tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+        t1 = (bget(i, 2) - oz) * inv_dz
+        t2 = (bget(i, 5) - oz) * inv_dz
+        tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+        tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+        tmin = jnp.maximum(tmin, 0.0)
+        return jnp.any((tmin <= tmax) & (tmax > 0.0) & (tmin < bt))
 
-    carry = (carry[0], localise(carry[1])) + carry[2:]
-    carry = sweep_tile(
-        sphf, sphi, trif, trii, sphc_ref, tric_ref,
-        # supers/order/grid slots are statically disabled; any ref works
-        sphc_ref, tric_ref, sphc_ref, tric_ref, sphc_ref,
-        ox, oy, oz, dx, dy, dz, zero_f, zero_i,
-        num_spheres=SPH_BLOCK if sph_blocks > 0 else 0,
-        num_tris=TRI_BLOCK if tri_blocks > 0 else 0,
-        num_sph_clusters=(SPH_BLOCK // sph_leaf) if sph_blocks > 0 else 0,
-        num_tri_clusters=(TRI_BLOCK // tri_leaf) if tri_blocks > 0 else 0,
-        num_sph_supers=0, num_tri_supers=0,
-        has_one_way=has_one_way, needs_tri_uv=needs_tri_uv,
-        sph_leaf=sph_leaf, tri_leaf=tri_leaf,
-        carry=carry)
-    carry = (carry[0], globalise(carry[1])) + carry[2:]
+    t_ref[:] = zero_f + _INF
+    code_ref[:] = zero_i
+    u_ref[:] = zero_f
+    v_ref[:] = zero_f
+    n0_ref[:] = zero_f
+    n1_ref[:] = zero_f
+    n2_ref[:] = zero_f
+    pa_ref[:] = zero_i
+    pb_ref[:] = zero_i
 
-    t_ref[:], code_ref[:], u_ref[:], v_ref[:] = carry[0:4]
-    n0_ref[:], n1_ref[:], n2_ref[:] = carry[4:7]
-    pa_ref[:], pb_ref[:] = carry[7:9]
+    _abl = os.environ.get("RAYTRACER_BLOCKED_ABLATE", "")
+
+    def block_body(b, _):
+        bt = t_ref[:]
+        enter = box_enter(b * 2 + 0, bt)
+        if sph_blocks > 0 and tri_blocks > 0:
+            enter = jnp.logical_or(enter, box_enter(b * 2 + 1, bt))
+        elif tri_blocks > 0:
+            enter = box_enter(b * 2 + 1, bt)
+        if _abl == "neverenter":
+            enter = jnp.logical_and(enter, b < 0)
+
+        # The running best lives in the OUTPUT refs and is merged in place
+        # under pl.when: a lax.cond carrying the nine (ROWS, 128) arrays
+        # through its region boundaries cost ~100 us per (tile, block)
+        # even when the branch was not taken.
+        @pl.when(enter)
+        def _():
+            copies = []
+            if sph_blocks > 0:
+                copies.append(pltpu.make_async_copy(
+                    sphf_hbm.at[pl.ds(b * 4 * s_chunks, 4 * s_chunks), :],
+                    sphf_s, sems.at[0]))
+                copies.append(pltpu.make_async_copy(
+                    sphi_hbm.at[pl.ds(b * 2 * s_chunks, 2 * s_chunks), :],
+                    sphi_s, sems.at[1]))
+            if tri_blocks > 0:
+                copies.append(pltpu.make_async_copy(
+                    trif_hbm.at[pl.ds(b * 24 * t_chunks, 24 * t_chunks), :],
+                    trif_s, sems.at[2]))
+                copies.append(pltpu.make_async_copy(
+                    trii_hbm.at[pl.ds(b * 2 * t_chunks, 2 * t_chunks), :],
+                    trii_s, sems.at[3]))
+            for c in copies:
+                c.start()
+            for c in copies:
+                c.wait()
+            if _abl == "dmaonly":
+                t_ref[:] = jnp.minimum(t_ref[:], zero_f + sphf_s[0, 0])
+                return
+
+            local = sweep_tile(
+                sphf_s, sphi_s, trif_s, trii_s, sphc_ref, tric_ref,
+                # supers/order/grid slots statically disabled; any ref works
+                sphc_ref, tric_ref, sphc_ref, tric_ref, sphc_ref,
+                ox, oy, oz, dx, dy, dz, zero_f, zero_i,
+                num_spheres=SPH_BLOCK if sph_blocks > 0 else 0,
+                num_tris=TRI_BLOCK if tri_blocks > 0 else 0,
+                num_sph_clusters=sc_rows if sph_blocks > 0 else 0,
+                num_tri_clusters=tc_rows if tri_blocks > 0 else 0,
+                num_sph_supers=0, num_tri_supers=0,
+                has_one_way=has_one_way, needs_tri_uv=needs_tri_uv,
+                sph_leaf=sph_leaf, tri_leaf=tri_leaf,
+                sget_f=lambda r, s: sphf_s[r * s_chunks + (s >> 7), s & 127],
+                sget_i=lambda r, s: sphi_s[r * s_chunks + (s >> 7), s & 127],
+                tget_f=lambda r, k: trif_s[r * t_chunks + (k >> 7), k & 127],
+                tget_i=lambda r, k: trii_s[r * t_chunks + (k >> 7), k & 127],
+                scl_get=scl_get, tcl_get=tcl_get,
+                sph_cl_base=b * sc_rows, tri_cl_base=b * tc_rows)
+
+            lbt, lbc = local[0], local[1]
+            is_tri = (lbc & 1) == 1
+            gbc = jnp.where(is_tri, lbc + 2 * b * TRI_BLOCK,
+                            lbc + 2 * b * SPH_BLOCK)
+            better = lbt < t_ref[:]
+            t_ref[:] = jnp.where(better, lbt, t_ref[:])
+            code_ref[:] = jnp.where(better, gbc, code_ref[:])
+            u_ref[:] = jnp.where(better, local[2], u_ref[:])
+            v_ref[:] = jnp.where(better, local[3], v_ref[:])
+            n0_ref[:] = jnp.where(better, local[4], n0_ref[:])
+            n1_ref[:] = jnp.where(better, local[5], n1_ref[:])
+            n2_ref[:] = jnp.where(better, local[6], n2_ref[:])
+            pa_ref[:] = jnp.where(better, local[7], pa_ref[:])
+            pb_ref[:] = jnp.where(better, local[8], pb_ref[:])
+
+        return 0
+
+    _lim = int(os.environ.get("RAYTRACER_BLOCK_LIMIT", "0"))
+    jax.lax.fori_loop(0, min(_lim, nblocks) if _lim else nblocks,
+                      block_body, 0)
 
 
 def _run_kernel_blocked(planes, scene: SceneArrays, rows: int):
@@ -230,7 +306,7 @@ def _run_kernel_blocked(planes, scene: SceneArrays, rows: int):
                         int(scene.sph_clusters.shape[0]))
     tric = pad_clusters(tric, int(scene.tri_leaf), trif.shape[1],
                         int(scene.tri_clusters.shape[0]))
-    # equalise the j axis across pools: every pool must provide a block
+    # equalise the block axis across pools: every pool must provide a block
     # (a never-entered one where it has run out of primitives)
     def pad_j(arr, per_block):
         want = nblocks * per_block
@@ -256,43 +332,92 @@ def _run_kernel_blocked(planes, scene: SceneArrays, rows: int):
         trif = jnp.pad(trif, ((0, 0), (0, want_t - trif.shape[1])))
         trii = jnp.pad(trii, ((0, 0), (0, want_t - trii.shape[1])))
 
+    def block_layout(arr, block):
+        """(words, nblocks*block) -> (nblocks * words * chunks, 128):
+        per block, word-major chunk rows — the SMEM-DMA-compatible layout
+        the kernel's accessors address as [w*chunks + (s>>7), s&127]."""
+        w = arr.shape[0]
+        chunks = block // LANES
+        return arr.reshape(w, nblocks, chunks, LANES).transpose(
+            1, 0, 2, 3).reshape(nblocks * w * chunks, LANES)
+
+    sphf_b = block_layout(sphf, SPH_BLOCK)
+    sphi_b = block_layout(sphi, SPH_BLOCK)
+    trif_b = block_layout(trif, TRI_BLOCK)
+    trii_b = block_layout(trii, TRI_BLOCK)
+
     smem = pltpu.SMEM
-    ray_spec = pl.BlockSpec((ROWS, LANES), lambda i, j: (i, 0),
-                            memory_space=pltpu.VMEM)
     f32 = jnp.float32
-    out_dts = [f32, jnp.int32, f32, f32, f32, f32, f32,
-               jnp.int32, jnp.int32]
     sc_rows = SPH_BLOCK // int(scene.sph_leaf)
     tc_rows = TRI_BLOCK // int(scene.tri_leaf)
+
+    # per-block union boxes (row 2j = sphere pool, 2j+1 = triangle pool):
+    # the kernel skips a block when no lane can beat its best inside
+    # either union. Filler boxes are [+INF..,-INF..] and vanish in min/max.
+    def block_boxes(cl, rows_per_block):
+        c = cl.reshape(nblocks, rows_per_block, 8)
+        lo = jnp.min(c[:, :, 0:3], axis=1)
+        hi = jnp.max(c[:, :, 3:6], axis=1)
+        return jnp.concatenate(
+            [lo, hi, jnp.zeros((nblocks, 2), f32)], axis=1)
+
+    def layout8(arr):
+        """(N, 8) box rows -> (8 * ceil(N/128), 128): word-major rows with
+        a 128 minor dim (SMEM pads an 8-wide minor to 128 — 16x waste)."""
+        n = arr.shape[0]
+        cc = -(-n // LANES)
+        pad = cc * LANES - n
+        if pad:
+            arr = jnp.concatenate(
+                [arr, jnp.tile(jnp.asarray(
+                    [[_INF, _INF, _INF, -_INF, -_INF, -_INF, 0.0, 0.0]],
+                    f32), (pad, 1))], axis=0)
+        return arr.reshape(cc, LANES, 8).transpose(2, 0, 1).reshape(
+            8 * cc, LANES)
+
+    bbox = layout8(jnp.stack(
+        [block_boxes(sphc, sc_rows), block_boxes(tric, tc_rows)],
+        axis=1).reshape(nblocks * 2, 8))
+    sphc = layout8(sphc)
+    tric = layout8(tric)
+
+    ray_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_dts = [f32, jnp.int32, f32, f32, f32, f32, f32,
+               jnp.int32, jnp.int32]
+    s_chunks = SPH_BLOCK // LANES
+    t_chunks = TRI_BLOCK // LANES
     outs = pl.pallas_call(
         functools.partial(
             _kernel_blocked,
-            sph_blocks=sb, tri_blocks=tb,
+            nblocks=nblocks, sph_blocks=sb, tri_blocks=tb,
             has_one_way=bool(scene.has_one_way),
             needs_tri_uv=bool(scene.needs_tri_uv),
             sph_leaf=int(scene.sph_leaf), tri_leaf=int(scene.tri_leaf)),
-        grid=(rows // ROWS, nblocks),
+        grid=(rows // ROWS,),
         in_specs=[
-            pl.BlockSpec((sphf.shape[0], SPH_BLOCK), lambda i, j: (0, j),
-                         memory_space=smem),
-            pl.BlockSpec((sphi.shape[0], SPH_BLOCK), lambda i, j: (0, j),
-                         memory_space=smem),
-            pl.BlockSpec((trif.shape[0], TRI_BLOCK), lambda i, j: (0, j),
-                         memory_space=smem),
-            pl.BlockSpec((trii.shape[0], TRI_BLOCK), lambda i, j: (0, j),
-                         memory_space=smem),
-            pl.BlockSpec((sc_rows, 8), lambda i, j: (j, 0),
-                         memory_space=smem),
-            pl.BlockSpec((tc_rows, 8), lambda i, j: (j, 0),
-                         memory_space=smem),
+            pl.BlockSpec(memory_space=smem),      # sphc (resident)
+            pl.BlockSpec(memory_space=smem),      # tric (resident)
+            pl.BlockSpec(memory_space=smem),      # bbox (resident)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # sphf blocks (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # sphi blocks
+            pl.BlockSpec(memory_space=pltpu.ANY),  # trif blocks
+            pl.BlockSpec(memory_space=pltpu.ANY),  # trii blocks
         ] + [ray_spec] * 6,
         out_specs=tuple(
-            pl.BlockSpec((ROWS, LANES), lambda i, j: (i, 0),
+            pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM) for _ in out_dts),
         out_shape=tuple(
             jax.ShapeDtypeStruct((rows, LANES), dt) for dt in out_dts),
+        scratch_shapes=[
+            pltpu.SMEM((4 * s_chunks, LANES), jnp.float32),
+            pltpu.SMEM((2 * s_chunks, LANES), jnp.int32),
+            pltpu.SMEM((24 * t_chunks, LANES), jnp.float32),
+            pltpu.SMEM((2 * t_chunks, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
         interpret=_interpret(),
-    )(sphf, sphi, trif, trii, sphc, tric, *planes)
+    )(sphc, tric, bbox, sphf_b, sphi_b, trif_b, trii_b, *planes)
     return outs
 
 

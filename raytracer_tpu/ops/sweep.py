@@ -245,7 +245,10 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
                sph_ordered: bool = False, tri_ordered: bool = False,
                sph_leaf: int = LEAF_TARGET, tri_leaf: int = LEAF_TARGET,
                stats_ref=None, carry=None, defer_params: bool = False,
-               fast_div: bool = False):
+               fast_div: bool = False,
+               sget_f=None, sget_i=None, tget_f=None, tget_i=None,
+               scl_get=None, tcl_get=None,
+               sph_cl_base=0, tri_cl_base=0):
     """Nearest hit + winner shading params for one ray tile.
 
     ``ox..dz`` are (rows, 128) component planes with **unit** directions;
@@ -270,25 +273,46 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
     param (fetch_winner_param over pack_param_planes) drop from 7-9 selects
     per primitive to 2-4.
     """
+    # Primitive accessors: default = direct (word, prim) indexing of the
+    # SMEM-resident pools; the HBM-streamed kernel passes accessors that
+    # address its (word-chunk, 128)-blocked scratch layout instead.
+    # ``sph_cl_base``/``tri_cl_base`` offset cluster-box rows the same way
+    # (cluster boxes stay resident; primitive indices are block-local).
+    if sget_f is None:
+        sget_f = lambda r, s: sphf[r, s]
+    if sget_i is None:
+        sget_i = lambda r, s: sphi[r, s]
+    if tget_f is None:
+        tget_f = lambda r, k: trif[r, k]
+    if tget_i is None:
+        tget_i = lambda r, k: trii[r, k]
+    scl_get = (lambda i, k: sphc[i, k]) if scl_get is None else scl_get
+    tcl_get = (lambda i, k: tric[i, k]) if tcl_get is None else tcl_get
+    ssup_get = lambda i, k: sphs[i, k]
+    tsup_get = lambda i, k: tris[i, k]
+
     # per-ray invariants (directions are unit: a = 1)
     ddo = dx * ox + dy * oy + dz * oz
     osq = ox * ox + oy * oy + oz * oz
     if num_sph_clusters > 0 or num_tri_clusters > 0:
         inv_dx, inv_dy, inv_dz = safe_inv_dir(dx, dy, dz)
 
-    def slab(ref, i, bt):
+    def slab(get, i, bt):
         """Branchless slab test of AABB row i against the whole tile
-        (src/objects.cu:404-434); returns the per-lane enter mask."""
-        t1 = (ref[i, 0] - ox) * inv_dx
-        t2 = (ref[i, 3] - ox) * inv_dx
+        (src/objects.cu:404-434); returns the per-lane enter mask.
+        ``get(i, k)`` reads word k of box row i (an accessor so callers
+        can use SMEM-friendly layouts — an (N, 8) SMEM array pads its
+        minor dim to 128 and wastes 16x)."""
+        t1 = (get(i, 0) - ox) * inv_dx
+        t2 = (get(i, 3) - ox) * inv_dx
         tmin = jnp.minimum(t1, t2)
         tmax = jnp.maximum(t1, t2)
-        t1 = (ref[i, 1] - oy) * inv_dy
-        t2 = (ref[i, 4] - oy) * inv_dy
+        t1 = (get(i, 1) - oy) * inv_dy
+        t2 = (get(i, 4) - oy) * inv_dy
         tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
         tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
-        t1 = (ref[i, 2] - oz) * inv_dz
-        t2 = (ref[i, 5] - oz) * inv_dz
+        t1 = (get(i, 2) - oz) * inv_dz
+        t2 = (get(i, 5) - oz) * inv_dz
         tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
         tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
         tmin = jnp.maximum(tmin, 0.0)
@@ -313,30 +337,30 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
             return tuple(crs)
         return jax.lax.fori_loop(0, leaf // UNROLL, step, carries)
 
-    def cluster_gate(cl_ref, leaf, c, carries, body):
+    def cluster_gate(cl_get, leaf, c, carries, body, cl_base=0):
         """Gate one leaf cluster: sweep its leaf-primitive block only if
         some lane in the tile can beat its current best inside the AABB
         (tile-granular analog of BVH pruning, src/objects.cu:508-516)."""
-        hit_box = slab(cl_ref, c, best_t(carries))
+        hit_box = slab(cl_get, cl_base + c, best_t(carries))
         if stats_ref is not None:
             stats_ref[:] = stats_ref[:] + jnp.where(
-                hit_box, cl_ref[c, 7], 0.0)
+                hit_box, cl_get(cl_base + c, 7), 0.0)
         return jax.lax.cond(
             jnp.any(hit_box),
             lambda cr: leaf_sweep(c * leaf, leaf, cr, body),
             lambda cr: cr, carries)
 
-    def super_gate(sup_ref, cl_ref, leaf, g, carries, body):
+    def super_gate(sup_get, cl_get, leaf, g, carries, body):
         """Second BVH level: slab-test a super-cluster, then its cluster
         range (each cluster gated again)."""
-        enter = jnp.any(slab(sup_ref, g, best_t(carries)))
-        start = sup_ref[g, 6].astype(jnp.int32)
-        count = sup_ref[g, 7].astype(jnp.int32)
+        enter = jnp.any(slab(sup_get, g, best_t(carries)))
+        start = sup_get(g, 6).astype(jnp.int32)
+        count = sup_get(g, 7).astype(jnp.int32)
         return jax.lax.cond(
             enter,
             lambda cr: jax.lax.fori_loop(
                 start, start + count,
-                lambda c, cr2: cluster_gate(cl_ref, leaf, c, cr2, body), cr),
+                lambda c, cr2: cluster_gate(cl_get, leaf, c, cr2, body), cr),
             lambda cr: cr, carries)
 
     if defer_params:
@@ -367,10 +391,10 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
 
     def sph_body(s, cr):
         bt = cr[0]
-        cx = sphf[S_CX, s]
-        cy = sphf[S_CY, s]
-        cz = sphf[S_CZ, s]
-        cr2 = sphf[S_CR2, s]
+        cx = sget_f(S_CX, s)
+        cy = sget_f(S_CY, s)
+        cz = sget_f(S_CZ, s)
+        cr2 = sget_f(S_CR2, s)
         # half-b quadratic, nearer root only (src/objects.cu:40-79)
         dc = dx * cx + dy * cy + dz * cz
         oc = ox * cx + oy * cy + oz * cz
@@ -388,33 +412,34 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
         g0 = jnp.where(better, cx, cr[4])
         g1 = jnp.where(better, cy, cr[5])
         g2 = jnp.where(better, cz, cr[6])
-        pa = jnp.where(better, sphi[S_PA, s], cr[7])
-        pb = jnp.where(better, sphi[S_PB, s], cr[8])
+        pa = jnp.where(better, sget_i(S_PA, s), cr[7])
+        pb = jnp.where(better, sget_i(S_PB, s), cr[8])
         return bt, bc, cr[2], cr[3], g0, g1, g2, pa, pb
 
     if sph_ordered and num_sph_supers > 0:
         base = cell * num_sph_supers
         carry = jax.lax.fori_loop(
             0, num_sph_supers,
-            lambda i, cr: super_gate(sphs, sphc, sph_leaf,
+            lambda i, cr: super_gate(ssup_get, scl_get, sph_leaf,
                                      sph_order[base + i], cr, sph_body),
             carry)
     elif sph_ordered:
         base = cell * num_sph_clusters
         carry = jax.lax.fori_loop(
             0, num_sph_clusters,
-            lambda i, cr: cluster_gate(sphc, sph_leaf, sph_order[base + i],
+            lambda i, cr: cluster_gate(scl_get, sph_leaf, sph_order[base + i],
                                        cr, sph_body),
             carry)
     elif num_sph_supers > 0:
         carry = jax.lax.fori_loop(
             0, num_sph_supers,
-            lambda g, cr: super_gate(sphs, sphc, sph_leaf, g, cr, sph_body),
+            lambda g, cr: super_gate(ssup_get, scl_get, sph_leaf, g, cr, sph_body),
             carry)
     elif num_sph_clusters > 0:
         carry = jax.lax.fori_loop(
             0, num_sph_clusters,
-            lambda c, cr: cluster_gate(sphc, sph_leaf, c, cr, sph_body),
+            lambda c, cr: cluster_gate(scl_get, sph_leaf, c, cr, sph_body,
+                                       cl_base=sph_cl_base),
             carry)
     elif num_spheres > 0:
         # flat pool: padded to a multiple of UNROLL, pads poisoned
@@ -429,9 +454,9 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
 
     def tri_body(k, cr):
         bt = cr[0]
-        wu0, wu1, wu2, wu3 = (trif[T_WU + r, k] for r in range(4))
-        wv0, wv1, wv2, wv3 = (trif[T_WV + r, k] for r in range(4))
-        ww0, ww1, ww2, ww3 = (trif[T_WW + r, k] for r in range(4))
+        wu0, wu1, wu2, wu3 = (tget_f(T_WU + r, k) for r in range(4))
+        wv0, wv1, wv2, wv3 = (tget_f(T_WV + r, k) for r in range(4))
+        ww0, ww1, ww2, ww3 = (tget_f(T_WW + r, k) for r in range(4))
         # Woop world->barycentric: t = -o_w/d_w (equivalent to
         # Möller–Trumbore, src/objects.cu:135-163). Padding/degenerate
         # triangles have all-zero rows: t = -0/0 = NaN fails every check.
@@ -463,8 +488,8 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
         valid = (t > _EPS) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
         if has_one_way:
             # one-way culling (src/objects.cu:273-280); zero vector passes
-            cull = (trif[T_CULL, k] * dx + trif[T_CULL + 1, k] * dy
-                    + trif[T_CULL + 2, k] * dz)
+            cull = (tget_f(T_CULL, k) * dx + tget_f(T_CULL + 1, k) * dy
+                    + tget_f(T_CULL + 2, k) * dz)
             valid &= cull >= 0.0
         t = jnp.where(valid, t, _INF)
         better = t < bt
@@ -483,42 +508,43 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
             # barycentric UV with the reference's argument order
             # (src/objects.cu:160,196-199): uv0*w + uv1*u + uv2*v
             w = 1.0 - u - v
-            tex_u = (trif[T_UV, k] * w + trif[T_UV + 2, k] * u
-                     + trif[T_UV + 4, k] * v)
-            tex_v = (trif[T_UV + 1, k] * w + trif[T_UV + 3, k] * u
-                     + trif[T_UV + 5, k] * v)
+            tex_u = (tget_f(T_UV, k) * w + tget_f(T_UV + 2, k) * u
+                     + tget_f(T_UV + 4, k) * v)
+            tex_v = (tget_f(T_UV + 1, k) * w + tget_f(T_UV + 3, k) * u
+                     + tget_f(T_UV + 5, k) * v)
             bu = jnp.where(better, tex_u, bu)
             bv = jnp.where(better, tex_v, bv)
-        g0 = jnp.where(better, trif[T_NRM, k], cr[4])
-        g1 = jnp.where(better, trif[T_NRM + 1, k], cr[5])
-        g2 = jnp.where(better, trif[T_NRM + 2, k], cr[6])
-        pa = jnp.where(better, trii[0, k], cr[7])
-        pb = jnp.where(better, trii[1, k], cr[8])
+        g0 = jnp.where(better, tget_f(T_NRM, k), cr[4])
+        g1 = jnp.where(better, tget_f(T_NRM + 1, k), cr[5])
+        g2 = jnp.where(better, tget_f(T_NRM + 2, k), cr[6])
+        pa = jnp.where(better, tget_i(0, k), cr[7])
+        pb = jnp.where(better, tget_i(1, k), cr[8])
         return bt, bc, bu, bv, g0, g1, g2, pa, pb
 
     if tri_ordered and num_tri_supers > 0:
         base = cell * num_tri_supers
         carry = jax.lax.fori_loop(
             0, num_tri_supers,
-            lambda i, cr: super_gate(tris, tric, tri_leaf,
+            lambda i, cr: super_gate(tsup_get, tcl_get, tri_leaf,
                                      tri_order[base + i], cr, tri_body),
             carry)
     elif tri_ordered:
         base = cell * num_tri_clusters
         carry = jax.lax.fori_loop(
             0, num_tri_clusters,
-            lambda i, cr: cluster_gate(tric, tri_leaf, tri_order[base + i],
+            lambda i, cr: cluster_gate(tcl_get, tri_leaf, tri_order[base + i],
                                        cr, tri_body),
             carry)
     elif num_tri_supers > 0:
         carry = jax.lax.fori_loop(
             0, num_tri_supers,
-            lambda g, cr: super_gate(tris, tric, tri_leaf, g, cr, tri_body),
+            lambda g, cr: super_gate(tsup_get, tcl_get, tri_leaf, g, cr, tri_body),
             carry)
     elif num_tri_clusters > 0:
         carry = jax.lax.fori_loop(
             0, num_tri_clusters,
-            lambda c, cr: cluster_gate(tric, tri_leaf, c, cr, tri_body),
+            lambda c, cr: cluster_gate(tcl_get, tri_leaf, c, cr, tri_body,
+                                       cl_base=tri_cl_base),
             carry)
     elif num_tris > 0:
         def tflat(j, crs):

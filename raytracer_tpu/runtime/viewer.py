@@ -22,8 +22,13 @@ def run_render_loop(
     checkpoint: Optional[str] = None,
     checkpoint_every: int = 0,
     quiet: bool = False,
+    per_frame=None,
 ) -> None:
-    """Render progressively; ``frames == 0`` runs until interrupted."""
+    """Render progressively; ``frames == 0`` runs until interrupted.
+
+    ``per_frame(frame_index)`` runs before each frame — e.g. a camera move
+    for a temporal fly-through (CLI ``--temporal --orbit``).
+    """
     fig = im = None
     if display:
         try:
@@ -41,6 +46,8 @@ def run_render_loop(
     n = 0
     try:
         while frames == 0 or n < frames:
+            if per_frame is not None:
+                per_frame(n)
             renderer.render_frame(block=True)
             n += 1
             stats = renderer.stats_log[-1]
