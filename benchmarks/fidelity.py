@@ -42,8 +42,8 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(255.0 ** 2 / mse)
 
 
-def render_scene0(frames: int, seed: int) -> np.ndarray:
-    scene, use_sky = rt.build_scene(0)
+def render_scene0(frames: int, seed: int, **scene_kwargs) -> np.ndarray:
+    scene, use_sky = rt.build_scene(0, **scene_kwargs)
     settings = rt.RenderSettings(rays_per_pixel=100, reflect_limit=5,
                                  antialias=True).with_sky(use_sky)
     cam = rt.CameraConfig(width=990, height=792)
@@ -53,10 +53,76 @@ def render_scene0(frames: int, seed: int) -> np.ndarray:
     return r.image()
 
 
+def fit_gain(ours: np.ndarray, ref: np.ndarray):
+    """Per-channel least-squares gain g: ref ~ g * ours. Returns (g, psnr)."""
+    a = ours.astype(np.float64)
+    b = ref.astype(np.float64)
+    g = np.array([(a[..., c] * b[..., c]).sum() / (a[..., c] ** 2).sum()
+                  for c in range(3)])
+    corrected = np.clip(a * g, 0, 255)
+    return g, psnr(corrected, b)
+
+
+def fit_gain_gamma(ours: np.ndarray, ref: np.ndarray):
+    """Global (gain, gamma): ref/255 ~ g * (ours/255)^gamma, gamma by grid
+    search with the closed-form least-squares gain at each point."""
+    a = ours.astype(np.float64) / 255.0
+    b = ref.astype(np.float64) / 255.0
+    best = (1.0, 1.0, -1.0)
+    for gamma in np.arange(0.50, 1.51, 0.02):
+        ag = a ** gamma
+        g = (ag * b).sum() / (ag * ag).sum()
+        p = psnr(np.clip(ag * g, 0, 1) * 255.0, b * 255.0)
+        if p > best[2]:
+            best = (float(gamma), float(g), p)
+    return best
+
+
+def ablate(frames: int) -> None:
+    """Quantify the radiometry-gap hypotheses against image0.png.
+
+    H1 (reference UB): src/material.cu:170 never sets emissive smoothness,
+    so the post-emission bounce (src/raytracer.cu:56-58 + ray.cu:67-75)
+    lerps diffuse->specular by an uninitialised value. Render smoothness
+    0 vs 1 and measure the PSNR reach of the entire UB range.
+    H2 (capture transform): the screenshot may have passed through a
+    display/colour pipeline. Fit a global per-channel gain and a global
+    (gain, gamma) and report the corrected PSNR — if a smooth 2-parameter
+    transform recovers most of the gap, the gap is radiometric scaling,
+    not structure.
+    """
+    from PIL import Image
+    ref = np.asarray(Image.open(REF_IMAGE).convert("RGB"))
+
+    print(f"# fidelity ablation, scene 0 @ 990x792, {frames * 100} spp")
+    results = {}
+    for name, s in (("em_smooth=0", 0.0), ("em_smooth=1", 1.0)):
+        img = render_scene0(frames, seed=0, emissive_smoothness=s)
+        raw = psnr(img, ref)
+        g, p_gain = fit_gain(img, ref)
+        gamma, gg, p_gg = fit_gain_gamma(img, ref)
+        mean = img.reshape(-1, 3).mean(axis=0)
+        results[name] = (img, raw, g, p_gain, gamma, gg, p_gg, mean)
+        print(f"{name}: raw {raw:.2f} dB | mean rgb "
+              f"{mean[0]:.1f}/{mean[1]:.1f}/{mean[2]:.1f} "
+              f"(ref {ref.reshape(-1, 3).mean(axis=0).round(1)})")
+        print(f"  gain fit  g=({g[0]:.3f},{g[1]:.3f},{g[2]:.3f})"
+              f" -> {p_gain:.2f} dB")
+        print(f"  gain+gamma fit gamma={gamma:.2f} g={gg:.3f}"
+              f" -> {p_gg:.2f} dB")
+    a = results["em_smooth=0"][0].astype(np.float64)
+    b = results["em_smooth=1"][0].astype(np.float64)
+    print(f"UB reach (smooth 0 vs 1 renders): {psnr(a, b):.2f} dB, "
+          f"mean |delta| {np.abs(a - b).mean():.2f}/255")
+
+
 def main() -> None:
     from PIL import Image
     frames = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() \
         else 40
+    if "--ablate" in sys.argv:
+        ablate(frames)
+        return
     ref = np.asarray(Image.open(REF_IMAGE).convert("RGB"))
 
     ours_a = render_scene0(frames, seed=0)

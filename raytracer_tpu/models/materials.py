@@ -85,12 +85,18 @@ class Material:
                         smoothness=float(smoothness))
 
     @staticmethod
-    def emissive(colour, strength: float) -> "Material":
+    def emissive(colour, strength: float,
+                 smoothness: float = 0.0) -> "Material":
         # Colour and strength are pre-combined (src/material.cu:170).
         # The reference leaves smoothness uninitialised for emissives
-        # (SURVEY.md quirk: UB); we define it as 0 (diffuse bounce).
+        # (SURVEY.md quirk: UB — the lerp(diffuse, specular, smoothness)
+        # after an emissive hit, src/ray.cu:67-75, reads whatever is in
+        # that field); we default it to 0 (diffuse bounce). The parameter
+        # exists so the fidelity ablation can quantify the UB's reach
+        # (benchmarks/fidelity.py --ablate renders smoothness 0 vs 1).
         emitted = tuple(float(c) * float(strength) for c in colour)
-        return Material(type=MAT_EMISSIVE, emitted_light=emitted)
+        return Material(type=MAT_EMISSIVE, emitted_light=emitted,
+                        smoothness=float(smoothness))
 
     @staticmethod
     def refractive(texture: Texture, refractive_index: float) -> "Material":

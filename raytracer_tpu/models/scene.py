@@ -213,6 +213,14 @@ class SceneArrays:
     # (C, 8); empty disables the level.
     tri_supers: jax.Array
     sph_supers: jax.Array
+    # Per-lane traversal tables (ops/sweep.py lane path — the TPU analog of
+    # the reference's per-thread stack DFS, src/objects.cu:487-532): the
+    # same BVH-ordered pool cut at a coarser leaf size chosen so the
+    # cluster count stays <= 124 — then a cluster index fits one 128-lane
+    # dynamic gather and per-lane visitation masks fit four 31-bit words.
+    # (C2, 8) rows like the leaf clusters; empty disables the lane path.
+    sph_lane_clusters: jax.Array
+    tri_lane_clusters: jax.Array
     # Near-first cluster visitation order per coarse spatial cell
     # (_cell_order): (grid^3 * C,) i32, or (1,) when inactive. The sweep
     # picks the row for its tile's mean origin so best-t pruning closes far
@@ -244,6 +252,12 @@ class SceneArrays:
         default=32, metadata=dict(static=True))
     tri_leaf: int = dataclasses.field(
         default=32, metadata=dict(static=True))
+    # Static: per-lane-traversal leaf sizes (0 = lane path disabled for the
+    # pool). sph_lane_clusters.shape[0] * sph_lane_leaf >= pool size.
+    sph_lane_leaf: int = dataclasses.field(
+        default=0, metadata=dict(static=True))
+    tri_lane_leaf: int = dataclasses.field(
+        default=0, metadata=dict(static=True))
     # Static layout of image textures inside the megakernel's packed
     # texture planes: ((atlas_offset, height, width, row_offset), ...) for
     # each distinct image, plus the total packed row count. Zero rows means
@@ -607,6 +621,39 @@ class SceneBuilder:
             if corder is not None:
                 _permute_leaf_blocks(sph_arrs, s_pad, corder, s_leaf)
 
+        # --- per-lane traversal tables (divergent scenes) -------------------
+        # For pools big enough that the tile-sweep's union footprint
+        # dominates after diffuse bounces, cut the SAME BVH-ordered pool at
+        # a coarser leaf so the cluster count fits one lane-gather (<= 124).
+        # The kernels then walk clusters per lane (sweep._lane_traverse)
+        # instead of sweeping the tile-union of clusters.
+        lane_min = int(os.environ.get("RAYTRACER_LANE_MIN", "512"))
+        if os.environ.get("RAYTRACER_NO_LANE"):
+            lane_min = 1 << 30
+        _LANE_MAX_CL = 124  # 4 x 31-bit per-lane mask words
+        # Leaf cap: the lane sweep's inner loop is statically unrolled, so
+        # pool size is bounded by 124 * max_leaf (= 15,872 at the default);
+        # beyond that the HBM-streamed blocked kernel takes over anyway.
+        lane_max_leaf = int(os.environ.get("RAYTRACER_LANE_MAX_LEAF", "128"))
+        sph_lane_clusters = np.zeros((0, 8), np.float32)
+        tri_lane_clusters = np.zeros((0, 8), np.float32)
+        sph_lane_leaf = 0
+        tri_lane_leaf = 0
+        if (s_clustered and s >= lane_min
+                and -(-s // _LANE_MAX_CL) <= lane_max_leaf):
+            sph_lane_leaf = _round_up(-(-s // _LANE_MAX_CL), UNROLL)
+            pmin = sph_center[:s] - sph_radius[:s, None]
+            pmax = sph_center[:s] + sph_radius[:s, None]
+            sph_lane_clusters = _cut_exact_leaves(pmin, pmax, sph_lane_leaf)
+        if (t_clustered and t >= lane_min
+                and -(-t // _LANE_MAX_CL) <= lane_max_leaf):
+            tri_lane_leaf = _round_up(-(-t // _LANE_MAX_CL), UNROLL)
+            v1 = tri_v0[:t] + tri_e1[:t]
+            v2 = tri_v0[:t] + tri_e2[:t]
+            pmin = np.minimum(np.minimum(tri_v0[:t], v1), v2)
+            pmax = np.maximum(np.maximum(tri_v0[:t], v1), v2)
+            tri_lane_clusters = _cut_exact_leaves(pmin, pmax, tri_lane_leaf)
+
         # --- per-cell near-first visitation orders -------------------------
         # Active for pools with enough clusters that build-order sweeps
         # waste work (>= 24) but small enough that the grid^3 x C id table
@@ -666,6 +713,10 @@ class SceneBuilder:
             sph_clusters=jnp.asarray(sph_clusters),
             tri_supers=jnp.asarray(tri_supers),
             sph_supers=jnp.asarray(sph_supers),
+            sph_lane_clusters=jnp.asarray(sph_lane_clusters),
+            tri_lane_clusters=jnp.asarray(tri_lane_clusters),
+            sph_lane_leaf=int(sph_lane_leaf),
+            tri_lane_leaf=int(tri_lane_leaf),
             sph_cell_order=jnp.asarray(sph_cell_order),
             tri_cell_order=jnp.asarray(tri_cell_order),
             cell_grid=jnp.asarray(cell_grid),

@@ -99,7 +99,8 @@ def procedural_earth_texture(size: int = 64) -> np.ndarray:
 
 
 def create_cornell_box(b: SceneBuilder, tl_near_pos, width: float,
-                       height: float, depth: float, light_width: float) -> None:
+                       height: float, depth: float, light_width: float,
+                       emissive_smoothness: float = 0.0) -> None:
     """Cornell box: 5 quads + one-way front wall + emissive ceiling light
     (src/main.cu:252-288)."""
     b.use_sky = False
@@ -125,16 +126,19 @@ def create_cornell_box(b: SceneBuilder, tl_near_pos, width: float,
     # Front wall is one-way so the camera can see in (src/main.cu:279).
     b.add_one_way_quad(p, p + w, p + w - h, p - h, False, front)
 
-    light_mat = Material.emissive((1, 1, 1), 6)
+    light_mat = Material.emissive((1, 1, 1), 6,
+                                  smoothness=emissive_smoothness)
     light_tl = np.array(
         [p[0] + width / 2 - light_width / 2, p[1],
          p[2] + depth / 2 - light_width / 2], np.float32)
     b.add_cuboid(light_tl, light_width, 0.04, light_width, light_mat)
 
 
-def monkey_test_scene(b: SceneBuilder) -> None:
+def monkey_test_scene(b: SceneBuilder,
+                      emissive_smoothness: float = 0.0) -> None:
     """Scene 0 (src/main.cu:150-170)."""
-    create_cornell_box(b, (-0.5, 0.5, 1.2), 1, 1, 1, 0.5)
+    create_cornell_box(b, (-0.5, 0.5, 1.2), 1, 1, 1, 0.5,
+                       emissive_smoothness=emissive_smoothness)
 
     monkey_mat = Material.standard(Texture.const_colour((1, 1, 1)), 0)
     m = load_mesh("low_poly_monkey.obj")
@@ -229,7 +233,7 @@ def build_scene(scene_num: int, **kwargs) -> Tuple[SceneArrays, bool]:
     """
     b = SceneBuilder()
     if scene_num == 0:
-        monkey_test_scene(b)
+        monkey_test_scene(b, **kwargs)
     elif scene_num == 1:
         reflection_test_scene(b)
     elif scene_num == 2:

@@ -290,26 +290,24 @@ def render_sample_mean(
 
     sampler = settings.sampler
     if sampler == "auto":
-        # megakernel needs the on-core PRNG => real TPUs only (no CPU
-        # lowering even in pallas interpret mode)
+        # auto picks the megakernel on real TPUs only: off-TPU it runs in
+        # Pallas interpret mode (with a counter-hash RNG replacing the
+        # on-core PRNG), which is correct but far slower than the regen
+        # sampler's compiled XLA — interpret mega is for tests, opted into
+        # explicitly with sampler='mega'.
         from .megakernel import supports
         use_mega = (backend == "pallas" and supports(scene)
                     and jax.default_backend() == "tpu")
         sampler = "mega" if use_mega else "regen"
     if sampler == "mega":
         from .megakernel import render_sample_mean_mega, supports
-        # Explicit 'mega' must respect the same preconditions the 'auto'
-        # gate checks: the kernel statically rejects scenes it cannot
-        # shade, and pltpu PRNG has no CPU/interpret lowering at all.
+        # Explicit 'mega' must respect the same scene preconditions the
+        # 'auto' gate checks (the kernel statically rejects scenes it
+        # cannot shade). Off-TPU it runs under the Pallas interpreter.
         if not supports(scene):
             raise ValueError(
                 "sampler='mega' cannot render this scene (unsupported "
                 "texture configuration); use sampler='regen' or 'auto'.")
-        if jax.default_backend() != "tpu":
-            raise ValueError(
-                "sampler='mega' requires a real TPU (pltpu.prng_* has no "
-                f"{jax.default_backend()} lowering); use sampler='regen' "
-                "or 'auto'.")
         mean, segs = render_sample_mean_mega(scene, settings, o3, d3,
                                              frame_key,
                                              tile_offset=tile_offset)

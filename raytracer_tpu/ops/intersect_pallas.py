@@ -54,6 +54,7 @@ def _interpret() -> bool:
 
 def _kernel(sphf, sphi, trif, trii, sphc_ref, tric_ref, sphs_ref, tris_ref,
             sph_order_ref, tri_order_ref, grid_ref,
+            slcl_ref, tlcl_ref, spf_ref, spi_ref, tpf_ref, tpi_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             t_ref, code_ref, u_ref, v_ref, n0_ref, n1_ref, n2_ref,
             mat_ref, colr_ref, colg_ref, colb_ref, smooth_ref,
@@ -63,6 +64,8 @@ def _kernel(sphf, sphi, trif, trii, sphc_ref, tric_ref, sphs_ref, tris_ref,
             has_one_way: bool = True, needs_tri_uv: bool = True,
             sph_ordered: bool = False, tri_ordered: bool = False,
             sph_leaf: int = 32, tri_leaf: int = 32,
+            num_sph_lane: int = 0, num_tri_lane: int = 0,
+            sph_lane_leaf: int = 0, tri_lane_leaf: int = 0,
             with_stats: bool = False):
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -88,6 +91,12 @@ def _kernel(sphf, sphi, trif, trii, sphc_ref, tric_ref, sphs_ref, tris_ref,
         has_one_way=has_one_way, needs_tri_uv=needs_tri_uv,
         sph_ordered=sph_ordered, tri_ordered=tri_ordered,
         sph_leaf=sph_leaf, tri_leaf=tri_leaf,
+        sph_lane_cl_get=lambda i, k: slcl_ref[i, k],
+        tri_lane_cl_get=lambda i, k: tlcl_ref[i, k],
+        sph_lane_pf=spf_ref, sph_lane_pi=spi_ref,
+        tri_lane_pf=tpf_ref, tri_lane_pi=tpi_ref,
+        num_sph_lane=num_sph_lane, num_tri_lane=num_tri_lane,
+        sph_lane_leaf=sph_lane_leaf, tri_lane_leaf=tri_lane_leaf,
         stats_ref=stats_ref)
 
     colr, colg, colb = decode_colour30(pa)
@@ -458,6 +467,15 @@ def _run_kernel(o: jax.Array, d: jax.Array, scene: SceneArrays,
 
     (sphf, sphi, trif, trii, sphc, tric, sphs, tris,
      sph_order, tri_order, cell_grid) = pack_scene(scene)
+    from .sweep import pack_lane_planes
+    sph_pf, sph_pi, tri_pf, tri_pi = pack_lane_planes(scene)
+    sph_lane = (scene.sph_lane_leaf > 0
+                and scene.sph_lane_clusters.shape[0] > 0)
+    tri_lane = (scene.tri_lane_leaf > 0
+                and scene.tri_lane_clusters.shape[0] > 0)
+    dummy_cl = jnp.zeros((1, 8), jnp.float32)
+    slcl = scene.sph_lane_clusters if sph_lane else dummy_cl
+    tlcl = scene.tri_lane_clusters if tri_lane else dummy_cl
     num_spheres = int(scene.sph_center.shape[0])
     num_tris = int(scene.tri_v0.shape[0])
     num_sph_clusters = int(scene.sph_clusters.shape[0])
@@ -490,9 +508,15 @@ def _run_kernel(o: jax.Array, d: jax.Array, scene: SceneArrays,
                           tri_ordered=scene.tri_cell_order.shape[0] > 1,
                           sph_leaf=int(scene.sph_leaf),
                           tri_leaf=int(scene.tri_leaf),
+                          num_sph_lane=int(scene.sph_lane_clusters.shape[0]),
+                          num_tri_lane=int(scene.tri_lane_clusters.shape[0]),
+                          sph_lane_leaf=int(scene.sph_lane_leaf),
+                          tri_lane_leaf=int(scene.tri_lane_leaf),
                           with_stats=with_stats),
         grid=(rows // ROWS,),
-        in_specs=[scene_spec] * 11 + [ray_spec] * 6,
+        in_specs=([scene_spec] * 13
+                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+                  + [ray_spec] * 6),
         out_specs=(ray_spec,) * len(out_dts),
         out_shape=tuple(
             jax.ShapeDtypeStruct((rows, LANES), dt) for dt in out_dts),
@@ -503,7 +527,8 @@ def _run_kernel(o: jax.Array, d: jax.Array, scene: SceneArrays,
         ),
         interpret=_interpret(),
     )(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
-      sph_order, tri_order, cell_grid, *planes)
+      sph_order, tri_order, cell_grid, slcl, tlcl,
+      sph_pf, sph_pi, tri_pf, tri_pi, *planes)
 
     outs = [x.reshape(-1)[:n] for x in outs]
     # rescale t (INF stays INF, not INF * inv_len)

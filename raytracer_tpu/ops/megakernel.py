@@ -47,8 +47,8 @@ from ..models.materials import (MAT_EMISSIVE, MAT_REFRACTIVE,
 from ..models.scene import SceneArrays
 from .intersect_pallas import _interpret
 from .sweep import (LANES, decode_colour30, decode_smooth_mat,
-                    encode_colour30, fetch_winner_param, pack_param_planes,
-                    pack_scene, param_rows, sweep_tile)
+                    encode_colour30, fetch_winner_param, pack_lane_planes,
+                    pack_param_planes, pack_scene, param_rows, sweep_tile)
 
 _EPS = 1e-6
 _INF = 1e30
@@ -198,8 +198,10 @@ def _asin(x):
 
 def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
             sphc_ref, tric_ref, sphs_ref, tris_ref,
-            sph_order_ref, tri_order_ref, grid_ref, mat_ref, matv_ref,
+            sph_order_ref, tri_order_ref, grid_ref, mat_ref,
+            slcl_ref, tlcl_ref, matv_ref,
             sphpf_ref, sphpi_ref, tripf_ref, tripi_ref,
+            slpf_ref, slpi_ref, tlpf_ref, tlpi_ref,
             tex_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             sum_r_ref, sum_g_ref, sum_b_ref, segs_ref, depth_ref,
@@ -211,7 +213,10 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
             need_sphere_uv: bool, has_one_way: bool, needs_tri_uv: bool,
             sph_ordered: bool, tri_ordered: bool,
             sph_leaf: int, tri_leaf: int, mrows: int, nstream: int,
-            img_rows: int, rows_s: int, rows_t: int):
+            img_rows: int, rows_s: int, rows_t: int,
+            num_sph_lane: int = 0, num_tri_lane: int = 0,
+            sph_lane_leaf: int = 0, tri_lane_leaf: int = 0,
+            interp_rng: bool = False):
     tile = pl.program_id(0)
     # Defer the winner-param selects out of the sweep when the scene is big
     # enough that the per-bounce fetch pass costs less than the per-swept-
@@ -220,9 +225,22 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
     # counter-based seeding: (frame key material, global tile index)
     # two 32-bit seed words max: fold (frame key, global tile) together
     # (golden-ratio multiplier, int32 wraparound)
-    pltpu.prng_seed(
-        seed_ref[0],
-        seed_ref[1] + (seed_ref[2] + tile) * jnp.int32(-1640531527))
+    if interp_rng:
+        # Interpreter mode (CPU test suites): pltpu.prng_* has no interpret
+        # lowering, so randoms come from a counter-based splitmix32-style
+        # hash of (frame key, global tile, loop iteration, element id)
+        # instead. A *different* stream than the hardware PRNG — renders are
+        # still deterministic per (key, tile), and the full spp x bounce
+        # loop numerics run on every backend; cross-sampler tests compare
+        # statistically, exactly as they must on TPU anyway.
+        seed_w0 = jax.lax.bitcast_convert_type(seed_ref[0], jnp.uint32)
+        seed_w1 = jax.lax.bitcast_convert_type(
+            seed_ref[1] + (seed_ref[2] + tile) * jnp.int32(-1640531527),
+            jnp.uint32)
+    else:
+        pltpu.prng_seed(
+            seed_ref[0],
+            seed_ref[1] + (seed_ref[2] + tile) * jnp.int32(-1640531527))
 
     o0x_t, o0y_t, o0z_t = ox_ref[:], oy_ref[:], oz_ref[:]
     d0x_t, d0y_t, d0z_t = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -261,11 +279,22 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
               has_one_way=has_one_way, needs_tri_uv=needs_tri_uv,
               sph_ordered=sph_ordered, tri_ordered=tri_ordered,
               sph_leaf=sph_leaf, tri_leaf=tri_leaf, defer_params=defer,
-              fast_div=FAST_DIV)
+              fast_div=FAST_DIV,
+              sph_lane_cl_get=lambda i, k: slcl_ref[i, k],
+              tri_lane_cl_get=lambda i, k: tlcl_ref[i, k],
+              sph_lane_pf=slpf_ref, sph_lane_pi=slpi_ref,
+              tri_lane_pf=tlpf_ref, tri_lane_pi=tlpi_ref,
+              num_sph_lane=num_sph_lane, num_tri_lane=num_tri_lane,
+              sph_lane_leaf=sph_lane_leaf, tri_lane_leaf=tri_lane_leaf)
 
       def body(state):
-          (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, bounce_i, sample_i,
-           ior, sr, sg, sb, segs, t0) = state
+          if interp_rng:
+              (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, bounce_i,
+               sample_i, ior, sr, sg, sb, segs, t0, itc) = state
+              itc = itc + 1
+          else:
+              (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, bounce_i,
+               sample_i, ior, sr, sg, sb, segs, t0) = state
           active = sample_i < spp
           if "iters" in _ABLATE:
               # measurement: count every lane-iteration instead of active ones
@@ -280,7 +309,19 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
           # the bounce chain; slicing one (k*rows, 128) draw pays that
           # latency once. ---
           nrand = (3 if antialias else 0) + 3
-          bits = pltpu.prng_random_bits((nrand * srows, LANES))
+          if interp_rng:
+              shape_b = (nrand * srows, LANES)
+              r_ = jax.lax.broadcasted_iota(jnp.uint32, shape_b, 0)
+              l_ = jax.lax.broadcasted_iota(jnp.uint32, shape_b, 1)
+              x = (itc.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+                   + r_ * jnp.uint32(LANES) + l_) ^ seed_w0
+              x = (x ^ (x >> 16)) * jnp.uint32(0x85EBCA6B)
+              x = x + seed_w1
+              x = (x ^ (x >> 13)) * jnp.uint32(0xC2B2AE35)
+              x = x ^ (x >> 16)
+              bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+          else:
+              bits = pltpu.prng_random_bits((nrand * srows, LANES))
           if "rng2" in _ABLATE:
               # measurement: a second full batch, opaquely mixed in
               bits2 = pltpu.prng_random_bits((nrand * srows, LANES))
@@ -396,8 +437,9 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
                        + (bc + pa + pb).astype(jnp.float32))
               sr = sr + jnp.where(active, dummy * 1e-30, 0.0)
               sample_i = jnp.where(active, sample_i + 1, sample_i)
-              return (o0x, o0y, o0z, d0x, d0y, d0z, tr, tg, tb, rr, rg, rb,
-                      bounce_i, sample_i, ior, sr, sg, sb, segs, t0)
+              out = (o0x, o0y, o0z, d0x, d0y, d0z, tr, tg, tb, rr, rg, rb,
+                     bounce_i, sample_i, ior, sr, sg, sb, segs, t0)
+              return out + (itc,) if interp_rng else out
           if "sweep2" in _ABLATE:
               # identical second sweep on epsilon-perturbed origins (defeats
               # CSE; adding 1e-30 to scene-scale floats is bitwise identity)
@@ -665,8 +707,9 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
           rb = jnp.where(path_end, 0.0, rb)
           ior = jnp.where(path_end, 1.0, ior)
 
-          return (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
-                  bounce_i, sample_i, ior, sr, sg, sb, segs, t0)
+          out = (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
+                 bounce_i, sample_i, ior, sr, sg, sb, segs, t0)
+          return out + (itc,) if interp_rng else out
 
       one = f0 + 1.0
       state0 = (o0x, o0y, o0z, d0x, d0y, d0z,
@@ -677,6 +720,8 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
                 f0, f0, f0,             # pixel sums
                 f0,                     # segments
                 f0 + _INF)              # primary-hit depth
+      if interp_rng:
+          state0 = state0 + (jnp.int32(0),)  # loop iteration counter
       return body, state0
 
     streams = [make_stream(i * srows) for i in range(nstream)]
@@ -744,6 +789,14 @@ def render_sample_mean_mega(
               for p in (o[0], o[1], o[2], d[0], d[1], d[2])]
     (sphf, sphi, trif, trii, sphc, tric, sphs, tris,
      sph_order, tri_order, cell_grid) = pack_scene(scene)
+    slpf, slpi, tlpf, tlpi = pack_lane_planes(scene)
+    sph_lane = (scene.sph_lane_leaf > 0
+                and scene.sph_lane_clusters.shape[0] > 0)
+    tri_lane = (scene.tri_lane_leaf > 0
+                and scene.tri_lane_clusters.shape[0] > 0)
+    dummy_cl = jnp.zeros((1, 8), jnp.float32)
+    slcl = scene.sph_lane_clusters if sph_lane else dummy_cl
+    tlcl = scene.tri_lane_clusters if tri_lane else dummy_cl
     mat = pack_materials(scene)
     # VMEM copy of the table, lane-padded: the in-kernel fetch gathers each
     # behaviour row by material id along the lane dimension (<= 128 mats)
@@ -761,6 +814,9 @@ def render_sample_mean_mega(
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     f32 = jnp.float32
+    # Under shard_map, pallas_call outputs must declare how they vary over
+    # mesh axes (check_vma); the outputs vary exactly like the ray planes.
+    vma = getattr(jax.typeof(planes[0]), "vma", frozenset())
     outs = pl.pallas_call(
         functools.partial(
             _kernel,
@@ -789,18 +845,24 @@ def render_sample_mean_mega(
             img_rows=int(scene.img_rows),
             rows_s=param_rows(int(scene.sph_center.shape[0])),
             rows_t=param_rows(int(scene.tri_v0.shape[0])),
+            num_sph_lane=int(slcl.shape[0]) if sph_lane else 0,
+            num_tri_lane=int(tlcl.shape[0]) if tri_lane else 0,
+            sph_lane_leaf=int(scene.sph_lane_leaf) if sph_lane else 0,
+            tri_lane_leaf=int(scene.tri_lane_leaf) if tri_lane else 0,
+            interp_rng=_interpret(),
         ),
         grid=(rows // mrows,),
-        in_specs=([smem] * 13
-                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+        in_specs=([smem] * 15
+                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10
                   + [ray_spec] * 6),
         out_specs=(ray_spec,) * 5,
-        out_shape=tuple(jax.ShapeDtypeStruct((rows, LANES), f32)
+        out_shape=tuple(jax.ShapeDtypeStruct((rows, LANES), f32, vma=vma)
                         for _ in range(5)),
         interpret=_interpret(),
     )(seed, sphf, sphi, trif, trii, sphc, tric, sphs, tris,
-      sph_order, tri_order, cell_grid, mat, matv,
-      sphp_f, sphp_i, trip_f, trip_i, tex, *planes)
+      sph_order, tri_order, cell_grid, mat, slcl, tlcl, matv,
+      sphp_f, sphp_i, trip_f, trip_i, slpf, slpi, tlpf, tlpi,
+      tex, *planes)
 
     mean = jnp.stack([x.reshape(-1)[:n] for x in outs[:3]])
     segs_plane = outs[3].reshape(-1)[:n]

@@ -142,6 +142,82 @@ def decode_smooth_mat(pb):
     return smooth, pb & 0xFFFF
 
 
+# --- per-lane traversal (divergent-ray path) --------------------------------
+# The reference absorbs ray divergence with a per-thread stack DFS
+# (src/objects.cu:487-532); the VPU has no per-lane random memory access
+# beyond the 128-wide lane-dimension dynamic gather, so the TPU-native
+# equivalent restructures the problem until that one gather suffices:
+#
+# - the BVH-ordered pool is cut into <= 124 "lane clusters" (scene build),
+#   so a cluster index addresses one 128-lane plane row and the per-lane
+#   set of entered clusters packs into four 31-bit int32 mask words;
+# - primitive parameters are laid out param-major as (param * leaf + j,
+#   cluster) planes, so ALL lanes fetch the j-th primitive of *their own*
+#   cluster with one dynamic gather per parameter;
+# - phase 1 slab-tests every lane cluster against the tile with shared SMEM
+#   broadcasts (no reduces, no branches), building the per-lane masks and
+#   the per-lane nearest entered cluster;
+# - the nearest cluster is visited first, the masks are rebuilt pruned by
+#   the established best-t, then a while_loop pops each lane's next mask
+#   bit and sweeps that lane's own leaf until every mask is empty.
+#
+# A tile's cost becomes max-over-lanes(entered clusters) leaf sweeps instead
+# of the union-over-lanes footprint that dominates post-diffuse bounces.
+
+LANE_WORD_BITS = 31   # bits used per int32 mask word (sign bit unused)
+LANE_NEAR_FIRST = os.environ.get("RAYTRACER_LANE_NEAR_FIRST", "1") == "1"
+# Hybrid dispatch: tiles whose squared direction-resultant exceeds this take
+# the shared gate sweep (coherent => tight union footprint); below it the
+# per-lane traversal wins. LANE_FORCE pins the lane path on (ablations).
+LANE_R2 = float(os.environ.get("RAYTRACER_LANE_R2", "0.25"))
+LANE_FORCE = os.environ.get("RAYTRACER_LANE_FORCE") == "1"
+
+
+def lane_words(n_clusters: int) -> int:
+    return -(-n_clusters // LANE_WORD_BITS)
+
+
+def _pow2_log2(x):
+    """floor(log2(x)) for x a power of two in [1, 2^30] (junk for x <= 0).
+
+    Powers of two up to 2^30 convert to float32 exactly; the biased
+    exponent field then reads the index off in 3 vector ops (validated on
+    Mosaic and in interpret mode)."""
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    return ((bits >> 23) & 0xFF) - 127
+
+
+def _pop_next(masks, zero_i):
+    """Per-lane: pop the lowest set bit across the mask words.
+
+    Returns (cluster_index, live, new_masks); ``live`` lanes had a bit,
+    dead lanes return cluster 0 (their sweep results are masked off)."""
+    sel = masks[0]
+    woff = zero_i
+    for w in range(1, len(masks)):
+        empty = sel == 0
+        sel = jnp.where(empty, masks[w], sel)
+        woff = jnp.where(empty, w * LANE_WORD_BITS, woff)
+    low = sel & -sel
+    live = sel != 0
+    c = jnp.where(live, woff + _pow2_log2(low), 0)
+    new_masks = [
+        jnp.where(woff == w * LANE_WORD_BITS, masks[w] & ~low, masks[w])
+        for w in range(len(masks))]
+    return c, live, new_masks
+
+
+def _clear_bit(masks, c, live):
+    """Clear per-lane bit ``c`` (where live) from the mask words."""
+    out = []
+    for w in range(len(masks)):
+        rel = c - w * LANE_WORD_BITS
+        in_w = live & (rel >= 0) & (rel < LANE_WORD_BITS)
+        bit = jnp.where(in_w, 1 << jnp.clip(rel, 0, LANE_WORD_BITS - 1), 0)
+        out.append(masks[w] & ~bit)
+    return out
+
+
 # Mosaic SMEM capacity on v5e is ~1 MiB; leave headroom for the compiler's
 # own scalar spills (a 10k-sphere scene once compiled at 1.5M/1.0M and died
 # with a raw Mosaic stack trace — the budget makes the limit a structured,
@@ -153,8 +229,9 @@ def smem_bytes(scene) -> int:
     """Bytes of SMEM the sweep's scene-resident layout needs.
 
     Mirrors pack_scene exactly: spheres 6 words each (4 f32 + 2 i32),
-    triangles 26 words (24 f32 + 2 i32), cluster/super rows 8 f32 each,
-    cell-order tables 1 i32 per entry, material table 16 f32 rows.
+    triangles 26 words (24 f32 + 2 i32), cluster/super/lane-cluster rows
+    8 f32 each, cell-order tables 1 i32 per entry, material table 16 f32
+    rows. (Lane-mode primitive planes live in VMEM, not SMEM.)
     """
     s = int(scene.sph_center.shape[0])
     t = int(scene.tri_v0.shape[0])
@@ -163,7 +240,9 @@ def smem_bytes(scene) -> int:
             + 8 * (max(int(scene.sph_clusters.shape[0]), 1)
                    + max(int(scene.tri_clusters.shape[0]), 1)
                    + max(int(scene.sph_supers.shape[0]), 1)
-                   + max(int(scene.tri_supers.shape[0]), 1))
+                   + max(int(scene.tri_supers.shape[0]), 1)
+                   + max(int(scene.sph_lane_clusters.shape[0]), 1)
+                   + max(int(scene.tri_lane_clusters.shape[0]), 1))
             + int(scene.sph_cell_order.shape[0])
             + int(scene.tri_cell_order.shape[0])
             + 16 * int(scene.mat_type.shape[0]) + 16)
@@ -184,15 +263,12 @@ def safe_inv_dir(dx, dy, dz):
     return inv(dx), inv(dy), inv(dz)
 
 
-def pack_scene(scene):
-    """SceneArrays -> SMEM-resident row matrices for the sweep.
+def _sph_rows(scene):
+    """Sphere pool row matrices (shared by pack_scene / pack_lane_planes).
 
-    Returns (sph_f32, sph_i32, tri_f32, tri_i32, sph_clusters, tri_clusters,
-    sph_supers, tri_supers, sph_cell_order, tri_cell_order, cell_grid). Padding primitives are poisoned here: padding
-    spheres (radius <= 0) get ``cr2 = 1e30`` (discriminant always negative —
-    ``h² = (d·(c-o))² <= |c-o|²`` stays far below 1e30 for any ray the
-    camera can produce); padding triangles already carry all-zero Woop rows.
-    """
+    Padding spheres (radius <= 0) are poisoned with ``cr2 = 1e30``
+    (discriminant always negative — ``h² = (d·(c-o))² <= |c-o|²`` stays far
+    below 1e30 for any ray the camera can produce)."""
     ok = scene.sph_radius > 0.0
     cr2 = jnp.where(
         ok,
@@ -209,6 +285,12 @@ def pack_scene(scene):
         encode_colour30(scene.sph_colour),
         encode_smooth_mat(scene.sph_smooth, scene.sph_mat),
     ])
+    return sph_f32, sph_i32
+
+
+def _tri_rows(scene):
+    """Triangle pool row matrices; padding/degenerate triangles carry
+    all-zero Woop rows (t = -0/0 = NaN fails every comparison)."""
     tri_f32 = jnp.concatenate([
         scene.tri_wu.T,                                # 0-3
         scene.tri_wv.T,                                # 4-7
@@ -223,6 +305,18 @@ def pack_scene(scene):
         encode_colour30(scene.tri_colour),
         encode_smooth_mat(scene.tri_smooth, scene.tri_mat),
     ])
+    return tri_f32, tri_i32
+
+
+def pack_scene(scene):
+    """SceneArrays -> SMEM-resident row matrices for the sweep.
+
+    Returns (sph_f32, sph_i32, tri_f32, tri_i32, sph_clusters, tri_clusters,
+    sph_supers, tri_supers, sph_cell_order, tri_cell_order, cell_grid).
+    Padding primitives are poisoned (see _sph_rows/_tri_rows).
+    """
+    sph_f32, sph_i32 = _sph_rows(scene)
+    tri_f32, tri_i32 = _tri_rows(scene)
 
     def clusters_or_dummy(c):
         return c if c.shape[0] > 0 else jnp.zeros((1, 8), jnp.float32)
@@ -233,6 +327,51 @@ def pack_scene(scene):
             clusters_or_dummy(scene.sph_supers),
             clusters_or_dummy(scene.tri_supers),
             scene.sph_cell_order, scene.tri_cell_order, scene.cell_grid)
+
+
+def pack_lane_planes(scene):
+    """Param-major per-lane fetch planes for the lane traversal.
+
+    Layout: row ``p * leaf + j``, lane ``c`` holds parameter ``p`` of the
+    pool primitive ``c * leaf + j`` (the j-th primitive of lane cluster
+    ``c``) — so all 128 lanes fetch their *own* cluster's j-th primitive
+    with one lane-dimension dynamic gather per parameter. Values are the
+    exact pack_scene pool values (same poisoning), so lane-path results
+    are bitwise identical to the shared sweep's.
+
+    Returns (sph_pf, sph_pi, tri_pf, tri_pi); (8, 128) zero dummies for
+    pools with the lane path disabled.
+    """
+    def relayout(mat, leaf, n_cl, poison_row=None):
+        p, n = mat.shape
+        total = n_cl * leaf
+        if total > n:
+            pad = jnp.zeros((p, total - n), mat.dtype)
+            mat = jnp.concatenate([mat, pad], axis=1)
+            if poison_row is not None:
+                mat = mat.at[poison_row, n:].set(_INF)
+        mat = mat[:, :total].reshape(p, n_cl, leaf).transpose(0, 2, 1)
+        out = mat.reshape(p * leaf, n_cl)
+        if n_cl < LANES:
+            out = jnp.pad(out, ((0, 0), (0, LANES - n_cl)))
+        return out
+
+    dummy_f = jnp.zeros((8, LANES), jnp.float32)
+    dummy_i = jnp.zeros((8, LANES), jnp.int32)
+    sph_pf, sph_pi = dummy_f, dummy_i
+    tri_pf, tri_pi = dummy_f, dummy_i
+    if scene.sph_lane_leaf > 0 and scene.sph_lane_clusters.shape[0] > 0:
+        f32, i32 = _sph_rows(scene)
+        n_cl = int(scene.sph_lane_clusters.shape[0])
+        sph_pf = relayout(f32, scene.sph_lane_leaf, n_cl,
+                          poison_row=S_CR2)
+        sph_pi = relayout(i32, scene.sph_lane_leaf, n_cl)
+    if scene.tri_lane_leaf > 0 and scene.tri_lane_clusters.shape[0] > 0:
+        f32, i32 = _tri_rows(scene)
+        n_cl = int(scene.tri_lane_clusters.shape[0])
+        tri_pf = relayout(f32, scene.tri_lane_leaf, n_cl)
+        tri_pi = relayout(i32, scene.tri_lane_leaf, n_cl)
+    return sph_pf, sph_pi, tri_pf, tri_pi
 
 
 def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
@@ -248,7 +387,12 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
                fast_div: bool = False,
                sget_f=None, sget_i=None, tget_f=None, tget_i=None,
                scl_get=None, tcl_get=None,
-               sph_cl_base=0, tri_cl_base=0):
+               sph_cl_base=0, tri_cl_base=0,
+               sph_lane_cl_get=None, tri_lane_cl_get=None,
+               sph_lane_pf=None, sph_lane_pi=None,
+               tri_lane_pf=None, tri_lane_pi=None,
+               num_sph_lane: int = 0, num_tri_lane: int = 0,
+               sph_lane_leaf: int = 0, tri_lane_leaf: int = 0):
     """Nearest hit + winner shading params for one ray tile.
 
     ``ox..dz`` are (rows, 128) component planes with **unit** directions;
@@ -294,12 +438,13 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
     # per-ray invariants (directions are unit: a = 1)
     ddo = dx * ox + dy * oy + dz * oz
     osq = ox * ox + oy * oy + oz * oz
-    if num_sph_clusters > 0 or num_tri_clusters > 0:
+    if (num_sph_clusters > 0 or num_tri_clusters > 0
+            or num_sph_lane > 0 or num_tri_lane > 0):
         inv_dx, inv_dy, inv_dz = safe_inv_dir(dx, dy, dz)
 
-    def slab(get, i, bt):
+    def slab_tmin(get, i, bt):
         """Branchless slab test of AABB row i against the whole tile
-        (src/objects.cu:404-434); returns the per-lane enter mask.
+        (src/objects.cu:404-434); returns (enter mask, entry distance).
         ``get(i, k)`` reads word k of box row i (an accessor so callers
         can use SMEM-friendly layouts — an (N, 8) SMEM array pads its
         minor dim to 128 and wastes 16x)."""
@@ -316,7 +461,10 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
         tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
         tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
         tmin = jnp.maximum(tmin, 0.0)
-        return (tmin <= tmax) & (tmax > 0.0) & (tmin < bt)
+        return (tmin <= tmax) & (tmax > 0.0) & (tmin < bt), tmin
+
+    def slab(get, i, bt):
+        return slab_tmin(get, i, bt)[0]
 
     def best_t(carries):
         bt = carries[0][0]
@@ -349,6 +497,74 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
             jnp.any(hit_box),
             lambda cr: leaf_sweep(c * leaf, leaf, cr, body),
             lambda cr: cr, carries)
+
+    def lane_masks(cl_get, n_cl, bt, want_near):
+        """Phase 1 of the lane traversal: slab-test every lane cluster
+        against the tile with shared SMEM broadcasts (no reduces, no
+        branches), packing per-lane entry into 31-bit mask words and
+        optionally tracking the per-lane nearest entered cluster."""
+        masks = [zero_i] * lane_words(n_cl)
+        near_c = zero_i
+        near_t = zero_f + _INF
+        for c in range(n_cl):
+            enter, tmin = slab_tmin(cl_get, c, bt)
+            w = c // LANE_WORD_BITS
+            masks[w] = masks[w] | (
+                enter.astype(jnp.int32) << (c % LANE_WORD_BITS))
+            if want_near:
+                closer = enter & (tmin < near_t)
+                near_t = jnp.where(closer, tmin, near_t)
+                near_c = jnp.where(closer, c, near_c)
+        return masks, near_c, near_t
+
+    def lane_traverse(cl_get, pf_ref, pi_ref, n_cl, leaf, body_at, cr,
+                      code_bit):
+        """Per-lane BVH traversal (see module comment): entry masks ->
+        nearest-cluster bootstrap -> best-t-pruned mask rebuild -> pop-and-
+        sweep while loop. Tile cost = max-over-lanes entered clusters, not
+        the union footprint the shared gate sweep pays on divergent tiles
+        (the TPU equivalent of the reference's per-thread stack DFS,
+        src/objects.cu:487-532)."""
+        shape = ox.shape
+
+        def gf(ref, p, c, j):
+            row = p * leaf + j
+            return jnp.take_along_axis(
+                jnp.broadcast_to(ref[row:row + 1, :], shape), c, axis=1)
+
+        def visit(c, live, cr):
+            if stats_ref is not None:
+                stats_ref[:] = stats_ref[:] + jnp.where(
+                    live, float(leaf), 0.0)
+            for j in range(leaf):
+                cr = body_at(lambda p, j=j, c=c: gf(pf_ref, p, c, j),
+                             lambda p, j=j, c=c: gf(pi_ref, p, c, j),
+                             (c * leaf + j) * 2 + code_bit, cr, live)
+            return cr
+
+        masks, near_c, near_t = lane_masks(cl_get, n_cl, cr[0], True)
+        if LANE_NEAR_FIRST:
+            # Visit each lane's nearest entered cluster first, then rebuild
+            # the masks against the established best-t: most far clusters'
+            # bits vanish before the pop-and-sweep loop ever sees them.
+            near_live = near_t < _INF
+            cr = visit(near_c, near_live, cr)
+            masks, _, _ = lane_masks(cl_get, n_cl, cr[0], False)
+            masks = _clear_bit(masks, near_c, near_live)
+
+        def cond(st):
+            alive = st[0][0] != 0
+            for m in st[0][1:]:
+                alive = alive | (m != 0)
+            return jnp.any(alive)
+
+        def wbody(st):
+            masks, cr = st
+            c, live, masks = _pop_next(list(masks), zero_i)
+            return tuple(masks), visit(c, live, cr)
+
+        _, cr = jax.lax.while_loop(cond, wbody, (tuple(masks), cr))
+        return cr
 
     def super_gate(sup_get, cl_get, leaf, g, carries, body):
         """Second BVH level: slab-test a super-cluster, then its cluster
@@ -389,12 +605,15 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
                        0, g - 1)
         cell = (cxi * g + cyi) * g + czi
 
-    def sph_body(s, cr):
+    def sph_body_at(getf, geti, code, cr, live=None):
+        """Sphere test against the tile; ``getf(param)``/``geti(param)``
+        return broadcast scalars (shared sweep) or per-lane gathered
+        arrays (lane traversal) — the math is identical either way."""
         bt = cr[0]
-        cx = sget_f(S_CX, s)
-        cy = sget_f(S_CY, s)
-        cz = sget_f(S_CZ, s)
-        cr2 = sget_f(S_CR2, s)
+        cx = getf(S_CX)
+        cy = getf(S_CY)
+        cz = getf(S_CZ)
+        cr2 = getf(S_CR2)
         # half-b quadratic, nearer root only (src/objects.cu:40-79)
         dc = dx * cx + dy * cy + dz * cz
         oc = ox * cx + oy * cy + oz * cz
@@ -403,60 +622,102 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
         disc = h * h - cq
         t = h - jnp.sqrt(jnp.maximum(disc, 0.0))
         valid = (disc >= 0.0) & (t > _EPS)
+        if live is not None:
+            valid = valid & live
         t = jnp.where(valid, t, _INF)
         better = t < bt
         bt = jnp.where(better, t, bt)
-        bc = jnp.where(better, s * 2, cr[1])       # even code = sphere
+        bc = jnp.where(better, code, cr[1])        # even code = sphere
         if defer_params:
             return (bt, bc) + cr[2:]
         g0 = jnp.where(better, cx, cr[4])
         g1 = jnp.where(better, cy, cr[5])
         g2 = jnp.where(better, cz, cr[6])
-        pa = jnp.where(better, sget_i(S_PA, s), cr[7])
-        pb = jnp.where(better, sget_i(S_PB, s), cr[8])
+        pa = jnp.where(better, geti(S_PA), cr[7])
+        pb = jnp.where(better, geti(S_PB), cr[8])
         return bt, bc, cr[2], cr[3], g0, g1, g2, pa, pb
 
-    if sph_ordered and num_sph_supers > 0:
-        base = cell * num_sph_supers
-        carry = jax.lax.fori_loop(
-            0, num_sph_supers,
-            lambda i, cr: super_gate(ssup_get, scl_get, sph_leaf,
-                                     sph_order[base + i], cr, sph_body),
-            carry)
-    elif sph_ordered:
-        base = cell * num_sph_clusters
-        carry = jax.lax.fori_loop(
-            0, num_sph_clusters,
-            lambda i, cr: cluster_gate(scl_get, sph_leaf, sph_order[base + i],
-                                       cr, sph_body),
-            carry)
-    elif num_sph_supers > 0:
-        carry = jax.lax.fori_loop(
-            0, num_sph_supers,
-            lambda g, cr: super_gate(ssup_get, scl_get, sph_leaf, g, cr, sph_body),
-            carry)
-    elif num_sph_clusters > 0:
-        carry = jax.lax.fori_loop(
-            0, num_sph_clusters,
-            lambda c, cr: cluster_gate(scl_get, sph_leaf, c, cr, sph_body,
-                                       cl_base=sph_cl_base),
-            carry)
-    elif num_spheres > 0:
-        # flat pool: padded to a multiple of UNROLL, pads poisoned
-        def sflat(j, crs):
-            base = j * UNROLL
-            crs = list(crs)
-            for u in range(UNROLL):
-                k = u % KCARRY
-                crs[k] = sph_body(base + u, crs[k])
-            return tuple(crs)
-        carry = jax.lax.fori_loop(0, num_spheres // UNROLL, sflat, carry)
+    def sph_body(s, cr):
+        return sph_body_at(lambda p: sget_f(p, s), lambda p: sget_i(p, s),
+                           s * 2, cr)
 
-    def tri_body(k, cr):
+    sph_hybrid = sph_lane_leaf > 0 and num_sph_lane > 0 and num_spheres > 0
+    tri_hybrid = tri_lane_leaf > 0 and num_tri_lane > 0 and num_tris > 0
+    if sph_hybrid or tri_hybrid:
+        # Tile coherence metric for the hybrid dispatch: squared resultant
+        # length of the (unit) directions. ~1 for coherent (primary-ray)
+        # tiles where the shared gate sweep's union footprint is tight;
+        # small for post-diffuse tiles where the union covers the scene and
+        # the per-lane traversal wins. One scalar branch per pool per sweep
+        # — the same cost class as a single cluster gate.
+        inv_nd = 1.0 / float(dx.size)
+        rsx = jnp.sum(dx) * inv_nd
+        rsy = jnp.sum(dy) * inv_nd
+        rsz = jnp.sum(dz) * inv_nd
+        tile_coherent = (rsx * rsx + rsy * rsy + rsz * rsz) > LANE_R2
+
+    def sph_shared(carry):
+        if sph_ordered and num_sph_supers > 0:
+            base = cell * num_sph_supers
+            return jax.lax.fori_loop(
+                0, num_sph_supers,
+                lambda i, cr: super_gate(ssup_get, scl_get, sph_leaf,
+                                         sph_order[base + i], cr, sph_body),
+                carry)
+        if sph_ordered:
+            base = cell * num_sph_clusters
+            return jax.lax.fori_loop(
+                0, num_sph_clusters,
+                lambda i, cr: cluster_gate(scl_get, sph_leaf,
+                                           sph_order[base + i], cr, sph_body),
+                carry)
+        if num_sph_supers > 0:
+            return jax.lax.fori_loop(
+                0, num_sph_supers,
+                lambda g, cr: super_gate(ssup_get, scl_get, sph_leaf, g, cr,
+                                         sph_body),
+                carry)
+        if num_sph_clusters > 0:
+            return jax.lax.fori_loop(
+                0, num_sph_clusters,
+                lambda c, cr: cluster_gate(scl_get, sph_leaf, c, cr, sph_body,
+                                           cl_base=sph_cl_base),
+                carry)
+        if num_spheres > 0:
+            # flat pool: padded to a multiple of UNROLL, pads poisoned
+            def sflat(j, crs):
+                base = j * UNROLL
+                crs = list(crs)
+                for u in range(UNROLL):
+                    k = u % KCARRY
+                    crs[k] = sph_body(base + u, crs[k])
+                return tuple(crs)
+            return jax.lax.fori_loop(0, num_spheres // UNROLL, sflat, carry)
+        return carry
+
+    def sph_lane_fn(carry):
+        # per-lane traversal is one best-hit chain; other KCARRY chains
+        # stay fresh and merge to no-ops
+        return (lane_traverse(sph_lane_cl_get, sph_lane_pf, sph_lane_pi,
+                              num_sph_lane, sph_lane_leaf, sph_body_at,
+                              carry[0], 0),) + tuple(carry[1:])
+
+    if sph_hybrid:
+        if LANE_FORCE:
+            carry = sph_lane_fn(carry)
+        else:
+            carry = jax.lax.cond(tile_coherent, sph_shared, sph_lane_fn,
+                                 carry)
+    else:
+        carry = sph_shared(carry)
+
+    def tri_body_at(getf, geti, code, cr, live=None):
+        """Triangle test against the tile; fetch-parameterised like
+        sph_body_at (shared broadcast or per-lane gather)."""
         bt = cr[0]
-        wu0, wu1, wu2, wu3 = (tget_f(T_WU + r, k) for r in range(4))
-        wv0, wv1, wv2, wv3 = (tget_f(T_WV + r, k) for r in range(4))
-        ww0, ww1, ww2, ww3 = (tget_f(T_WW + r, k) for r in range(4))
+        wu0, wu1, wu2, wu3 = (getf(T_WU + r) for r in range(4))
+        wv0, wv1, wv2, wv3 = (getf(T_WV + r) for r in range(4))
+        ww0, ww1, ww2, ww3 = (getf(T_WW + r) for r in range(4))
         # Woop world->barycentric: t = -o_w/d_w (equivalent to
         # Möller–Trumbore, src/objects.cu:135-163). Padding/degenerate
         # triangles have all-zero rows: t = -0/0 = NaN fails every check.
@@ -488,13 +749,15 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
         valid = (t > _EPS) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
         if has_one_way:
             # one-way culling (src/objects.cu:273-280); zero vector passes
-            cull = (tget_f(T_CULL, k) * dx + tget_f(T_CULL + 1, k) * dy
-                    + tget_f(T_CULL + 2, k) * dz)
+            cull = (getf(T_CULL) * dx + getf(T_CULL + 1) * dy
+                    + getf(T_CULL + 2) * dz)
             valid &= cull >= 0.0
+        if live is not None:
+            valid = valid & live
         t = jnp.where(valid, t, _INF)
         better = t < bt
         bt = jnp.where(better, t, bt)
-        bc = jnp.where(better, k * 2 + 1, cr[1])   # odd code = triangle
+        bc = jnp.where(better, code, cr[1])        # odd code = triangle
         if defer_params:
             if needs_tri_uv:
                 # raw winner barycentrics; the caller interpolates after
@@ -508,53 +771,74 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
             # barycentric UV with the reference's argument order
             # (src/objects.cu:160,196-199): uv0*w + uv1*u + uv2*v
             w = 1.0 - u - v
-            tex_u = (tget_f(T_UV, k) * w + tget_f(T_UV + 2, k) * u
-                     + tget_f(T_UV + 4, k) * v)
-            tex_v = (tget_f(T_UV + 1, k) * w + tget_f(T_UV + 3, k) * u
-                     + tget_f(T_UV + 5, k) * v)
+            tex_u = (getf(T_UV) * w + getf(T_UV + 2) * u
+                     + getf(T_UV + 4) * v)
+            tex_v = (getf(T_UV + 1) * w + getf(T_UV + 3) * u
+                     + getf(T_UV + 5) * v)
             bu = jnp.where(better, tex_u, bu)
             bv = jnp.where(better, tex_v, bv)
-        g0 = jnp.where(better, tget_f(T_NRM, k), cr[4])
-        g1 = jnp.where(better, tget_f(T_NRM + 1, k), cr[5])
-        g2 = jnp.where(better, tget_f(T_NRM + 2, k), cr[6])
-        pa = jnp.where(better, tget_i(0, k), cr[7])
-        pb = jnp.where(better, tget_i(1, k), cr[8])
+        g0 = jnp.where(better, getf(T_NRM), cr[4])
+        g1 = jnp.where(better, getf(T_NRM + 1), cr[5])
+        g2 = jnp.where(better, getf(T_NRM + 2), cr[6])
+        pa = jnp.where(better, geti(0), cr[7])
+        pb = jnp.where(better, geti(1), cr[8])
         return bt, bc, bu, bv, g0, g1, g2, pa, pb
 
-    if tri_ordered and num_tri_supers > 0:
-        base = cell * num_tri_supers
-        carry = jax.lax.fori_loop(
-            0, num_tri_supers,
-            lambda i, cr: super_gate(tsup_get, tcl_get, tri_leaf,
-                                     tri_order[base + i], cr, tri_body),
-            carry)
-    elif tri_ordered:
-        base = cell * num_tri_clusters
-        carry = jax.lax.fori_loop(
-            0, num_tri_clusters,
-            lambda i, cr: cluster_gate(tcl_get, tri_leaf, tri_order[base + i],
-                                       cr, tri_body),
-            carry)
-    elif num_tri_supers > 0:
-        carry = jax.lax.fori_loop(
-            0, num_tri_supers,
-            lambda g, cr: super_gate(tsup_get, tcl_get, tri_leaf, g, cr, tri_body),
-            carry)
-    elif num_tri_clusters > 0:
-        carry = jax.lax.fori_loop(
-            0, num_tri_clusters,
-            lambda c, cr: cluster_gate(tcl_get, tri_leaf, c, cr, tri_body,
-                                       cl_base=tri_cl_base),
-            carry)
-    elif num_tris > 0:
-        def tflat(j, crs):
-            base = j * UNROLL
-            crs = list(crs)
-            for u in range(UNROLL):
-                k = u % KCARRY
-                crs[k] = tri_body(base + u, crs[k])
-            return tuple(crs)
-        carry = jax.lax.fori_loop(0, num_tris // UNROLL, tflat, carry)
+    def tri_body(k, cr):
+        return tri_body_at(lambda p: tget_f(p, k), lambda p: tget_i(p, k),
+                           k * 2 + 1, cr)
+
+    def tri_shared(carry):
+        if tri_ordered and num_tri_supers > 0:
+            base = cell * num_tri_supers
+            return jax.lax.fori_loop(
+                0, num_tri_supers,
+                lambda i, cr: super_gate(tsup_get, tcl_get, tri_leaf,
+                                         tri_order[base + i], cr, tri_body),
+                carry)
+        if tri_ordered:
+            base = cell * num_tri_clusters
+            return jax.lax.fori_loop(
+                0, num_tri_clusters,
+                lambda i, cr: cluster_gate(tcl_get, tri_leaf,
+                                           tri_order[base + i], cr, tri_body),
+                carry)
+        if num_tri_supers > 0:
+            return jax.lax.fori_loop(
+                0, num_tri_supers,
+                lambda g, cr: super_gate(tsup_get, tcl_get, tri_leaf, g, cr,
+                                         tri_body),
+                carry)
+        if num_tri_clusters > 0:
+            return jax.lax.fori_loop(
+                0, num_tri_clusters,
+                lambda c, cr: cluster_gate(tcl_get, tri_leaf, c, cr, tri_body,
+                                           cl_base=tri_cl_base),
+                carry)
+        if num_tris > 0:
+            def tflat(j, crs):
+                base = j * UNROLL
+                crs = list(crs)
+                for u in range(UNROLL):
+                    k = u % KCARRY
+                    crs[k] = tri_body(base + u, crs[k])
+                return tuple(crs)
+            return jax.lax.fori_loop(0, num_tris // UNROLL, tflat, carry)
+        return carry
+
+    def tri_lane_fn(carry):
+        return (lane_traverse(tri_lane_cl_get, tri_lane_pf, tri_lane_pi,
+                              num_tri_lane, tri_lane_leaf, tri_body_at,
+                              carry[0], 1),) + tuple(carry[1:])
+
+    if tri_hybrid:
+        if LANE_FORCE:
+            carry = tri_lane_fn(carry)
+        else:
+            carry = jax.lax.cond(tile_coherent, tri_shared, tri_lane_fn,
+                                 carry)
+    else:
+        carry = tri_shared(carry)
 
     if stats_ref is not None:
         flat_adjust = 0.0

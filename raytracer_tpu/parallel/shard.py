@@ -47,6 +47,14 @@ def make_pixel_sharded_step(mesh: Mesh, settings: RenderSettings,
         in_specs=(P(), P(PIXEL_AXIS), P(PIXEL_AXIS), P(PIXEL_AXIS),
                   P(PIXEL_AXIS), P(), P()),
         out_specs=(P(PIXEL_AXIS), P()),
+        # vma tracking mis-propagates through the megakernel's in-kernel
+        # while_loop (pltpu.prng_random_bits values come out unvarying and
+        # poison the carry fixpoint under JAX 0.9). The static check is
+        # redundant here anyway: the sharded step is held to *bitwise*
+        # equality with the unsharded render (tests/test_parallel.py on the
+        # CPU mesh, tests/test_megakernel.py::test_mega_under_shard_map_on_tpu
+        # on hardware), and this mode has no collectives to misplace.
+        check_vma=False,
     )
     def step(scene, ray_idx, o, d, accum, frame_num, base_key):
         # Globalise megakernel RNG tile ids across shards: each device owns

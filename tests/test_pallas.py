@@ -184,3 +184,51 @@ def test_blocked_kernel_matches_oracle(monkeypatch):
                                   np.asarray(sd_x.mat_id)[both])
     np.testing.assert_allclose(np.asarray(sd_p.colour)[:, both],
                                np.asarray(sd_x.colour)[:, both], atol=1e-6)
+
+
+def test_lane_traversal_matches_shared_sweep(monkeypatch):
+    """Per-lane BVH traversal (divergent-ray path, sweep._lane_traverse)
+    must be BITWISE identical to the shared gate sweep on both pools: the
+    lane planes hold the exact pack_scene pool values and the body math is
+    the same code (sph_body_at/tri_body_at), so any deviation is a
+    traversal bug (missed/duplicated cluster), not float noise."""
+    from raytracer_tpu.models.materials import Material, Texture
+    from raytracer_tpu.models.scene import SceneBuilder
+    from raytracer_tpu.ops import sweep as sweep_mod
+    # pin the lane branch of the hybrid dispatch regardless of the test
+    # rays' coherence metric
+    monkeypatch.setattr(sweep_mod, "LANE_FORCE", True)
+
+    def build(lane: bool):
+        if lane:
+            monkeypatch.delenv("RAYTRACER_NO_LANE", raising=False)
+        else:
+            monkeypatch.setenv("RAYTRACER_NO_LANE", "1")
+        rng = np.random.default_rng(7)
+        b = SceneBuilder()
+        b.add_spheres(
+            rng.uniform(-10, 10, (600, 3)), rng.uniform(0.1, 0.6, 600),
+            Material.standard(Texture.checkerboard((1, 1, 1), (0, 0, 0), 4),
+                              0.3))
+        green = Material.standard(Texture.const_colour((0.2, 0.9, 0.1)), 0)
+        for _ in range(550):
+            p = rng.uniform(-10, 10, 3)
+            b.add_triangle(p, p + rng.uniform(-1, 1, 3),
+                           p + rng.uniform(-1, 1, 3), green)
+        return b.build()
+
+    s_lane = build(True)
+    assert s_lane.sph_lane_leaf > 0 and s_lane.tri_lane_leaf > 0
+    assert s_lane.sph_lane_clusters.shape[0] <= 124
+    s_flat = build(False)
+    assert s_flat.sph_lane_leaf == 0 and s_flat.tri_lane_leaf == 0
+
+    o, d = _rand_rays(4096, seed=8, spread=12.0)
+    rec1, sh1 = hit_and_resolve_pallas(o, d, s_lane)
+    rec2, sh2 = hit_and_resolve_pallas(o, d, s_flat)
+    assert np.asarray(rec1.hit).sum() > 300  # the comparison has teeth
+    for a, b_ in ((rec1.t, rec2.t), (rec1.idx, rec2.idx),
+                  (sh1.u, sh2.u), (sh1.v, sh2.v),
+                  (sh1.normal, sh2.normal), (sh1.colour, sh2.colour),
+                  (sh1.mat_id, sh2.mat_id), (sh1.smooth, sh2.smooth)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))

@@ -21,9 +21,12 @@ from raytracer_tpu.ops.sweep import (SMEM_BUDGET, fits_smem, pack_scene,
 
 def _actual_packed_bytes(scene) -> int:
     """Bytes the SMEM-resident inputs actually occupy: every pack_scene
-    output plus the packed material table and the 3-word seed."""
+    output, the lane-cluster boxes (hybrid traversal), the packed material
+    table and the 3-word seed."""
     parts = pack_scene(scene)
     words = sum(int(np.prod(p.shape)) for p in parts)
+    words += 8 * max(int(scene.sph_lane_clusters.shape[0]), 1)
+    words += 8 * max(int(scene.tri_lane_clusters.shape[0]), 1)
     words += int(np.prod(megakernel.pack_materials(scene).shape))
     words += 3  # seed
     return words * 4
