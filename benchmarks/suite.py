@@ -105,6 +105,22 @@ def main():
                rt.CameraConfig(width=1280, height=720),
                spp=10 if q else 200, bounces=5, frames=2)
 
+    # Big-image-texture configs (VERDICT round-2 item 4): a 256x512 earth
+    # stays on the megakernel's in-kernel column-block fetch (1024 packed
+    # rows); the 512x1024 variant exceeds IMG_MAX_ROWS and measures the
+    # wavefront pipeline's XLA atlas-gather fallback.
+    from raytracer_tpu.models.scenes import procedural_earth_texture
+    scene, sky = rt.build_scene(
+        2, earth_image=procedural_earth_texture(256))
+    run_config("earth512_in_kernel_1000x800_20spp", scene, sky,
+               rt.CameraConfig(width=1000, height=800),
+               spp=5 if q else 20, bounces=5, frames=2)
+    scene, sky = rt.build_scene(
+        2, earth_image=procedural_earth_texture(512))
+    run_config("earth1024_wavefront_1000x800_20spp", scene, sky,
+               rt.CameraConfig(width=1000, height=800),
+               spp=2 if q else 20, bounces=5, frames=2)
+
     scene, sky = bench_scenes.monkey_light_scene()
     run_config("monkey_1920x1080_100spp", scene, sky,
                rt.CameraConfig(width=1920, height=1080),

@@ -699,7 +699,9 @@ class SceneBuilder:
             if off not in seen_off:
                 seen_off[off] = img_rows
                 img_layout.append((off, h, w, img_rows))
-                img_rows += h
+                # images wider than 128 texels pack each image row into
+                # ceil(w/128) column-block rows (megakernel.pack_textures)
+                img_rows += h * (-(-w // 128))
             tex_row[m] = seen_off[off]
 
         needs_sphere_uv = bool(

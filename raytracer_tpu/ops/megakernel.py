@@ -77,6 +77,15 @@ DEFER_MIN = int(os.environ.get("RAYTRACER_DEFER_MIN", "64"))
 # Approximate-reciprocal triangle divide in the sweep (statistically
 # validated; exact divide in the wavefront kernels regardless).
 FAST_DIV = os.environ.get("RAYTRACER_FAST_DIV", "1") == "1"
+# Tile-coherent scatter sampling: one shared random triple per loop
+# iteration (instead of per lane). Each pixel's marginal distribution is
+# exactly unchanged — a pixel's successive samples still draw fresh
+# randoms every iteration — only cross-pixel covariance within a tile
+# changes. Post-diffuse directions then cluster by surface normal, so
+# secondary-bounce tiles keep tight cluster-gate footprints (the
+# structured-sampling / coherent-path-tracing trick, here keyed to the
+# tile-sweep's union-footprint economics).
+COHERENT = os.environ.get("RAYTRACER_COHERENT", "0") == "1"
 MROWS = SROWS * NSTREAM
 MROWS_FLAT = MROWS
 # Timing ablations (measurement only): comma-separated flags.
@@ -93,16 +102,23 @@ MEGA_TILE = MROWS * LANES
 _M_ROWS = 16
 
 
-IMG_MAX_ROWS = 128  # packed texture-plane rows the one-hot fetch supports
+# Packed texture-plane row cap for in-kernel image sampling: the row-select
+# sweep is linear in the packed rows (~3 vector ops each) and only runs on
+# iterations where some lane actually samples an image, so moderately large
+# atlases stay profitable in-kernel (a 512x256 earth = 1024 rows); beyond
+# the cap the wavefront pipeline's XLA atlas gather takes over.
+IMG_MAX_ROWS = int(os.environ.get("RAYTRACER_IMG_MAX_ROWS", "1024"))
 
 
 def supports(scene: SceneArrays) -> bool:
     """Megakernel preconditions.
 
     Image textures are sampled in-kernel with a lane-gather + row-select
-    fetch (_fetch_image) as long as every image fits the packed texel
-    plane: total rows <= IMG_MAX_ROWS and width <= 128 texels. Bigger
-    atlases fall back to the wavefront pipeline's XLA gather."""
+    fetch (_fetch_image). Images wider than 128 texels pack each image row
+    into ceil(w/128) column-block rows, so the only cap is the total packed
+    row count: the select sweep is linear in it (3 vector ops per row per
+    image-sampling iteration), so beyond IMG_MAX_ROWS the scene falls back
+    to the wavefront pipeline's XLA atlas gather."""
     from .sweep import fits_smem
     if not fits_smem(scene):
         # scene-resident SMEM layout would blow the ~1 MiB budget; the
@@ -110,28 +126,32 @@ def supports(scene: SceneArrays) -> bool:
         return False
     if not scene.has_image_tex:
         return True
-    return (0 < scene.img_rows <= IMG_MAX_ROWS
-            and all(w <= LANES for (_, _, w, _) in scene.img_layout))
+    return 0 < scene.img_rows <= IMG_MAX_ROWS
 
 
 def pack_textures(scene: SceneArrays) -> jax.Array:
     """Image textures -> packed colour30 texel plane (img_rows, 128).
 
-    Row ``trow + v``, lane ``u`` holds texel (v, u) of the image whose
-    packed rows start at ``trow``, all three channels in one int32 (10 bits
-    per channel — the same colour30 scheme the sweep uses for primitive
-    albedo; the atlas is quantised to these exact values at scene build,
-    materials.compile_materials). One int32 per texel means the in-kernel
-    fetch needs a single lane-gather + select per packed row (_fetch_image).
+    Row ``trow + v * nb + cb``, lane ``u & 127`` holds texel
+    (v, cb * 128 + u & 127) of the image whose packed rows start at
+    ``trow``, where ``nb = ceil(w / 128)`` is the image's column-block
+    count (1 for narrow images — then the row is just ``trow + v``). All
+    three channels ride one int32 (10 bits per channel — the same colour30
+    scheme the sweep uses for primitive albedo; the atlas is quantised to
+    these exact values at scene build, materials.compile_materials). One
+    int32 per texel means the in-kernel fetch needs a single lane-gather +
+    select per packed row (_fetch_image).
     """
     if scene.img_rows == 0:
         return jnp.zeros((8, LANES), jnp.int32)
     planes = jnp.zeros((scene.img_rows, LANES), jnp.int32)
     for (off, h, w, row) in scene.img_layout:
         img = scene.atlas[off:off + h * w].reshape(h, w, 3)
-        packed = encode_colour30(img)
-        packed = jnp.pad(packed, ((0, 0), (0, LANES - w)))
-        planes = planes.at[row:row + h, :].set(packed)
+        packed = encode_colour30(img)                       # (h, w)
+        nb = -(-w // LANES)
+        packed = jnp.pad(packed, ((0, 0), (0, nb * LANES - w)))
+        packed = packed.reshape(h * nb, LANES)
+        planes = planes.at[row:row + h * nb, :].set(packed)
     return planes
 
 
@@ -167,20 +187,26 @@ def _fetch_image(tex_ref, uu, vv, mtw, mth, mtrow, *, img_rows: int):
     gather (``take_along_axis(..., axis=1)`` — one vector op per vreg); the
     row select is a static sweep over the packed texel rows with a
     select-accumulate (texels ride one colour30 int32 each, so the whole
-    fetch is ~3 vector ops per packed row per tile). No MXU round-trips,
+    fetch is ~3 vector ops per packed row per tile). Images wider than 128
+    texels are packed as ceil(w/128) column-block rows per image row
+    (pack_textures); the fetch then addresses row
+    ``trow + v * nb + (u >> 7)``, lane ``u & 127``. No MXU round-trips,
     no per-lane scalar work — the TPU-native form of the reference's
     ``image[v * width + u]`` indexing.
     """
     shape = uu.shape
+    w_i = mtw.astype(jnp.int32)
     u_i = jnp.clip(((mtw - 1.0) * uu).astype(jnp.int32), 0,
-                   jnp.maximum(mtw.astype(jnp.int32) - 1, 0))
+                   jnp.maximum(w_i - 1, 0))
     v_i = jnp.clip(((mth - 1.0) * vv).astype(jnp.int32), 0,
                    jnp.maximum(mth.astype(jnp.int32) - 1, 0))
-    ty = mtrow.astype(jnp.int32) + v_i
+    nb = (w_i + (LANES - 1)) >> 7           # column blocks per image row
+    ty = mtrow.astype(jnp.int32) + v_i * nb + (u_i >> 7)
+    lane = u_i & (LANES - 1)
     acc = u_i * 0
     for i in range(img_rows):
         g = jnp.take_along_axis(
-            jnp.broadcast_to(tex_ref[i:i + 1, :], shape), u_i, axis=1)
+            jnp.broadcast_to(tex_ref[i:i + 1, :], shape), lane, axis=1)
         acc = jnp.where(ty == i, g, acc)
     return decode_colour30(acc)
 
@@ -309,7 +335,32 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
           # the bounce chain; slicing one (k*rows, 128) draw pays that
           # latency once. ---
           nrand = (3 if antialias else 0) + 3
-          if interp_rng:
+          if COHERENT:
+              # one shared draw per iteration: (nrand, 128) bits, lane 0 of
+              # each row broadcast tile-wide (see COHERENT note above)
+              if interp_rng:
+                  r_ = jax.lax.broadcasted_iota(jnp.uint32, (8, LANES), 0)
+                  l_ = jax.lax.broadcasted_iota(jnp.uint32, (8, LANES), 1)
+                  x = (itc.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+                       + r_ * jnp.uint32(LANES) + l_) ^ seed_w0
+                  x = (x ^ (x >> 16)) * jnp.uint32(0x85EBCA6B)
+                  x = x + seed_w1
+                  x = (x ^ (x >> 13)) * jnp.uint32(0xC2B2AE35)
+                  sbits = jax.lax.bitcast_convert_type(x ^ (x >> 16),
+                                                       jnp.int32)
+              else:
+                  sbits = pltpu.prng_random_bits((8, LANES))
+
+              def uni(i):
+                  # lane-0 value broadcast tile-wide: sublane broadcast of
+                  # the draw row + a constant-zero-index lane gather (no
+                  # scalar-unit round trip, no (1,1) broadcasts — Mosaic
+                  # supports neither cheaply)
+                  row = jnp.broadcast_to(sbits[i:i + 1, :], (srows, LANES))
+                  b = jnp.take_along_axis(row, i0, axis=1)
+                  return (b & jnp.int32(0x00FFFFFF)).astype(jnp.float32) * (
+                      1.0 / 16777216.0)
+          elif interp_rng:
               shape_b = (nrand * srows, LANES)
               r_ = jax.lax.broadcasted_iota(jnp.uint32, shape_b, 0)
               l_ = jax.lax.broadcasted_iota(jnp.uint32, shape_b, 1)
@@ -322,17 +373,20 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
               bits = jax.lax.bitcast_convert_type(x, jnp.int32)
           else:
               bits = pltpu.prng_random_bits((nrand * srows, LANES))
-          if "rng2" in _ABLATE:
-              # measurement: a second full batch, opaquely mixed in
-              bits2 = pltpu.prng_random_bits((nrand * srows, LANES))
-              bits = jnp.where(bits2 < jnp.int32(0x7FFFFFFF), bits, bits2)
+          if not COHERENT:
+              if "rng2" in _ABLATE:
+                  # measurement: a second full batch, opaquely mixed in
+                  bits2 = pltpu.prng_random_bits((nrand * srows, LANES))
+                  bits = jnp.where(bits2 < jnp.int32(0x7FFFFFFF), bits,
+                                   bits2)
 
-          def uni(i):
-              # low 24 bits as non-negative int32 (uint32->f32 casts are
-              # unsupported in Mosaic) -> [0, 1) with full mantissa precision
-              b = bits[i * srows:(i + 1) * srows]
-              return (b & jnp.int32(0x00FFFFFF)).astype(jnp.float32) * (
-                  1.0 / 16777216.0)
+              def uni(i):
+                  # low 24 bits as non-negative int32 (uint32->f32 casts
+                  # are unsupported in Mosaic) -> [0, 1) with full mantissa
+                  # precision
+                  b = bits[i * srows:(i + 1) * srows]
+                  return (b & jnp.int32(0x00FFFFFF)).astype(jnp.float32) * (
+                      1.0 / 16777216.0)
 
           if antialias:
               jx = (uni(3) - 0.5) * (2 * ANTIALIAS_OFFSET_RANGE)

@@ -28,12 +28,20 @@ def test_supports_flags():
     # scene 2's earth image fits the packed planes => in-kernel sampling
     assert scene2.has_image_tex and scene2.img_rows > 0
     assert supports(scene2)
-    # an image too big for the planes falls back to the wavefront
+    # a wide image packs into column-block rows and stays in-kernel
     import numpy as np
     from raytracer_tpu.models.materials import Material, Texture
     from raytracer_tpu.models.scene import SceneBuilder
+    from raytracer_tpu.ops.megakernel import IMG_MAX_ROWS
     b = SceneBuilder()
-    big = Texture.from_image(np.zeros((256, 64, 3), np.float32))
+    wide = Texture.from_image(np.zeros((64, 320, 3), np.float32))
+    b.add_sphere((0, 0, 2), 1.0, Material.standard(wide, 0))
+    s_wide = b.build()
+    assert s_wide.img_rows == 64 * 3 and supports(s_wide)  # ceil(320/128)=3
+    # an image past the packed-row cap falls back to the wavefront
+    b = SceneBuilder()
+    big = Texture.from_image(
+        np.zeros((IMG_MAX_ROWS, 256, 3), np.float32))
     b.add_sphere((0, 0, 2), 1.0, Material.standard(big, 0))
     assert not supports(b.build())
 
@@ -186,6 +194,65 @@ def test_mega_image_texture_matches_regen():
     err = np.abs(m_m - m_r).mean()
     noise = np.abs(m_r - m_r2).mean()
     assert err < 2.0 * noise + 1e-3, (err, noise)
+
+
+def test_fetch_image_wide_texture_matches_atlas_gather():
+    """Column-block packing (images wider than 128 texels): the in-kernel
+    fetch must still reproduce the wavefront atlas gather bitwise."""
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from raytracer_tpu.models.materials import Material, Texture
+    from raytracer_tpu.models.scene import SceneBuilder
+    from raytracer_tpu.ops.megakernel import (_fetch_image, pack_textures,
+                                              supports)
+
+    rng = np.random.default_rng(11)
+    h_img, w_img = 24, 320                     # 3 column blocks per row
+    img = rng.uniform(0, 1, (h_img, w_img, 3)).astype(np.float32)
+    b = SceneBuilder()
+    b.add_sphere((0, 0, 2), 1.0,
+                 Material.standard(Texture.from_image(img), 0))
+    scene = b.build()
+    nb = -(-w_img // 128)
+    assert scene.img_rows == h_img * nb and supports(scene)
+    planes = pack_textures(scene)
+
+    rows, lanes = 4, 128
+    uu = jnp.asarray(rng.uniform(0, 1, (rows, lanes)), jnp.float32)
+    vv = jnp.asarray(rng.uniform(0, 1, (rows, lanes)), jnp.float32)
+    w = jnp.full((rows, lanes), float(w_img))
+    hh = jnp.full((rows, lanes), float(h_img))
+    trow = jnp.zeros((rows, lanes))
+
+    def kernel(tex_ref, u_ref, v_ref, w_ref, h_ref, row_ref,
+               r_ref, g_ref, b_ref):
+        r, g, bb = _fetch_image(tex_ref, u_ref[:], v_ref[:], w_ref[:],
+                                h_ref[:], row_ref[:],
+                                img_rows=scene.img_rows)
+        r_ref[:] = r
+        g_ref[:] = g
+        b_ref[:] = bb
+
+    r, g, bch = pl.pallas_call(
+        kernel,
+        out_shape=tuple(jax.ShapeDtypeStruct((rows, lanes), jnp.float32)
+                        for _ in range(3)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                        for _ in range(3)),
+        interpret=True,
+    )(planes, uu, vv, w, hh, trow)
+
+    u_i = np.clip(((w_img - 1.0) * np.asarray(uu)).astype(np.int32),
+                  0, w_img - 1)
+    v_i = np.clip(((h_img - 1.0) * np.asarray(vv)).astype(np.int32),
+                  0, h_img - 1)
+    flat = 1 + v_i * w_img + u_i  # atlas slot 0 is the dummy texel
+    expect = np.asarray(scene.atlas)[flat]
+    np.testing.assert_array_equal(np.asarray(r), expect[..., 0])
+    np.testing.assert_array_equal(np.asarray(g), expect[..., 1])
+    np.testing.assert_array_equal(np.asarray(bch), expect[..., 2])
 
 
 def test_mega_tile_offset_shard_invariance():
