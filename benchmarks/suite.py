@@ -25,9 +25,10 @@ import raytracer_tpu as rt
 from raytracer_tpu.models import bench_scenes
 
 
-def run_config(name, scene, use_sky, cam, spp, bounces, frames):
-    settings = rt.RenderSettings(rays_per_pixel=spp, reflect_limit=bounces
-                                 ).with_sky(use_sky)
+def run_config(name, scene, use_sky, cam, spp, bounces, frames,
+               coherent=None):
+    settings = rt.RenderSettings(rays_per_pixel=spp, reflect_limit=bounces,
+                                 coherent=coherent).with_sky(use_sky)
     r = rt.Renderer(scene, cam, settings)
     r.render_frame(block=True)  # compile + warm
     stats = r.render_frames(frames)  # async pipeline, single final sync
@@ -125,11 +126,28 @@ def main():
     run_config("monkey_1920x1080_100spp", scene, sky,
                rt.CameraConfig(width=1920, height=1080),
                spp=5 if q else 100, bounces=5, frames=2)
+    # Divergent-scene coherent-sampling mode (tile-shared scatter randoms,
+    # unchanged per-pixel marginals — RenderSettings.coherent): the
+    # secondary-bounce footprint collapse is the whole gap between the
+    # easy configs and these, so both modes are reported.
+    run_config("monkey_coherent_1920x1080_100spp", scene, sky,
+               rt.CameraConfig(width=1920, height=1080),
+               spp=5 if q else 100, bounces=5, frames=2, coherent=True)
 
     scene, sky = bench_scenes.stress_10k_scene()
     run_config("stress10k_1000x800_20spp", scene, sky,
                rt.CameraConfig(width=1000, height=800, position=(0, 1, -4)),
                spp=5 if q else 20, bounces=5, frames=2)
+    run_config("stress10k_coherent_1000x800_20spp", scene, sky,
+               rt.CameraConfig(width=1000, height=800, position=(0, 1, -4)),
+               spp=5 if q else 20, bounces=5, frames=2, coherent=True)
+
+    # Beyond-SMEM scene: the HBM-streamed blocked kernel (per-block union
+    # gates + in-block supers, ops/intersect_pallas.py _kernel_blocked)
+    scene, sky = bench_scenes.stress_10k_scene(num=100000, seed=1)
+    run_config("stress100k_1000x800_4spp", scene, sky,
+               rt.CameraConfig(width=1000, height=800, position=(0, 1, -4)),
+               spp=2 if q else 4, bounces=5, frames=2)
 
     run_flythrough(1024 if q else 3840, 512 if q else 2160,
                    positions=4 if q else 16)

@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--sampler",
                    choices=("auto", "mega", "regen", "rebin", "scan"),
                    default="auto")
+    r.add_argument("--coherent", action="store_true",
+                   help="tile-shared scatter sampling: unchanged per-pixel "
+                        "marginals, much faster on divergent/large scenes "
+                        "(structured intra-tile noise at low spp)")
     r.add_argument("--backend", choices=("pallas", "woop", "xla"),
                    default=None)
     r.add_argument("--gamma", type=float, default=None)
@@ -46,6 +50,12 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--out", type=str, default="render.png")
     r.add_argument("--view", action="store_true",
                    help="live display (matplotlib window if available)")
+    r.add_argument("--interactive", action="store_true",
+                   help="SDL window with keyboard fly-through (WASD/RF "
+                        "move, arrows look, Q quits; best with --temporal "
+                        "so moves warp history instead of restarting)")
+    r.add_argument("--move-speed", type=float, default=0.25,
+                   help="--interactive: units per frame per held move key")
     r.add_argument("--checkpoint", type=str, default=None)
     r.add_argument("--resume", type=str, default=None)
     r.add_argument("--checkpoint-every", type=int, default=0)
@@ -89,6 +99,7 @@ def cmd_render(args) -> int:
         rays_per_pixel=args.spp,
         antialias=not args.no_antialias,
         sampler=args.sampler,
+        coherent=True if args.coherent else None,
         gamma=args.gamma,
         fix_exit_ior=args.fix_exit_ior,
         emissive_terminates=args.emissive_terminates,
@@ -118,6 +129,15 @@ def cmd_render(args) -> int:
                            temporal=args.temporal)
     if args.resume:
         renderer.load_checkpoint(args.resume)
+
+    if args.interactive:
+        from raytracer_tpu.runtime.interactive import run_interactive
+        run_interactive(renderer, max_frames=args.frames,
+                        move_speed=args.move_speed, out_path=args.out)
+        if args.stats:
+            renderer.write_stats(args.stats)
+        print(f"wrote {args.out} ({renderer.frame_num} frames)")
+        return 0
 
     move = None
     if args.temporal and args.orbit:

@@ -61,6 +61,17 @@ class RenderSettings:
     # RNG stream assignments.
     sampler: str = "auto"
 
+    # Coherent (tile-shared) scatter sampling: every 1024-lane tile draws
+    # ONE random bundle per loop iteration instead of one per lane. Each
+    # pixel's marginal distribution is unchanged (its successive samples
+    # still see fresh draws every iteration); only cross-pixel covariance
+    # within a tile changes — post-diffuse directions then cluster by
+    # surface normal, so the tile-sweep BVH gates keep tight footprints on
+    # divergent scenes (structured / coherent path sampling). Costs
+    # structured intra-tile noise at low spp and bitwise shard-invariance
+    # (streams are tile-keyed). None = inherit RAYTRACER_COHERENT env.
+    coherent: Optional[bool] = None
+
     # Fidelity/deviation flags.
     emissive_terminates: bool = False
     fix_exit_ior: bool = False

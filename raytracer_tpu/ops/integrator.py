@@ -28,6 +28,8 @@ Semantics match the reference, including its documented quirks (SURVEY.md
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -39,6 +41,14 @@ from .intersect import nearest_hit, resolve_hit
 from .scatter import antialias_jitter, scatter
 from .tables import lookup_material
 from .textures import sample_texture
+
+# Coherent (tile-shared) scatter sampling for the regen/rebin samplers —
+# same flag and same estimator argument as the megakernel's COHERENT mode
+# (ops/megakernel.py): per-pixel marginals unchanged, cross-pixel
+# covariance within a 1024-lane tile traded for tight secondary-bounce
+# gate footprints. Opt-in; default streams stay pixel-keyed
+# (shard-invariant).
+_COHERENT = os.environ.get("RAYTRACER_COHERENT", "0") == "1"
 
 
 def _bounce_physics(scene, settings, backend, o, d, thru, rad, alive,
@@ -178,6 +188,8 @@ def _render_regen_soa(
     limit = settings.reflect_limit
     base_keys = rng.per_ray_keys(frame_key, ray_idx)
     n = o0.shape[1]
+    coherent = (_COHERENT if settings.coherent is None
+                else bool(settings.coherent))
 
     from .rebin import (LANES, bucket_permutation, permute_rows, row_buckets)
     # Row re-binning needs whole 128-lane rows, and is only worth its cost
@@ -196,9 +208,17 @@ def _render_regen_soa(
         active = sample_i < spp
         segs = segs + jnp.sum(active.astype(jnp.float32))
 
-        keys = jax.random.wrap_key_data(kd.T) if rebin else base_keys
-        jitter_u3, gauss, fresnel_u = rng.lane_randoms(
-            keys, sample_i, bounce_i)
+        if coherent:
+            # tile-shared randoms keyed by loop iteration (see
+            # rng.tile_randoms): divergence-absorbing opt-in for big
+            # scenes — secondary directions cluster by surface normal so
+            # the Pallas tile sweep's union gates stay tight.
+            jitter_u3, gauss, fresnel_u = rng.tile_randoms(
+                jax.random.fold_in(frame_key, it), n)
+        else:
+            keys = jax.random.wrap_key_data(kd.T) if rebin else base_keys
+            jitter_u3, gauss, fresnel_u = rng.lane_randoms(
+                keys, sample_i, bounce_i)
         o, d, thru, rad, cur_ior, continues = _bounce_physics(
             scene, settings, backend, o, d, thru, rad, active, cur_ior,
             jitter_u3, gauss, fresnel_u)

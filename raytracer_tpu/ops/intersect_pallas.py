@@ -38,8 +38,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.scene import SceneArrays
 from ..utils.vec import INF
 from .intersect import HitRecord, ShadeData
-from .sweep import (LANES, decode_colour30, decode_smooth_mat,
-                    pack_scene, safe_inv_dir, sweep_tile)
+from .sweep import (LANES, ORDER_GRID as _ORDER_GRID, decode_colour30,
+                    decode_smooth_mat, pack_scene, safe_inv_dir, sweep_tile)
 
 _INF = 1e30
 
@@ -120,10 +120,14 @@ def _kernel(sphf, sphi, trif, trii, sphc_ref, tric_ref, sphs_ref, tris_ref,
 # pool is pipelined HBM -> SMEM by Pallas while the previous block sweeps.
 SPH_BLOCK = 4096
 TRI_BLOCK = 1024
+# leaf clusters per in-block super (third gate level: block union ->
+# supers -> clusters -> leaf sweep)
+SUP_GROUP = int(os.environ.get("RAYTRACER_BLOCK_SUP_GROUP", "16"))
 _FORCE_BLOCKED = bool(os.environ.get("RAYTRACER_FORCE_BLOCKED", ""))
 
 
-def _kernel_blocked(sphc_ref, tric_ref, bbox_ref,
+def _kernel_blocked(sphc_ref, tric_ref, sphs_ref, tris_ref, bbox_ref,
+                    border_ref, bgrid_ref,
                     sphf_hbm, sphi_hbm, trif_hbm, trii_hbm,
                     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                     t_ref, code_ref, u_ref, v_ref,
@@ -131,7 +135,8 @@ def _kernel_blocked(sphc_ref, tric_ref, bbox_ref,
                     sphf_s, sphi_s, trif_s, trii_s, sems,
                     *, nblocks: int, sph_blocks: int, tri_blocks: int,
                     has_one_way: bool, needs_tri_uv: bool,
-                    sph_leaf: int, tri_leaf: int):
+                    sph_leaf: int, tri_leaf: int,
+                    ss_rows: int, ts_rows: int):
     """Beyond-SMEM scenes: the scene lives in HBM; only its *boxes* are
     SMEM-resident (per-block unions + every leaf-cluster box). Each ray
     tile loops over primitive blocks and DMAs a block into SMEM scratch
@@ -165,9 +170,13 @@ def _kernel_blocked(sphc_ref, tric_ref, bbox_ref,
     n_cl_t = nblocks * tc_rows
     cc_s = -(-n_cl_s // LANES)
     cc_t = -(-n_cl_t // LANES)
+    cs_s = -(-(nblocks * ss_rows) // LANES)
+    cs_t = -(-(nblocks * ts_rows) // LANES)
     bb = -(-(nblocks * 2) // LANES)
     scl_get = lambda i, k: sphc_ref[k * cc_s + (i >> 7), i & 127]
     tcl_get = lambda i, k: tric_ref[k * cc_t + (i >> 7), i & 127]
+    ssup_get = lambda i, k: sphs_ref[k * cs_s + (i >> 7), i & 127]
+    tsup_get = lambda i, k: tris_ref[k * cs_t + (i >> 7), i & 127]
     bget = lambda i, k: bbox_ref[k * bb + (i >> 7), i & 127]
 
     def box_enter(i, bt):
@@ -198,7 +207,28 @@ def _kernel_blocked(sphc_ref, tric_ref, bbox_ref,
 
     _abl = os.environ.get("RAYTRACER_BLOCKED_ABLATE", "")
 
-    def block_body(b, _):
+    # Near-first block visitation: pick the host-precomputed block order
+    # for the tile's coarse spatial cell (mean ray origin — the same
+    # lattice trick as the resident kernel's cluster cell orders,
+    # sweep.py). Early near hits set best_t, so far blocks fail their
+    # union gate (tmin < bt) and skip both the DMA and the sweep — the
+    # tile-level analog of the reference's front-to-back child ordering
+    # (src/objects.cu:508-516) across its device-resident node arrays.
+    inv_n = 1.0 / float(ox.size)
+    mox = jnp.sum(ox) * inv_n
+    moy = jnp.sum(oy) * inv_n
+    moz = jnp.sum(oz) * inv_n
+    og = _ORDER_GRID
+    cxi = jnp.clip(((mox - bgrid_ref[0]) * bgrid_ref[3]).astype(jnp.int32),
+                   0, og - 1)
+    cyi = jnp.clip(((moy - bgrid_ref[1]) * bgrid_ref[4]).astype(jnp.int32),
+                   0, og - 1)
+    czi = jnp.clip(((moz - bgrid_ref[2]) * bgrid_ref[5]).astype(jnp.int32),
+                   0, og - 1)
+    cell = ((cxi * og + cyi) * og + czi) * nblocks
+
+    def block_body(i, _):
+        b = border_ref[cell + i]
         bt = t_ref[:]
         enter = box_enter(b * 2 + 0, bt)
         if sph_blocks > 0 and tri_blocks > 0:
@@ -246,7 +276,11 @@ def _kernel_blocked(sphc_ref, tric_ref, bbox_ref,
                 num_tris=TRI_BLOCK if tri_blocks > 0 else 0,
                 num_sph_clusters=sc_rows if sph_blocks > 0 else 0,
                 num_tri_clusters=tc_rows if tri_blocks > 0 else 0,
-                num_sph_supers=0, num_tri_supers=0,
+                # per-block super level over the block's leaf clusters:
+                # an entered block costs ss_rows super gates up front, not
+                # sc_rows cluster gates (measured 0.7 -> see ARCHITECTURE)
+                num_sph_supers=ss_rows if sph_blocks > 0 else 0,
+                num_tri_supers=ts_rows if tri_blocks > 0 else 0,
                 has_one_way=has_one_way, needs_tri_uv=needs_tri_uv,
                 sph_leaf=sph_leaf, tri_leaf=tri_leaf,
                 sget_f=lambda r, s: sphf_s[r * s_chunks + (s >> 7), s & 127],
@@ -254,7 +288,9 @@ def _kernel_blocked(sphc_ref, tric_ref, bbox_ref,
                 tget_f=lambda r, k: trif_s[r * t_chunks + (k >> 7), k & 127],
                 tget_i=lambda r, k: trii_s[r * t_chunks + (k >> 7), k & 127],
                 scl_get=scl_get, tcl_get=tcl_get,
-                sph_cl_base=b * sc_rows, tri_cl_base=b * tc_rows)
+                sph_cl_base=b * sc_rows, tri_cl_base=b * tc_rows,
+                ssup_get=ssup_get, tsup_get=tsup_get,
+                sph_sup_base=b * ss_rows, tri_sup_base=b * ts_rows)
 
             lbt, lbc = local[0], local[1]
             is_tri = (lbc & 1) == 1
@@ -384,9 +420,53 @@ def _run_kernel_blocked(planes, scene: SceneArrays, rows: int):
         return arr.reshape(cc, LANES, 8).transpose(2, 0, 1).reshape(
             8 * cc, LANES)
 
-    bbox = layout8(jnp.stack(
-        [block_boxes(sphc, sc_rows), block_boxes(tric, tc_rows)],
-        axis=1).reshape(nblocks * 2, 8))
+    sb_box = block_boxes(sphc, sc_rows)
+    tb_box = block_boxes(tric, tc_rows)
+    bbox = layout8(jnp.stack([sb_box, tb_box], axis=1).reshape(
+        nblocks * 2, 8))
+
+    # Per-cell near-first block visitation order (see _kernel_blocked):
+    # distance from each lattice-cell centre to each block's combined
+    # (sphere ∪ triangle) union box, argsorted. Tiny (grid^3 x nblocks)
+    # device-side sort, recomputed per dispatch — nanoseconds next to one
+    # block DMA. Filler-pool boxes are [+INF, -INF] and sort last.
+    comb_lo = jnp.minimum(sb_box[:, 0:3], tb_box[:, 0:3])
+    comb_hi = jnp.maximum(sb_box[:, 3:6], tb_box[:, 3:6])
+    glo = jnp.min(comb_lo, axis=0)
+    extent = jnp.maximum(jnp.max(comb_hi, axis=0) - glo, 1e-6)
+    og = _ORDER_GRID
+    cidx = (jnp.arange(og, dtype=f32) + 0.5) / og
+    centers = glo + jnp.stack(
+        jnp.meshgrid(cidx, cidx, cidx, indexing="ij"),
+        axis=-1).reshape(-1, 3) * extent
+    dvec = (jnp.maximum(comb_lo[None, :, :] - centers[:, None, :], 0.0)
+            + jnp.maximum(centers[:, None, :] - comb_hi[None, :, :], 0.0))
+    dist = jnp.sum(dvec * dvec, axis=-1)            # (grid^3, nblocks)
+    border = jnp.argsort(dist, axis=1).astype(jnp.int32).reshape(-1)
+    bgrid = jnp.concatenate([glo, og / extent]).astype(f32)
+
+    # Per-block super level: group each block's leaf clusters (build order
+    # = BVH DFS order, spatially contiguous) into boxes of SUP_GROUP with
+    # block-local (start, count) — the in-block analog of the resident
+    # kernel's super-cluster tables. All-filler groups union to
+    # [+INF, -INF] and never enter.
+    def block_supers(cl, rows_per_block):
+        grp = min(SUP_GROUP, rows_per_block)
+        ns = rows_per_block // grp
+        c = cl.reshape(nblocks, ns, grp, 8)
+        lo = jnp.min(c[..., 0:3], axis=2)
+        hi = jnp.max(c[..., 3:6], axis=2)
+        start = jnp.broadcast_to(
+            (jnp.arange(ns, dtype=f32) * grp)[None, :, None],
+            (nblocks, ns, 1))
+        cnt = jnp.full((nblocks, ns, 1), float(grp), f32)
+        return (jnp.concatenate([lo, hi, start, cnt], axis=-1)
+                .reshape(nblocks * ns, 8), ns)
+
+    sphs, ss_rows = block_supers(sphc, sc_rows)
+    tris, ts_rows = block_supers(tric, tc_rows)
+    sphs = layout8(sphs)
+    tris = layout8(tris)
     sphc = layout8(sphc)
     tric = layout8(tric)
 
@@ -402,12 +482,17 @@ def _run_kernel_blocked(planes, scene: SceneArrays, rows: int):
             nblocks=nblocks, sph_blocks=sb, tri_blocks=tb,
             has_one_way=bool(scene.has_one_way),
             needs_tri_uv=bool(scene.needs_tri_uv),
-            sph_leaf=int(scene.sph_leaf), tri_leaf=int(scene.tri_leaf)),
+            sph_leaf=int(scene.sph_leaf), tri_leaf=int(scene.tri_leaf),
+            ss_rows=ss_rows, ts_rows=ts_rows),
         grid=(rows // ROWS,),
         in_specs=[
             pl.BlockSpec(memory_space=smem),      # sphc (resident)
             pl.BlockSpec(memory_space=smem),      # tric (resident)
+            pl.BlockSpec(memory_space=smem),      # sphs (resident supers)
+            pl.BlockSpec(memory_space=smem),      # tris (resident supers)
             pl.BlockSpec(memory_space=smem),      # bbox (resident)
+            pl.BlockSpec(memory_space=smem),      # border (near-first)
+            pl.BlockSpec(memory_space=smem),      # bgrid (cell lattice)
             pl.BlockSpec(memory_space=pltpu.ANY),  # sphf blocks (HBM)
             pl.BlockSpec(memory_space=pltpu.ANY),  # sphi blocks
             pl.BlockSpec(memory_space=pltpu.ANY),  # trif blocks
@@ -426,7 +511,8 @@ def _run_kernel_blocked(planes, scene: SceneArrays, rows: int):
             pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=_interpret(),
-    )(sphc, tric, bbox, sphf_b, sphi_b, trif_b, trii_b, *planes)
+    )(sphc, tric, sphs, tris, bbox, border, bgrid,
+      sphf_b, sphi_b, trif_b, trii_b, *planes)
     return outs
 
 

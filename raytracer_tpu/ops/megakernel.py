@@ -242,7 +242,7 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
             img_rows: int, rows_s: int, rows_t: int,
             num_sph_lane: int = 0, num_tri_lane: int = 0,
             sph_lane_leaf: int = 0, tri_lane_leaf: int = 0,
-            interp_rng: bool = False):
+            interp_rng: bool = False, coherent: bool = False):
     tile = pl.program_id(0)
     # Defer the winner-param selects out of the sweep when the scene is big
     # enough that the per-bounce fetch pass costs less than the per-swept-
@@ -335,7 +335,7 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
           # the bounce chain; slicing one (k*rows, 128) draw pays that
           # latency once. ---
           nrand = (3 if antialias else 0) + 3
-          if COHERENT:
+          if coherent:
               # one shared draw per iteration: (nrand, 128) bits, lane 0 of
               # each row broadcast tile-wide (see COHERENT note above)
               if interp_rng:
@@ -373,7 +373,7 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
               bits = jax.lax.bitcast_convert_type(x, jnp.int32)
           else:
               bits = pltpu.prng_random_bits((nrand * srows, LANES))
-          if not COHERENT:
+          if not coherent:
               if "rng2" in _ABLATE:
                   # measurement: a second full batch, opaquely mixed in
                   bits2 = pltpu.prng_random_bits((nrand * srows, LANES))
@@ -904,6 +904,8 @@ def render_sample_mean_mega(
             sph_lane_leaf=int(scene.sph_lane_leaf) if sph_lane else 0,
             tri_lane_leaf=int(scene.tri_lane_leaf) if tri_lane else 0,
             interp_rng=_interpret(),
+            coherent=(COHERENT if settings.coherent is None
+                      else bool(settings.coherent)),
         ),
         grid=(rows // mrows,),
         in_specs=([smem] * 15

@@ -88,6 +88,29 @@ def lane_randoms(base_keys: jax.Array, sample_i: jax.Array,
     return jnp.stack([ux, uy, uz]), jnp.stack([gx, gy, gz]), fres
 
 
+def tile_randoms(it_key: jax.Array, n: int,
+                 tile: int = 1024) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Coherent sampling: ONE random bundle per ``tile`` consecutive lanes.
+
+    Same return contract as ``bounce_randoms`` but every lane in a
+    1024-lane group (= one Pallas sweep tile) reads the same values, keyed
+    by the caller's per-iteration key. Each pixel's marginal distribution
+    is unchanged — its successive draws come from distinct iteration keys —
+    only cross-pixel covariance within a tile changes; post-diffuse
+    directions then cluster by surface normal, keeping the tile-sweep's
+    union gate footprints tight (structured/coherent path sampling, the
+    wavefront analog of the megakernel's RAYTRACER_COHERENT mode).
+    Trades bitwise shard-invariance (streams are tile-keyed, not
+    pixel-keyed) for divergent-scene throughput; opt-in only.
+    """
+    nt = -(-n // tile)
+    ks = jax.random.split(it_key, 3)
+    rep = lambda a: jnp.repeat(a, tile, axis=-1)[..., :n]
+    return (rep(jax.random.uniform(ks[0], (3, nt), jnp.float32)),
+            rep(jax.random.normal(ks[1], (3, nt), jnp.float32)),
+            rep(jax.random.uniform(ks[2], (nt,), jnp.float32)))
+
+
 def uniform3(key: jax.Array, shape) -> jax.Array:
     """Uniform [0, 1) triples, shape ``shape + (3,)``."""
     return jax.random.uniform(key, tuple(shape) + (3,), dtype=jnp.float32)

@@ -388,6 +388,8 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
                sget_f=None, sget_i=None, tget_f=None, tget_i=None,
                scl_get=None, tcl_get=None,
                sph_cl_base=0, tri_cl_base=0,
+               ssup_get=None, tsup_get=None,
+               sph_sup_base=0, tri_sup_base=0,
                sph_lane_cl_get=None, tri_lane_cl_get=None,
                sph_lane_pf=None, sph_lane_pi=None,
                tri_lane_pf=None, tri_lane_pi=None,
@@ -432,8 +434,8 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
         tget_i = lambda r, k: trii[r, k]
     scl_get = (lambda i, k: sphc[i, k]) if scl_get is None else scl_get
     tcl_get = (lambda i, k: tric[i, k]) if tcl_get is None else tcl_get
-    ssup_get = lambda i, k: sphs[i, k]
-    tsup_get = lambda i, k: tris[i, k]
+    ssup_get = (lambda i, k: sphs[i, k]) if ssup_get is None else ssup_get
+    tsup_get = (lambda i, k: tris[i, k]) if tsup_get is None else tsup_get
 
     # per-ray invariants (directions are unit: a = 1)
     ddo = dx * ox + dy * oy + dz * oz
@@ -566,9 +568,11 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
         _, cr = jax.lax.while_loop(cond, wbody, (tuple(masks), cr))
         return cr
 
-    def super_gate(sup_get, cl_get, leaf, g, carries, body):
+    def super_gate(sup_get, cl_get, leaf, g, carries, body, cl_base=0):
         """Second BVH level: slab-test a super-cluster, then its cluster
-        range (each cluster gated again)."""
+        range (each cluster gated again). ``g`` addresses the super box
+        row directly (callers add any table base); start/count are
+        cluster indices relative to ``cl_base``'s table."""
         enter = jnp.any(slab(sup_get, g, best_t(carries)))
         start = sup_get(g, 6).astype(jnp.int32)
         count = sup_get(g, 7).astype(jnp.int32)
@@ -576,7 +580,8 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
             enter,
             lambda cr: jax.lax.fori_loop(
                 start, start + count,
-                lambda c, cr2: cluster_gate(cl_get, leaf, c, cr2, body), cr),
+                lambda c, cr2: cluster_gate(cl_get, leaf, c, cr2, body,
+                                            cl_base=cl_base), cr),
             lambda cr: cr, carries)
 
     if defer_params:
@@ -674,8 +679,9 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
         if num_sph_supers > 0:
             return jax.lax.fori_loop(
                 0, num_sph_supers,
-                lambda g, cr: super_gate(ssup_get, scl_get, sph_leaf, g, cr,
-                                         sph_body),
+                lambda g, cr: super_gate(ssup_get, scl_get, sph_leaf,
+                                         sph_sup_base + g, cr, sph_body,
+                                         cl_base=sph_cl_base),
                 carry)
         if num_sph_clusters > 0:
             return jax.lax.fori_loop(
@@ -806,8 +812,9 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
         if num_tri_supers > 0:
             return jax.lax.fori_loop(
                 0, num_tri_supers,
-                lambda g, cr: super_gate(tsup_get, tcl_get, tri_leaf, g, cr,
-                                         tri_body),
+                lambda g, cr: super_gate(tsup_get, tcl_get, tri_leaf,
+                                         tri_sup_base + g, cr, tri_body,
+                                         cl_base=tri_cl_base),
                 carry)
         if num_tri_clusters > 0:
             return jax.lax.fori_loop(
