@@ -45,6 +45,10 @@ _INF = 1e30
 
 ROWS = 32          # rays per tile = ROWS * LANES = 4096 (measured best)
 RAY_TILE = ROWS * LANES
+# Blocked-kernel tile height: smaller tiles -> tighter ray unions (fewer
+# blocks/supers entered per tile) at the cost of more DMA repeats; the
+# resident kernel keeps ROWS.
+BROWS = int(os.environ.get("RAYTRACER_BLOCKED_ROWS", str(ROWS)))
 
 
 def _interpret() -> bool:
@@ -155,8 +159,8 @@ def _kernel_blocked(sphc_ref, tric_ref, sphs_ref, tris_ref, bbox_ref,
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     inv_dx, inv_dy, inv_dz = safe_inv_dir(dx, dy, dz)
 
-    zero_f = jnp.zeros((ROWS, LANES), jnp.float32)
-    zero_i = jnp.zeros((ROWS, LANES), jnp.int32)
+    zero_f = jnp.zeros((BROWS, LANES), jnp.float32)
+    zero_i = jnp.zeros((BROWS, LANES), jnp.int32)
 
     sc_rows = SPH_BLOCK // sph_leaf
     tc_rows = TRI_BLOCK // tri_leaf
@@ -290,7 +294,17 @@ def _kernel_blocked(sphc_ref, tric_ref, sphs_ref, tris_ref, bbox_ref,
                 scl_get=scl_get, tcl_get=tcl_get,
                 sph_cl_base=b * sc_rows, tri_cl_base=b * tc_rows,
                 ssup_get=ssup_get, tsup_get=tsup_get,
-                sph_sup_base=b * ss_rows, tri_sup_base=b * ts_rows)
+                sph_sup_base=b * ss_rows, tri_sup_base=b * ts_rows,
+                # Seed the local best-t with the global running best so
+                # this block's super/cluster gates prune against hits
+                # found in nearer blocks (near-first order): without it
+                # every block re-opens every gate at INF and the whole
+                # hierarchy is gate-blind across blocks. Codes/params stay
+                # neutral — the post-sweep merge is strictly `<`, so a
+                # seeded (unbeaten) lane never overwrites the global
+                # winner with the zero placeholders.
+                carry=(bt, zero_i, zero_f, zero_f, zero_f, zero_f, zero_f,
+                       zero_i, zero_i))
 
             lbt, lbc = local[0], local[1]
             is_tri = (lbc & 1) == 1
@@ -470,7 +484,7 @@ def _run_kernel_blocked(planes, scene: SceneArrays, rows: int):
     sphc = layout8(sphc)
     tric = layout8(tric)
 
-    ray_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+    ray_spec = pl.BlockSpec((BROWS, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out_dts = [f32, jnp.int32, f32, f32, f32, f32, f32,
                jnp.int32, jnp.int32]
@@ -484,7 +498,7 @@ def _run_kernel_blocked(planes, scene: SceneArrays, rows: int):
             needs_tri_uv=bool(scene.needs_tri_uv),
             sph_leaf=int(scene.sph_leaf), tri_leaf=int(scene.tri_leaf),
             ss_rows=ss_rows, ts_rows=ts_rows),
-        grid=(rows // ROWS,),
+        grid=(rows // BROWS,),
         in_specs=[
             pl.BlockSpec(memory_space=smem),      # sphc (resident)
             pl.BlockSpec(memory_space=smem),      # tric (resident)
@@ -499,7 +513,7 @@ def _run_kernel_blocked(planes, scene: SceneArrays, rows: int):
             pl.BlockSpec(memory_space=pltpu.ANY),  # trii blocks
         ] + [ray_spec] * 6,
         out_specs=tuple(
-            pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+            pl.BlockSpec((BROWS, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM) for _ in out_dts),
         out_shape=tuple(
             jax.ShapeDtypeStruct((rows, LANES), dt) for dt in out_dts),

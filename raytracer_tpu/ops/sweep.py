@@ -171,6 +171,15 @@ LANE_NEAR_FIRST = os.environ.get("RAYTRACER_LANE_NEAR_FIRST", "1") == "1"
 # per-lane traversal wins. LANE_FORCE pins the lane path on (ablations).
 LANE_R2 = float(os.environ.get("RAYTRACER_LANE_R2", "0.25"))
 LANE_FORCE = os.environ.get("RAYTRACER_LANE_FORCE") == "1"
+# Sweep triangles before spheres: on scenes whose triangle pool is a
+# large, frequently-hit surface (the RTiOW checker floor), establishing
+# its best-t first closes sphere cluster gates for the floor-hitting
+# lanes. Ties (t exactly equal) break toward the first-swept pool, so
+# this is an opt-in measured mode, not the golden default.
+TRI_FIRST = os.environ.get("RAYTRACER_TRI_FIRST") == "1"
+# Gate leaf clusters in PAIRS: one any+cond scalar sync per two clusters
+# (DFS-adjacent clusters are spatially adjacent, so both usually agree).
+GATE2 = os.environ.get("RAYTRACER_GATE2") == "1"
 
 
 def lane_words(n_clusters: int) -> int:
@@ -568,6 +577,41 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
         _, cr = jax.lax.while_loop(cond, wbody, (tuple(masks), cr))
         return cr
 
+    def cluster_gate2(cl_get, leaf, p, carries, body, cl_base=0):
+        """GATE2 mode: gate clusters 2p and 2p+1 together — one cross-lane
+        reduce + scalar cond per pair; adjacent clusters are spatially
+        adjacent (BVH DFS order) so the pair usually agrees, trading a
+        halved sync count for occasional single-cluster overshoot."""
+        bt = best_t(carries)
+        c0 = p + p
+        hit0 = slab(cl_get, cl_base + c0, bt)
+        hit1 = slab(cl_get, cl_base + c0 + 1, bt)
+        if stats_ref is not None:
+            stats_ref[:] = stats_ref[:] + (
+                jnp.where(hit0, cl_get(cl_base + c0, 7), 0.0)
+                + jnp.where(hit1, cl_get(cl_base + c0 + 1, 7), 0.0))
+        return jax.lax.cond(
+            jnp.any(hit0 | hit1),
+            lambda cr: leaf_sweep(c0 * leaf, 2 * leaf, cr, body),
+            lambda cr: cr, carries)
+
+    def cluster_loop(cl_get, leaf, n_cl, carries, body, cl_base=0):
+        """Plain (super-free, order-free) cluster sweep; GATE2 pairs the
+        gates when enabled."""
+        if GATE2 and n_cl >= 2:
+            carries = jax.lax.fori_loop(
+                0, n_cl // 2,
+                lambda p, cr: cluster_gate2(cl_get, leaf, p, cr, body,
+                                            cl_base=cl_base), carries)
+            if n_cl % 2:
+                carries = cluster_gate(cl_get, leaf, n_cl - 1, carries,
+                                       body, cl_base=cl_base)
+            return carries
+        return jax.lax.fori_loop(
+            0, n_cl,
+            lambda c, cr: cluster_gate(cl_get, leaf, c, cr, body,
+                                       cl_base=cl_base), carries)
+
     def super_gate(sup_get, cl_get, leaf, g, carries, body, cl_base=0):
         """Second BVH level: slab-test a super-cluster, then its cluster
         range (each cluster gated again). ``g`` addresses the super box
@@ -684,11 +728,8 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
                                          cl_base=sph_cl_base),
                 carry)
         if num_sph_clusters > 0:
-            return jax.lax.fori_loop(
-                0, num_sph_clusters,
-                lambda c, cr: cluster_gate(scl_get, sph_leaf, c, cr, sph_body,
-                                           cl_base=sph_cl_base),
-                carry)
+            return cluster_loop(scl_get, sph_leaf, num_sph_clusters, carry,
+                                sph_body, cl_base=sph_cl_base)
         if num_spheres > 0:
             # flat pool: padded to a multiple of UNROLL, pads poisoned
             def sflat(j, crs):
@@ -708,14 +749,13 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
                               num_sph_lane, sph_lane_leaf, sph_body_at,
                               carry[0], 0),) + tuple(carry[1:])
 
-    if sph_hybrid:
-        if LANE_FORCE:
-            carry = sph_lane_fn(carry)
-        else:
-            carry = jax.lax.cond(tile_coherent, sph_shared, sph_lane_fn,
-                                 carry)
-    else:
-        carry = sph_shared(carry)
+    def run_sph(carry):
+        if sph_hybrid:
+            if LANE_FORCE:
+                return sph_lane_fn(carry)
+            return jax.lax.cond(tile_coherent, sph_shared, sph_lane_fn,
+                                carry)
+        return sph_shared(carry)
 
     def tri_body_at(getf, geti, code, cr, live=None):
         """Triangle test against the tile; fetch-parameterised like
@@ -817,11 +857,8 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
                                          cl_base=tri_cl_base),
                 carry)
         if num_tri_clusters > 0:
-            return jax.lax.fori_loop(
-                0, num_tri_clusters,
-                lambda c, cr: cluster_gate(tcl_get, tri_leaf, c, cr, tri_body,
-                                           cl_base=tri_cl_base),
-                carry)
+            return cluster_loop(tcl_get, tri_leaf, num_tri_clusters, carry,
+                                tri_body, cl_base=tri_cl_base)
         if num_tris > 0:
             def tflat(j, crs):
                 base = j * UNROLL
@@ -838,14 +875,18 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
                               num_tri_lane, tri_lane_leaf, tri_body_at,
                               carry[0], 1),) + tuple(carry[1:])
 
-    if tri_hybrid:
-        if LANE_FORCE:
-            carry = tri_lane_fn(carry)
-        else:
-            carry = jax.lax.cond(tile_coherent, tri_shared, tri_lane_fn,
-                                 carry)
+    def run_tri(carry):
+        if tri_hybrid:
+            if LANE_FORCE:
+                return tri_lane_fn(carry)
+            return jax.lax.cond(tile_coherent, tri_shared, tri_lane_fn,
+                                carry)
+        return tri_shared(carry)
+
+    if TRI_FIRST:
+        carry = run_sph(run_tri(carry))
     else:
-        carry = tri_shared(carry)
+        carry = run_tri(run_sph(carry))
 
     if stats_ref is not None:
         flat_adjust = 0.0

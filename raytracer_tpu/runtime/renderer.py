@@ -520,8 +520,20 @@ class Renderer:
         )
 
     def load_checkpoint(self, path: str) -> None:
+        """Restore a checkpoint into THIS renderer's placement.
+
+        Checkpoints are host numpy (device-count agnostic), so this is
+        also the elastic-resume path: a run checkpointed on N chips
+        restores onto any other mesh — the accumulator is re-placed into
+        the current renderer's sharding, and RNG streams are pixel-keyed
+        (shard-invariant), so the continued render is bitwise identical
+        to never having stopped, whatever the new topology.
+        """
         data = np.load(path)
-        self.accum = jnp.asarray(data["accum"])
+        accum = jnp.asarray(data["accum"])
+        if self._sharding is not None:
+            accum = jax.device_put(accum, self._sharding)
+        self.accum = accum
         self.frame_num = int(data["frame_num"])
         self.base_key = jax.random.wrap_key_data(jnp.asarray(data["key_data"]))
         self.total_segments = float(data["total_segments"])

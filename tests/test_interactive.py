@@ -53,3 +53,26 @@ def test_run_interactive_headless_flythrough(tmp_path):
     # quit key ends the loop immediately (no frame rendered that step)
     r2 = rt.Renderer(scene, rt.CameraConfig(width=64, height=48), settings)
     assert run_interactive(r2, event_source=[{"q"}], quiet=True) == 0
+
+
+def test_run_interactive_temporal_tpu():
+    """TPU-only: the interactive loop over the temporal warp path — a
+    keyboard fly-through where each move re-projects accumulated history
+    (the hardware path behind the measured ~5.8 fps 4K fly-through)."""
+    import jax
+    if jax.default_backend() != "tpu":
+        pytest.skip("temporal mode needs the megakernel (TPU)")
+    os.environ["SDL_VIDEODRIVER"] = "dummy"
+    scene, use_sky = rt.build_scene(1)
+    settings = rt.RenderSettings(rays_per_pixel=2,
+                                 reflect_limit=3).with_sky(use_sky)
+    r = rt.Renderer(scene, rt.CameraConfig(width=128, height=64), settings,
+                    temporal=True)
+    assert r._temporal
+    frames = run_interactive(
+        r, event_source=[set(), set(), {"w"}, {"left"}, {"w"}], quiet=True)
+    assert frames == 5
+    assert r.camera_cfg.position[2] > 0.0
+    w = np.asarray(r._wpix)
+    # moves warped history instead of restarting: weights survive > 1
+    assert (w > 1).mean() > 0.3, f"only {(w > 1).mean():.2f} pixels kept"

@@ -133,3 +133,43 @@ def test_renderer_spp_sharded_mode():
     assert np.isfinite(img).all()
     # D devices x 2 spp x 512 pixels: at least one segment per sample
     assert r.total_segments >= len(devs) * 2 * 512
+
+
+def test_elastic_resume_across_topologies(tmp_path):
+    """Elastic resume (SURVEY §5 failure-recovery plan): a checkpoint
+    written single-device restores onto an 8-device pixel-sharded mesh
+    (and back) and the continued render is bitwise identical — RNG
+    streams are global-pixel-keyed and the checkpoint is host numpy, so
+    device topology is a free variable across restarts."""
+    scene, use_sky = rt.build_scene(1)
+    settings = rt.RenderSettings(rays_per_pixel=2, reflect_limit=3
+                                 ).with_sky(use_sky)
+    cam = rt.CameraConfig(width=32, height=16)
+    ckpt = str(tmp_path / "elastic.npz")
+
+    # 3 uninterrupted single-device frames = the ground truth
+    r_ref = rt.Renderer(scene, cam, settings, seed=0)
+    for _ in range(3):
+        r_ref.render_frame(block=True)
+
+    # 2 frames single-device, checkpoint, resume on an 8-device mesh
+    r_a = rt.Renderer(scene, cam, settings, seed=0)
+    r_a.render_frame(block=True)
+    r_a.render_frame(block=True)
+    r_a.save_checkpoint(ckpt)
+
+    mesh = make_mesh()
+    sh = pixel_sharding(mesh)
+    r_b = rt.Renderer(scene, cam, settings, sharding=sh, seed=0)
+    r_b.load_checkpoint(ckpt)
+    assert r_b.frame_num == 2
+    r_b.render_frame(block=True)
+    np.testing.assert_array_equal(r_b.image(), r_ref.image())
+
+    # and shrink back: checkpoint the sharded run, resume single-device
+    r_b.save_checkpoint(ckpt)
+    r_c = rt.Renderer(scene, cam, settings, seed=0)
+    r_c.load_checkpoint(ckpt)
+    r_c.render_frame(block=True)
+    r_ref.render_frame(block=True)
+    np.testing.assert_array_equal(r_c.image(), r_ref.image())
