@@ -21,7 +21,10 @@ def main() -> None:
     import raytracer_tpu as rt
 
     spp = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    frames = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    # 5 timed frames: at 3 the per-run launch overhead is a visible share
+    # of the measurement and run-to-run spread widens (measured +-5% at 3
+    # frames vs +-1% at 5 on one v5e through the axon tunnel).
+    frames = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 
     scene, use_sky = rt.build_scene(4, seed=0)
     settings = rt.RenderSettings(

@@ -69,8 +69,14 @@ NSTREAM = int(os.environ.get("RAYTRACER_STREAMS", "1"))
 # a fixed scalar-unit cost (loop control plus the vector->scalar sync of the
 # any-lane-live exit test); applying the body K times per iteration divides
 # that cost by K for <= K-1 wasted tail iterations per tile (~1% at K=2 on
-# the reference workload's ~100-iteration tiles).
-BODY_UNROLL = int(os.environ.get("RAYTRACER_BODY_UNROLL", "1"))
+# the reference workload's ~100-iteration tiles). Per-lane semantics are
+# identical (finished lanes regenerate or no-op exactly as in single-step
+# iterations), so this is bitwise-invariant; K=2 measured +3.3% on the
+# headline (v5e), K=3 regressed (register pressure), so the default is 2.
+BODY_UNROLL = int(os.environ.get("RAYTRACER_BODY_UNROLL", "2"))
+# Pack the antialias jitters into the top bytes of the three uniform draw
+# rows (see the nrand comment in _kernel); halves PRNG generation.
+AA_PACK = os.environ.get("RAYTRACER_AA_PACK", "1") == "1"
 # Scene size (spheres + triangles) from which the megakernel defers winner
 # params out of the sweep (sweep.defer_params + post-sweep lane-gather).
 DEFER_MIN = int(os.environ.get("RAYTRACER_DEFER_MIN", "64"))
@@ -334,7 +340,13 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
           # separate draws serialise k generation latencies at the head of
           # the bounce chain; slicing one (k*rows, 128) draw pays that
           # latency once. ---
-          nrand = (3 if antialias else 0) + 3
+          # Three 24-bit uniforms (direction pair + fresnel) are consumed
+          # from the low bits of three draw rows; with AA_PACK the
+          # antialias jitters (range +-1e-3 — 8 bits of resolution is
+          # ~4e3x below a pixel footprint) are packed into those rows'
+          # otherwise-unused top bytes, halving the per-iteration PRNG
+          # generation when AA is on.
+          nrand = 3 if (AA_PACK or not antialias) else 6
           if coherent:
               # one shared draw per iteration: (nrand, 128) bits, lane 0 of
               # each row broadcast tile-wide (see COHERENT note above)
@@ -360,6 +372,11 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
                   b = jnp.take_along_axis(row, i0, axis=1)
                   return (b & jnp.int32(0x00FFFFFF)).astype(jnp.float32) * (
                       1.0 / 16777216.0)
+
+              def jit_u(i):
+                  # the coherent draw has 8 rows regardless; rows 3-5 are
+                  # free for the jitters at full precision
+                  return uni(3 + i)
           elif interp_rng:
               shape_b = (nrand * srows, LANES)
               r_ = jax.lax.broadcasted_iota(jnp.uint32, shape_b, 0)
@@ -388,10 +405,22 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
                   return (b & jnp.int32(0x00FFFFFF)).astype(jnp.float32) * (
                       1.0 / 16777216.0)
 
+              if AA_PACK:
+                  def jit_u(i):
+                      # top byte of draw row i (unused by uni): an 8-bit
+                      # uniform centred as (k + 0.5)/256 so the mean is
+                      # exactly 0.5 (no systematic direction bias)
+                      b = bits[i * srows:(i + 1) * srows]
+                      return ((b >> 24) & jnp.int32(0xFF)).astype(
+                          jnp.float32) * (1.0 / 256.0) + (0.5 / 256.0)
+              else:
+                  def jit_u(i):
+                      return uni(3 + i)
+
           if antialias:
-              jx = (uni(3) - 0.5) * (2 * ANTIALIAS_OFFSET_RANGE)
-              jy = (uni(4) - 0.5) * (2 * ANTIALIAS_OFFSET_RANGE)
-              jz = (uni(5) - 0.5) * (2 * ANTIALIAS_OFFSET_RANGE)
+              jx = (jit_u(0) - 0.5) * (2 * ANTIALIAS_OFFSET_RANGE)
+              jy = (jit_u(1) - 0.5) * (2 * ANTIALIAS_OFFSET_RANGE)
+              jz = (jit_u(2) - 0.5) * (2 * ANTIALIAS_OFFSET_RANGE)
               dx, dy, dz = dx + jx, dy + jy, dz + jz
               inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
               dx, dy, dz = dx * inv, dy * inv, dz * inv

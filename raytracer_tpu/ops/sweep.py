@@ -179,7 +179,15 @@ LANE_FORCE = os.environ.get("RAYTRACER_LANE_FORCE") == "1"
 TRI_FIRST = os.environ.get("RAYTRACER_TRI_FIRST") == "1"
 # Gate leaf clusters in PAIRS: one any+cond scalar sync per two clusters
 # (DFS-adjacent clusters are spatially adjacent, so both usually agree).
-GATE2 = os.environ.get("RAYTRACER_GATE2") == "1"
+# Bitwise identical to single gating: a gate only skips a cluster when no
+# lane can beat its best-t inside the cluster's box, and the best-hit
+# select is strictly `t < bt` — sweeping extra (gate-losing) clusters can
+# never change a winner. Default on (+3.3% headline, v5e); RAYTRACER_GATE2=0
+# restores per-cluster gates.
+GATE2 = os.environ.get("RAYTRACER_GATE2", "1") == "1"
+# NaN-poisoned sphere miss test (see sph_body_at): drops the explicit
+# disc >= 0 guard. Bitwise identical; measurement knob.
+SPH_NAN = os.environ.get("RAYTRACER_SPH_NAN", "1") == "1"
 
 
 def lane_words(n_clusters: int) -> int:
@@ -669,8 +677,17 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
         h = dc - ddo
         cq = (cr2 + osq) - (oc + oc)
         disc = h * h - cq
-        t = h - jnp.sqrt(jnp.maximum(disc, 0.0))
-        valid = (disc >= 0.0) & (t > _EPS)
+        if SPH_NAN:
+            # Miss (disc < 0) -> sqrt yields NaN -> t is NaN -> every
+            # compare below is false, exactly like the explicit
+            # (disc >= 0) guard but three vector ops cheaper (no max, no
+            # compare, no and). Poisoned padding (cr2 = 1e30) rides the
+            # same path. Hits are bit-identical.
+            t = h - jnp.sqrt(disc)
+            valid = t > _EPS
+        else:
+            t = h - jnp.sqrt(jnp.maximum(disc, 0.0))
+            valid = (disc >= 0.0) & (t > _EPS)
         if live is not None:
             valid = valid & live
         t = jnp.where(valid, t, _INF)
