@@ -188,6 +188,14 @@ GATE2 = os.environ.get("RAYTRACER_GATE2", "1") == "1"
 # NaN-poisoned sphere miss test (see sph_body_at): drops the explicit
 # disc >= 0 guard. Bitwise identical; measurement knob.
 SPH_NAN = os.environ.get("RAYTRACER_SPH_NAN", "1") == "1"
+# GATE2 for the ordered (near-first / super-range) traversal paths, where
+# pair members are dynamic cluster indices. Separately flagged from GATE2
+# and DEFAULT OFF: pairing trades halved gate syncs for sweeping a pair
+# partner with the pre-pair best-t, and on the divergent ordered scenes
+# the overshoot wins — measured on one v5e (20 spp, 3 frames): monkey
+# 99.6 -> 94.5, monkey+coherent 199.7 -> 175.6, stress10k 11.8 -> 11.3.
+# Kept as a measurement knob; do not re-try without new hardware facts.
+GATE2_ORD = os.environ.get("RAYTRACER_GATE2_ORDERED", "0") == "1"
 
 
 def lane_words(n_clusters: int) -> int:
@@ -603,6 +611,50 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
             lambda cr: leaf_sweep(c0 * leaf, 2 * leaf, cr, body),
             lambda cr: cr, carries)
 
+    def cluster_gate2_at(cl_get, leaf, ca, cb, carries, body, cl_base=0):
+        """GATE2 for non-contiguous (dynamic) cluster indices — the ordered
+        near-first paths and the supers' inner ranges: one cross-lane
+        reduce + scalar cond gates clusters ``ca`` and ``cb`` together,
+        then sweeps both in visitation order. ``cb == ca`` (odd-count
+        clamp) degrades to a duplicate sweep whose strict ``t <`` selects
+        are all no-ops, so results stay bitwise identical."""
+        bt = best_t(carries)
+        hita = slab(cl_get, cl_base + ca, bt)
+        hitb = slab(cl_get, cl_base + cb, bt)
+        if stats_ref is not None:
+            dup = (cb != ca).astype(jnp.float32)
+            stats_ref[:] = stats_ref[:] + (
+                jnp.where(hita, cl_get(cl_base + ca, 7), 0.0)
+                + jnp.where(hitb, cl_get(cl_base + cb, 7), 0.0) * dup)
+
+        def sweep_pair(cr):
+            cr = leaf_sweep(ca * leaf, leaf, cr, body)
+            return leaf_sweep(cb * leaf, leaf, cr, body)
+
+        return jax.lax.cond(jnp.any(hita | hitb), sweep_pair,
+                            lambda cr: cr, carries)
+
+    def ordered_cluster_loop(cl_get, leaf, order, base, n_cl, carries,
+                             body):
+        """Near-first visitation of ``n_cl`` clusters via the per-cell
+        ``order`` table; GATE2_ORD pairs consecutive order entries (they
+        are near-first neighbours, so spatially close)."""
+        if GATE2_ORD and n_cl >= 2:
+            carries = jax.lax.fori_loop(
+                0, n_cl // 2,
+                lambda p, cr: cluster_gate2_at(
+                    cl_get, leaf, order[base + 2 * p],
+                    order[base + 2 * p + 1], cr, body), carries)
+            if n_cl % 2:
+                carries = cluster_gate(cl_get, leaf,
+                                       order[base + n_cl - 1], carries,
+                                       body)
+            return carries
+        return jax.lax.fori_loop(
+            0, n_cl,
+            lambda i, cr: cluster_gate(cl_get, leaf, order[base + i], cr,
+                                       body), carries)
+
     def cluster_loop(cl_get, leaf, n_cl, carries, body, cl_base=0):
         """Plain (super-free, order-free) cluster sweep; GATE2 pairs the
         gates when enabled."""
@@ -628,13 +680,23 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
         enter = jnp.any(slab(sup_get, g, best_t(carries)))
         start = sup_get(g, 6).astype(jnp.int32)
         count = sup_get(g, 7).astype(jnp.int32)
-        return jax.lax.cond(
-            enter,
-            lambda cr: jax.lax.fori_loop(
+        if GATE2_ORD:
+            # pair the (dynamic-count) cluster range; an odd tail clamps
+            # its partner to the last cluster — a bitwise no-op resweep
+            def pair(p, cr):
+                ca = start + 2 * p
+                cb = jnp.minimum(ca + 1, start + count - 1)
+                return cluster_gate2_at(cl_get, leaf, ca, cb, cr, body,
+                                        cl_base=cl_base)
+
+            inner = lambda cr: jax.lax.fori_loop(
+                0, (count + 1) // 2, pair, cr)
+        else:
+            inner = lambda cr: jax.lax.fori_loop(
                 start, start + count,
                 lambda c, cr2: cluster_gate(cl_get, leaf, c, cr2, body,
-                                            cl_base=cl_base), cr),
-            lambda cr: cr, carries)
+                                            cl_base=cl_base), cr)
+        return jax.lax.cond(enter, inner, lambda cr: cr, carries)
 
     if defer_params:
         fresh = (zero_f + _INF, zero_i, zero_f, zero_f)
@@ -732,11 +794,8 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
                 carry)
         if sph_ordered:
             base = cell * num_sph_clusters
-            return jax.lax.fori_loop(
-                0, num_sph_clusters,
-                lambda i, cr: cluster_gate(scl_get, sph_leaf,
-                                           sph_order[base + i], cr, sph_body),
-                carry)
+            return ordered_cluster_loop(scl_get, sph_leaf, sph_order, base,
+                                        num_sph_clusters, carry, sph_body)
         if num_sph_supers > 0:
             return jax.lax.fori_loop(
                 0, num_sph_supers,
@@ -861,11 +920,8 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
                 carry)
         if tri_ordered:
             base = cell * num_tri_clusters
-            return jax.lax.fori_loop(
-                0, num_tri_clusters,
-                lambda i, cr: cluster_gate(tcl_get, tri_leaf,
-                                           tri_order[base + i], cr, tri_body),
-                carry)
+            return ordered_cluster_loop(tcl_get, tri_leaf, tri_order, base,
+                                        num_tri_clusters, carry, tri_body)
         if num_tri_supers > 0:
             return jax.lax.fori_loop(
                 0, num_tri_supers,
