@@ -77,6 +77,9 @@ BODY_UNROLL = int(os.environ.get("RAYTRACER_BODY_UNROLL", "2"))
 # Pack the antialias jitters into the top bytes of the three uniform draw
 # rows (see the nrand comment in _kernel); halves PRNG generation.
 AA_PACK = os.environ.get("RAYTRACER_AA_PACK", "1") == "1"
+# Park retired lanes' ray origins at 1e30 so they stop opening cluster
+# gates during the tile-retirement tail (see the regen block).
+RETIRE_POISON = os.environ.get("RAYTRACER_RETIRE_POISON", "1") == "1"
 # Scene size (spheres + triangles) from which the megakernel defers winner
 # params out of the sweep (sweep.defer_params + post-sweep lane-gather).
 DEFER_MIN = int(os.environ.get("RAYTRACER_DEFER_MIN", "64"))
@@ -779,6 +782,19 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
           ox = jnp.where(path_end, o0x, ox)
           oy = jnp.where(path_end, o0y, oy)
           oz = jnp.where(path_end, o0z, oz)
+          if RETIRE_POISON:
+              # A lane whose sample budget is exhausted would otherwise
+              # keep its primary ray in (o, d) and keep opening cluster
+              # gates for the rest of the tile's retirement tail. Parking
+              # the origin at 1e30 makes every slab entry and primitive
+              # test fail (huge/NaN arithmetic, all compares strict), so
+              # retired lanes stop paying for leaf sweeps. Pure work
+              # removal: retired lanes' results are already banked and
+              # every accumulate is gated on `active`.
+              retired = sample_i >= spp
+              ox = jnp.where(retired, 1e30, ox)
+              oy = jnp.where(retired, 1e30, oy)
+              oz = jnp.where(retired, 1e30, oz)
           dx = jnp.where(path_end, d0x, dx)
           dy = jnp.where(path_end, d0y, dy)
           dz = jnp.where(path_end, d0z, dz)
