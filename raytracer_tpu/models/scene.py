@@ -627,8 +627,16 @@ class SceneBuilder:
         # a coarser leaf so the cluster count fits one lane-gather (<= 124).
         # The kernels then walk clusters per lane (sweep._lane_traverse)
         # instead of sweeping the tile-union of clusters.
+        # Opt-in (RAYTRACER_LANE=1): merely CARRYING the hybrid dispatch
+        # (per-pool coherence metric + lax.cond per sweep, lane plane
+        # tables resident in VMEM) taxes the shared path even when the
+        # lane branch never runs — measured on one v5e: monkey 1080p
+        # 125.5 -> 100.5 Mrays/s, stress10k 11.2 -> 10.9. The lane
+        # traversal itself also measured slower wherever it engaged
+        # (docs/ARCHITECTURE.md round-3 deep dive), so pools default off.
         lane_min = int(os.environ.get("RAYTRACER_LANE_MIN", "512"))
-        if os.environ.get("RAYTRACER_NO_LANE"):
+        if (os.environ.get("RAYTRACER_LANE") != "1"
+                or os.environ.get("RAYTRACER_NO_LANE")):
             lane_min = 1 << 30
         _LANE_MAX_CL = 124  # 4 x 31-bit per-lane mask words
         # Leaf cap: the lane sweep's inner loop is statically unrolled, so

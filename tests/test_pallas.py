@@ -209,8 +209,10 @@ def test_lane_traversal_matches_shared_sweep(monkeypatch):
 
     def build(lane: bool):
         if lane:
+            monkeypatch.setenv("RAYTRACER_LANE", "1")  # pools are opt-in
             monkeypatch.delenv("RAYTRACER_NO_LANE", raising=False)
         else:
+            monkeypatch.delenv("RAYTRACER_LANE", raising=False)
             monkeypatch.setenv("RAYTRACER_NO_LANE", "1")
         rng = np.random.default_rng(7)
         b = SceneBuilder()
