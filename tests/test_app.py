@@ -12,6 +12,18 @@ from raytracer_tpu.utils.image import (TextureLibrary, convert_textures,
                                        load_image, save_png)
 
 
+def _cpu_subprocess_env():
+    """Env for cold CLI subprocesses: CPU backend, and no remote-device
+    site hooks. Some environments install a sitecustomize that intercepts
+    JAX backend discovery and dials a remote accelerator tunnel during
+    ``jax.devices()`` even when ``JAX_PLATFORMS=cpu``; if the tunnel is
+    down, every cold process hangs. Dropping the hook's gate variable
+    makes these tests depend only on the local CPU."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    return env
+
+
 def test_texture_convert_roundtrip(tmp_path):
     src = tmp_path / "tex"
     src.mkdir()
@@ -69,6 +81,7 @@ def test_cli_convert_textures(tmp_path):
         [sys.executable, "-m", "raytracer_tpu", "convert-textures",
          str(src), str(out)],
         capture_output=True, text=True, timeout=120,
+        env=_cpu_subprocess_env(),
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
@@ -86,7 +99,7 @@ def test_cli_compare(tmp_path):
         [sys.executable, "-m", "raytracer_tpu", "compare",
          str(tmp_path / "a.png"), str(tmp_path / "b.png")],
         capture_output=True, text=True, timeout=120,
-        env=dict(os.environ, JAX_PLATFORMS="cpu"),
+        env=_cpu_subprocess_env(),
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert proc.returncode == 0, proc.stderr[-1000:]
