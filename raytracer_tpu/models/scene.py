@@ -260,9 +260,10 @@ class SceneArrays:
         default=0, metadata=dict(static=True))
     # Static layout of image textures inside the megakernel's packed
     # texture planes: ((atlas_offset, height, width, row_offset), ...) for
-    # each distinct image, plus the total packed row count. Zero rows means
-    # no image textures; rows > IMG_MAX_ROWS or width > 128 disables the
-    # megakernel's in-kernel sampling (wavefront fallback).
+    # each distinct image, plus the total packed row count (wide images
+    # pack into ceil(w/128) column-block rows per image row). Zero rows
+    # means no image textures; rows > megakernel.IMG_MAX_ROWS disables
+    # the in-kernel sampling (wavefront fallback).
     img_layout: tuple = dataclasses.field(
         default=(), metadata=dict(static=True))
     img_rows: int = dataclasses.field(

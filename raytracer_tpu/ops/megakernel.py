@@ -111,12 +111,19 @@ MEGA_TILE = MROWS * LANES
 _M_ROWS = 16
 
 
-# Packed texture-plane row cap for in-kernel image sampling: the row-select
-# sweep is linear in the packed rows (~3 vector ops each) and only runs on
-# iterations where some lane actually samples an image, so moderately large
-# atlases stay profitable in-kernel (a 512x256 earth = 1024 rows); beyond
-# the cap the wavefront pipeline's XLA atlas gather takes over.
-IMG_MAX_ROWS = int(os.environ.get("RAYTRACER_IMG_MAX_ROWS", "1024"))
+# Packed texture-plane row cap for in-kernel image sampling (VMEM: rows x
+# 128 x 4 B, so 8192 rows = 4 MiB). The row-select sweep only runs on
+# iterations where some lane samples an image, and above IMG_STATIC_ROWS
+# it is clamped to the tile's [min, max] texel-row range (below), so even
+# a 1024x512 earth (4096 packed rows) stays in-kernel; beyond the cap the
+# wavefront pipeline's XLA atlas gather takes over.
+IMG_MAX_ROWS = int(os.environ.get("RAYTRACER_IMG_MAX_ROWS", "8192"))
+# Packed-row count up to which the fetch's row select is a statically
+# unrolled sweep over every row; above it, a fori_loop over the tile's
+# clamped [min(ty), max(ty)] row range with a dynamic single-row slice
+# (coherent tiles sample a thin band of the texture, so the clamped loop
+# usually touches a few dozen rows of a multi-thousand-row image).
+IMG_STATIC_ROWS = int(os.environ.get("RAYTRACER_IMG_STATIC_ROWS", "64"))
 
 
 def supports(scene: SceneArrays) -> bool:
@@ -189,19 +196,26 @@ def pack_materials(scene: SceneArrays) -> jax.Array:
     ], axis=0)
 
 
-def _fetch_image(tex_ref, uu, vv, mtw, mth, mtrow, *, img_rows: int):
+def _fetch_image(tex_ref, uu, vv, mtw, mth, mtrow, *, img_rows: int,
+                 mask=None):
     """Nearest-neighbour texel fetch (src/material.cu:119-124), pure VPU.
 
     The texture column select is Mosaic's native lane-dimension dynamic
     gather (``take_along_axis(..., axis=1)`` — one vector op per vreg); the
-    row select is a static sweep over the packed texel rows with a
-    select-accumulate (texels ride one colour30 int32 each, so the whole
-    fetch is ~3 vector ops per packed row per tile). Images wider than 128
-    texels are packed as ceil(w/128) column-block rows per image row
-    (pack_textures); the fetch then addresses row
-    ``trow + v * nb + (u >> 7)``, lane ``u & 127``. No MXU round-trips,
-    no per-lane scalar work — the TPU-native form of the reference's
-    ``image[v * width + u]`` indexing.
+    row select is a select-accumulate sweep over the packed texel rows
+    (texels ride one colour30 int32 each, so the sweep is ~3 vector ops
+    per row per tile). Images wider than 128 texels are packed as
+    ceil(w/128) column-block rows per image row (pack_textures); the fetch
+    then addresses row ``trow + v * nb + (u >> 7)``, lane ``u & 127``. No
+    MXU round-trips, no per-lane scalar work — the TPU-native form of the
+    reference's ``image[v * width + u]`` indexing.
+
+    Up to IMG_STATIC_ROWS the sweep is statically unrolled over every
+    packed row. Beyond that it is a ``fori_loop`` over the tile's
+    ``[min(ty), max(ty)]`` range (``mask`` excludes lanes not sampling an
+    image from the bounds): a tile's live rays usually sample a thin
+    coherent band of the texture, so the clamped loop touches a small
+    fraction of a multi-thousand-row image. Bitwise identical either way.
     """
     shape = uu.shape
     w_i = mtw.astype(jnp.int32)
@@ -211,12 +225,30 @@ def _fetch_image(tex_ref, uu, vv, mtw, mth, mtrow, *, img_rows: int):
                    jnp.maximum(mth.astype(jnp.int32) - 1, 0))
     nb = (w_i + (LANES - 1)) >> 7           # column blocks per image row
     ty = mtrow.astype(jnp.int32) + v_i * nb + (u_i >> 7)
+    # NaN-poisoned or non-image lanes can cast to garbage row indices;
+    # clamp so the range bounds below stay inside the table.
+    ty = jnp.clip(ty, 0, img_rows - 1)
     lane = u_i & (LANES - 1)
     acc = u_i * 0
-    for i in range(img_rows):
-        g = jnp.take_along_axis(
-            jnp.broadcast_to(tex_ref[i:i + 1, :], shape), lane, axis=1)
-        acc = jnp.where(ty == i, g, acc)
+    if img_rows <= IMG_STATIC_ROWS:
+        for i in range(img_rows):
+            g = jnp.take_along_axis(
+                jnp.broadcast_to(tex_ref[i:i + 1, :], shape), lane, axis=1)
+            acc = jnp.where(ty == i, g, acc)
+        return decode_colour30(acc)
+    if mask is None:
+        ty_lo = jnp.min(ty)
+        ty_hi = jnp.max(ty)
+    else:
+        ty_lo = jnp.min(jnp.where(mask, ty, jnp.int32(img_rows - 1)))
+        ty_hi = jnp.max(jnp.where(mask, ty, jnp.int32(0)))
+
+    def frow(i, acc):
+        row = tex_ref[pl.ds(i, 1), :]
+        g = jnp.take_along_axis(jnp.broadcast_to(row, shape), lane, axis=1)
+        return jnp.where(ty == i, g, acc)
+
+    acc = jax.lax.fori_loop(ty_lo, ty_hi + 1, frow, acc)
     return decode_colour30(acc)
 
 
@@ -656,7 +688,8 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
               def img_fetch(args):
                   tr_, tg_, tb_ = args
                   ir, ig, ib = _fetch_image(tex_ref, uu, vv, mtw, mth,
-                                            mtrow, img_rows=img_rows)
+                                            mtrow, img_rows=img_rows,
+                                            mask=is_img)
                   return (jnp.where(is_img, ir, tr_),
                           jnp.where(is_img, ig, tg_),
                           jnp.where(is_img, ib, tb_))

@@ -196,9 +196,17 @@ def test_mega_image_texture_matches_regen():
     assert err < 2.0 * noise + 1e-3, (err, noise)
 
 
-def test_fetch_image_wide_texture_matches_atlas_gather():
+@pytest.mark.parametrize("h_img,w_img,use_mask", [
+    (24, 320, False),   # 72 packed rows -> clamped fori_loop row select
+    (16, 96, False),    # 16 packed rows -> static unrolled row select
+    (96, 1024, True),   # 768 rows, 8 column blocks; masked range bounds
+])
+def test_fetch_image_wide_texture_matches_atlas_gather(h_img, w_img,
+                                                       use_mask):
     """Column-block packing (images wider than 128 texels): the in-kernel
-    fetch must still reproduce the wavefront atlas gather bitwise."""
+    fetch must reproduce the wavefront atlas gather bitwise on both row
+    selects (static unroll and the clamped fori_loop), with and without
+    the is-image lane mask feeding the range bounds."""
     import numpy as np
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -208,7 +216,6 @@ def test_fetch_image_wide_texture_matches_atlas_gather():
                                               supports)
 
     rng = np.random.default_rng(11)
-    h_img, w_img = 24, 320                     # 3 column blocks per row
     img = rng.uniform(0, 1, (h_img, w_img, 3)).astype(np.float32)
     b = SceneBuilder()
     b.add_sphere((0, 0, 2), 1.0,
@@ -224,12 +231,19 @@ def test_fetch_image_wide_texture_matches_atlas_gather():
     w = jnp.full((rows, lanes), float(w_img))
     hh = jnp.full((rows, lanes), float(h_img))
     trow = jnp.zeros((rows, lanes))
-
     def kernel(tex_ref, u_ref, v_ref, w_ref, h_ref, row_ref,
                r_ref, g_ref, b_ref):
+        if use_mask:
+            # even lanes only: unmasked lanes' texels are still fetched
+            # exactly whenever their ty lands inside the masked range, so
+            # the assertion below checks only the masked lanes
+            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+            m = lane_ids % 2 == 0
+        else:
+            m = None
         r, g, bb = _fetch_image(tex_ref, u_ref[:], v_ref[:], w_ref[:],
                                 h_ref[:], row_ref[:],
-                                img_rows=scene.img_rows)
+                                img_rows=scene.img_rows, mask=m)
         r_ref[:] = r
         g_ref[:] = g
         b_ref[:] = bb
@@ -250,9 +264,13 @@ def test_fetch_image_wide_texture_matches_atlas_gather():
                   0, h_img - 1)
     flat = 1 + v_i * w_img + u_i  # atlas slot 0 is the dummy texel
     expect = np.asarray(scene.atlas)[flat]
-    np.testing.assert_array_equal(np.asarray(r), expect[..., 0])
-    np.testing.assert_array_equal(np.asarray(g), expect[..., 1])
-    np.testing.assert_array_equal(np.asarray(bch), expect[..., 2])
+    got = np.stack([np.asarray(r), np.asarray(g), np.asarray(bch)], -1)
+    if use_mask:
+        sel = np.broadcast_to(np.arange(lanes)[None, :] % 2 == 0,
+                              got.shape[:2])
+        np.testing.assert_array_equal(got[sel], expect[sel])
+    else:
+        np.testing.assert_array_equal(got, expect)
 
 
 def test_mega_tile_offset_shard_invariance():
