@@ -167,11 +167,20 @@ def test_fetch_image_matches_atlas_gather():
     np.testing.assert_array_equal(np.asarray(bch), expect[..., 2])
 
 
-def test_mega_image_texture_matches_regen():
+@pytest.mark.parametrize("earth", [None, 128])
+def test_mega_image_texture_matches_regen(earth):
     """Scene 2 (image-textured earth sphere) on the megakernel's in-kernel
     one-hot texel fetch must agree with the wavefront pipeline's atlas
-    gather within Monte-Carlo noise."""
-    scene, use_sky = rt.build_scene(2)
+    gather within Monte-Carlo noise. earth=None uses the default 64x128
+    texture (static row select); earth=128 builds a 128x256 texture (256
+    packed rows), exercising the range-clamped fori_loop select in the
+    full kernel."""
+    if earth is None:
+        scene, use_sky = rt.build_scene(2)
+    else:
+        from raytracer_tpu.models.scenes import procedural_earth_texture
+        scene, use_sky = rt.build_scene(
+            2, earth_image=procedural_earth_texture(earth))
     assert supports(scene)
     spp = 48 if ON_TPU else 16
     base = rt.RenderSettings(rays_per_pixel=spp, reflect_limit=4
