@@ -27,8 +27,9 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--spp", type=int, default=100,
                    help="rays per pixel per frame")
     r.add_argument("--bounces", type=int, default=5, help="reflect limit")
-    r.add_argument("--frames", type=int, default=1,
-                   help="progressive frames (0 = until Ctrl-C)")
+    r.add_argument("--frames", type=int, default=None,
+                   help="progressive frames (0 = until Ctrl-C/quit; "
+                        "default 1, or run-until-quit with --interactive)")
     r.add_argument("--no-antialias", action="store_true")
     r.add_argument("--sampler",
                    choices=("auto", "mega", "regen", "rebin", "scan"),
@@ -132,11 +133,15 @@ def cmd_render(args) -> int:
 
     if args.interactive:
         from raytracer_tpu.runtime.interactive import run_interactive
-        run_interactive(renderer, max_frames=args.frames,
-                        move_speed=args.move_speed, out_path=args.out)
+        # an unset --frames means run until quit (the window would otherwise
+        # flash one frame and close); move_camera resets frame_num, so the
+        # loop's own count is the only true total
+        n_frames = run_interactive(
+            renderer, max_frames=0 if args.frames is None else args.frames,
+            move_speed=args.move_speed, out_path=args.out)
         if args.stats:
             renderer.write_stats(args.stats)
-        print(f"wrote {args.out} ({renderer.frame_num} frames)")
+        print(f"wrote {args.out} ({n_frames} frames)")
         return 0
 
     move = None
@@ -147,7 +152,8 @@ def cmd_render(args) -> int:
             renderer.move_camera(_dc.replace(
                 camera, y_rot=camera.y_rot + args.orbit * frame_i))
 
-    run_render_loop(renderer, frames=args.frames, out_path=args.out,
+    frames = 1 if args.frames is None else args.frames
+    run_render_loop(renderer, frames=frames, out_path=args.out,
                     display=args.view, checkpoint=args.checkpoint,
                     checkpoint_every=args.checkpoint_every,
                     per_frame=move)

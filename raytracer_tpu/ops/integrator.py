@@ -167,6 +167,7 @@ def _render_regen_soa(
     frame_key: jax.Array,
     backend: str = "woop",
     rebin: bool = False,
+    tile_offset=0,
 ):
     """Path-regeneration sampler: all spp samples in one while_loop.
 
@@ -212,9 +213,14 @@ def _render_regen_soa(
             # tile-shared randoms keyed by loop iteration (see
             # rng.tile_randoms): divergence-absorbing opt-in for big
             # scenes — secondary directions cluster by surface normal so
-            # the Pallas tile sweep's union gates stay tight.
+            # the Pallas tile sweep's union gates stay tight. The shard's
+            # global tile base is folded in so pixel-sharded shards draw
+            # distinct streams (the megakernel does the same via its
+            # seed words); without it every shard would repeat one
+            # structured tile-noise pattern across the frame.
             jitter_u3, gauss, fresnel_u = rng.tile_randoms(
-                jax.random.fold_in(frame_key, it), n)
+                jax.random.fold_in(
+                    jax.random.fold_in(frame_key, tile_offset), it), n)
         else:
             keys = jax.random.wrap_key_data(kd.T) if rebin else base_keys
             jitter_u3, gauss, fresnel_u = rng.lane_randoms(
@@ -336,7 +342,8 @@ def render_sample_mean(
     if sampler in ("regen", "rebin"):
         mean, segs = _render_regen_soa(scene, settings, ray_idx, o3, d3,
                                        frame_key, backend=backend,
-                                       rebin=(sampler == "rebin"))
+                                       rebin=(sampler == "rebin"),
+                                       tile_offset=tile_offset)
         return mean.T, segs
 
     def sample(carry, s_idx):

@@ -39,7 +39,8 @@ from ..models.scene import SceneArrays
 from ..utils.vec import INF
 from .intersect import HitRecord, ShadeData
 from .sweep import (LANES, ORDER_GRID as _ORDER_GRID, decode_colour30,
-                    decode_smooth_mat, pack_scene, safe_inv_dir, sweep_tile)
+                    decode_smooth_mat, pack_scene, safe_inv_dir, sweep_tile,
+                    tile_cell)
 
 _INF = 1e30
 
@@ -218,18 +219,7 @@ def _kernel_blocked(sphc_ref, tric_ref, sphs_ref, tris_ref, bbox_ref,
     # union gate (tmin < bt) and skip both the DMA and the sweep — the
     # tile-level analog of the reference's front-to-back child ordering
     # (src/objects.cu:508-516) across its device-resident node arrays.
-    inv_n = 1.0 / float(ox.size)
-    mox = jnp.sum(ox) * inv_n
-    moy = jnp.sum(oy) * inv_n
-    moz = jnp.sum(oz) * inv_n
-    og = _ORDER_GRID
-    cxi = jnp.clip(((mox - bgrid_ref[0]) * bgrid_ref[3]).astype(jnp.int32),
-                   0, og - 1)
-    cyi = jnp.clip(((moy - bgrid_ref[1]) * bgrid_ref[4]).astype(jnp.int32),
-                   0, og - 1)
-    czi = jnp.clip(((moz - bgrid_ref[2]) * bgrid_ref[5]).astype(jnp.int32),
-                   0, og - 1)
-    cell = ((cxi * og + cyi) * og + czi) * nblocks
+    cell = tile_cell(ox, oy, oz, bgrid_ref) * nblocks
 
     def block_body(i, _):
         b = border_ref[cell + i]
@@ -330,6 +320,13 @@ def _kernel_blocked(sphc_ref, tric_ref, sphs_ref, tris_ref, bbox_ref,
 
 def _run_kernel_blocked(planes, scene: SceneArrays, rows: int):
     """Dispatch the HBM-streamed kernel; returns the sweep's raw 9 outputs."""
+    if rows % BROWS != 0:
+        # grid=(rows // BROWS,) would silently truncate the tail rows,
+        # leaving their output blocks as uninitialized garbage
+        raise ValueError(
+            f"RAYTRACER_BLOCKED_ROWS={BROWS} must divide the ray-plane row "
+            f"count {rows} (a multiple of {ROWS}); pick a divisor of {ROWS} "
+            f"or a tile height the render's row count is a multiple of")
     (sphf, sphi, trif, trii, sphc, tric, _, _, _, _, _) = pack_scene(scene)
 
     def pad_pool(arr, block, fill=0.0):

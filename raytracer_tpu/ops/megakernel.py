@@ -388,7 +388,12 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
               if interp_rng:
                   r_ = jax.lax.broadcasted_iota(jnp.uint32, (8, LANES), 0)
                   l_ = jax.lax.broadcasted_iota(jnp.uint32, (8, LANES), 1)
+                  # salt by the stream's tile-row offset: the hash is
+                  # stateless, so without it NSTREAM > 1 streams would draw
+                  # bit-identical randoms (the hardware PRNG's state advances
+                  # between streams and needs no equivalent)
                   x = (itc.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+                       + jnp.uint32((lo * 2654435761) & 0xFFFFFFFF)
                        + r_ * jnp.uint32(LANES) + l_) ^ seed_w0
                   x = (x ^ (x >> 16)) * jnp.uint32(0x85EBCA6B)
                   x = x + seed_w1
@@ -417,6 +422,7 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
               r_ = jax.lax.broadcasted_iota(jnp.uint32, shape_b, 0)
               l_ = jax.lax.broadcasted_iota(jnp.uint32, shape_b, 1)
               x = (itc.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+                   + jnp.uint32((lo * 2654435761) & 0xFFFFFFFF)  # stream salt
                    + r_ * jnp.uint32(LANES) + l_) ^ seed_w0
               x = (x ^ (x >> 16)) * jnp.uint32(0x85EBCA6B)
               x = x + seed_w1

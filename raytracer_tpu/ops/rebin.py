@@ -89,6 +89,109 @@ def bucket_permutation(bucket: jax.Array) -> jax.Array:
         jnp.arange(r, dtype=jnp.int32))
 
 
+# --- lane-granular re-binning (per-ray, sort-free) ---------------------------
+# Row-granular regrouping (above) is measured neutral on divergent scenes:
+# after a diffuse bounce the divergence is *within* each 128-lane row, so
+# moving whole rows cannot tighten a tile's union footprint. Regrouping
+# individual rays needs a per-ray permutation — argsort is ~10 s/1M keys on
+# v5e, so the permutation is built as a counting sort whose only O(N·B) step
+# is an MXU matmul: ranks-within-chunk come from a strictly-lower-triangular
+# (128, 128) ones matrix applied per 128-ray chunk (bf16 — counts <= 128 are
+# exact in 8 mantissa bits), and all per-ray bucket lookups are one-hot
+# multiply-reduces, never gathers. The one data movement is a single packed
+# scatter/gather of the ray state (see apply_lane_permutation).
+
+LANE_GRID = 2                           # spatial cells per axis (lane bins)
+LANE_BUCKETS = LANE_GRID ** 3 * 8       # cells x direction octants <= 128
+
+
+def lane_buckets(o: jax.Array, d: jax.Array, done: jax.Array) -> jax.Array:
+    """Bucket id per RAY in [0, LANE_BUCKETS). ``o``/``d`` (3, N), ``done`` (N,).
+
+    Key = (coarse origin cell, direction octant): rays that start near each
+    other and head the same way sweep the same clusters. Done/parked rays
+    all map to one bucket (their park origin clips to a corner cell), so
+    they pack into tiles that retire with every gate closed."""
+    octant = ((d[0] < 0).astype(jnp.int32) * 4
+              + (d[1] < 0).astype(jnp.int32) * 2
+              + (d[2] < 0).astype(jnp.int32))
+    big = jnp.float32(3e37)
+    live = ~done
+    lo = jnp.min(jnp.where(live[None, :], o, big), axis=1, keepdims=True)
+    hi = jnp.max(jnp.where(live[None, :], o, -big), axis=1, keepdims=True)
+    extent = jnp.maximum(hi - lo, 1e-6)
+    cell = jnp.clip(((o - lo) / extent * LANE_GRID).astype(jnp.int32),
+                    0, LANE_GRID - 1)
+    cid = (cell[0] * LANE_GRID + cell[1]) * LANE_GRID + cell[2]
+    return cid * 8 + octant
+
+
+def lane_destinations(key: jax.Array,
+                      num_buckets: int = LANE_BUCKETS) -> jax.Array:
+    """Stable counting-sort destination per ray, argsort-free.
+
+    ``dest[i]`` is ray i's slot in bucket-sorted order (equal keys keep
+    their relative order, matching ``np.argsort(key, kind='stable')``).
+    All O(N·B) work is MXU matmuls / elementwise one-hot reduces.
+    """
+    n = key.shape[0]
+    c = n // LANES
+    kc = key.reshape(c, LANES)
+    oh = (kc[:, :, None]
+          == jnp.arange(num_buckets, dtype=jnp.int32)[None, None, :]
+          ).astype(jnp.bfloat16)                       # (C, 128, B)
+    # rank within the 128-ray chunk: strictly-lower-triangular ones matmul
+    tri = jnp.tril(jnp.ones((LANES, LANES), jnp.bfloat16), -1)
+    before = jax.lax.dot_general(
+        tri, oh, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (128, C, B)
+    before = before.transpose(1, 0, 2)                 # (C, 128, B)
+    ohf = oh.astype(jnp.float32)
+    rank_in_chunk = jnp.sum(before * ohf, axis=2)      # (C, 128)
+    counts = jnp.sum(ohf, axis=1)                      # (C, B)
+    chunk_off = jnp.cumsum(counts, axis=0) - counts    # rows above, same bkt
+    totals = jnp.sum(counts, axis=0)                   # (B,)
+    base = jnp.cumsum(totals) - totals                 # bucket starts
+    dest = (jnp.sum((base[None, None, :] + chunk_off[:, None, :]) * ohf,
+                    axis=2)
+            + rank_in_chunk)
+    return dest.reshape(n).astype(jnp.int32)
+
+
+def apply_lane_permutation(dest: jax.Array, arrays: Sequence,
+                           mode: str = "scatter") -> list:
+    """Move per-ray state to bucket-sorted order in ONE packed data movement.
+
+    ``arrays`` are (N,) or (k, N); they are stacked into a single (N, K)
+    payload so the scatter/gather pays its per-index overhead once for all
+    K channels instead of once per plane. ``mode='scatter'`` writes
+    ``out[dest] = packed`` directly; ``mode='gather'`` inverts ``dest``
+    first (one extra small scatter) and reads ``packed[perm]`` — the two
+    are bitwise identical, kept separate because their measured costs
+    differ on TPU."""
+    flats = []
+    for a in arrays:
+        flats.append(a[None, :] if a.ndim == 1 else a)
+    packed = jnp.concatenate(flats, axis=0).T          # (N, K)
+    if mode == "scatter":
+        moved = jnp.zeros_like(packed).at[dest].set(
+            packed, unique_indices=True, mode="promise_in_bounds")
+    else:
+        n = dest.shape[0]
+        perm = jnp.zeros((n,), jnp.int32).at[dest].set(
+            jnp.arange(n, dtype=jnp.int32), unique_indices=True,
+            mode="promise_in_bounds")
+        moved = jnp.take(packed, perm, axis=0)
+    moved = moved.T
+    out, r = [], 0
+    for a in arrays:
+        k = 1 if a.ndim == 1 else a.shape[0]
+        piece = moved[r:r + k]
+        out.append(piece[0] if a.ndim == 1 else piece)
+        r += k
+    return out
+
+
 def permute_rows(perm: jax.Array, arr: jax.Array) -> jax.Array:
     """Apply a row permutation to an array whose last axis is N = R*128.
 

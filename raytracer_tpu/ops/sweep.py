@@ -278,6 +278,28 @@ def fits_smem(scene) -> bool:
     return smem_bytes(scene) <= SMEM_BUDGET
 
 
+def tile_cell(ox, oy, oz, grid_ref):
+    """Tile's coarse ORDER_GRID lattice cell from its mean ray origin.
+
+    Selects the host-precomputed near-first visitation order (see
+    scene._cell_order); shared by the resident sweep and the HBM-streamed
+    blocked kernel so both always pick consistent cell conventions.
+    ``grid_ref[0:3]`` is the lattice origin, ``grid_ref[3:6]`` the inverse
+    cell extents."""
+    inv_n = 1.0 / float(ox.size)
+    mox = jnp.sum(ox) * inv_n
+    moy = jnp.sum(oy) * inv_n
+    moz = jnp.sum(oz) * inv_n
+    g = ORDER_GRID
+    cxi = jnp.clip(((mox - grid_ref[0]) * grid_ref[3]).astype(jnp.int32),
+                   0, g - 1)
+    cyi = jnp.clip(((moy - grid_ref[1]) * grid_ref[4]).astype(jnp.int32),
+                   0, g - 1)
+    czi = jnp.clip(((moz - grid_ref[2]) * grid_ref[5]).astype(jnp.int32),
+                   0, g - 1)
+    return (cxi * g + cyi) * g + czi
+
+
 def safe_inv_dir(dx, dy, dz):
     """Robust slab-test reciprocals: a zero direction component maps to a
     large finite value instead of inf, so (box_bound - origin) * inv never
@@ -711,18 +733,7 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
         # Tile's coarse spatial cell from its mean origin: selects the
         # host-precomputed near-first cluster order (see scene._cell_order)
         # so best-t pruning closes far clusters' gates.
-        inv_n = 1.0 / float(ox.size)
-        mox = jnp.sum(ox) * inv_n
-        moy = jnp.sum(oy) * inv_n
-        moz = jnp.sum(oz) * inv_n
-        g = ORDER_GRID
-        cxi = jnp.clip(((mox - grid_ref[0]) * grid_ref[3]).astype(jnp.int32),
-                       0, g - 1)
-        cyi = jnp.clip(((moy - grid_ref[1]) * grid_ref[4]).astype(jnp.int32),
-                       0, g - 1)
-        czi = jnp.clip(((moz - grid_ref[2]) * grid_ref[5]).astype(jnp.int32),
-                       0, g - 1)
-        cell = (cxi * g + cyi) * g + czi
+        cell = tile_cell(ox, oy, oz, grid_ref)
 
     def sph_body_at(getf, geti, code, cr, live=None):
         """Sphere test against the tile; ``getf(param)``/``geti(param)``

@@ -531,7 +531,10 @@ class Renderer:
         """
         data = np.load(path)
         accum = jnp.asarray(data["accum"])
-        if self._sharding is not None:
+        # pixel mode shards the accumulator; spp mode keeps it replicated
+        # (make_spp_sharded_step declares it P()) — same guard as every
+        # other placement site (__init__, set_camera, _set_rays)
+        if self._sharding is not None and self._shard_mode == "pixel":
             accum = jax.device_put(accum, self._sharding)
         self.accum = accum
         self.frame_num = int(data["frame_num"])

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import raytracer_tpu as rt
 from raytracer_tpu.ops import intersect as I
@@ -192,6 +193,26 @@ def test_blocked_kernel_matches_oracle(monkeypatch):
                                   np.asarray(sd_x.mat_id)[both])
     np.testing.assert_allclose(np.asarray(sd_p.colour)[:, both],
                                np.asarray(sd_x.colour)[:, both], atol=1e-6)
+
+
+def test_blocked_rows_knob_validated(monkeypatch):
+    """RAYTRACER_BLOCKED_ROWS values that do not divide the ray-plane row
+    count must raise instead of silently truncating the grid (leaving tail
+    rows' outputs as garbage). Regression for a round-3 review finding."""
+    import raytracer_tpu.ops.intersect_pallas as ip
+    monkeypatch.setattr(ip, "_FORCE_BLOCKED", True)
+    monkeypatch.setattr(ip, "BROWS", 24)   # rows is a multiple of 32
+    from raytracer_tpu.models.materials import Material, Texture
+    from raytracer_tpu.models.scene import SceneBuilder
+    rng = np.random.default_rng(5)
+    b = SceneBuilder()
+    b.add_spheres(
+        rng.uniform(-10, 10, (64, 3)), rng.uniform(0.1, 0.4, 64),
+        Material.standard(Texture.const_colour((1, 1, 1)), 0))
+    scene = b.build()
+    o, d = _rand_rays(512, seed=6, spread=12.0)
+    with pytest.raises(ValueError, match="BLOCKED_ROWS"):
+        jax.block_until_ready(nearest_hit_pallas(o, d, scene).t)
 
 
 def test_lane_traversal_matches_shared_sweep(monkeypatch):

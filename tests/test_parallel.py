@@ -135,6 +135,57 @@ def test_renderer_spp_sharded_mode():
     assert r.total_segments >= len(devs) * 2 * 512
 
 
+def test_spp_mode_checkpoint_resume(tmp_path):
+    """load_checkpoint in spp shard mode must keep the accumulator
+    replicated (make_spp_sharded_step declares it P()); re-placing it with
+    the pixel sharding raised/resharded. Regression for a round-3 review
+    finding."""
+    scene, use_sky = rt.build_scene(1)
+    settings = rt.RenderSettings(rays_per_pixel=2, reflect_limit=3
+                                 ).with_sky(use_sky)
+    cam = rt.CameraConfig(width=32, height=16)
+    ckpt = str(tmp_path / "spp.npz")
+
+    mesh = make_mesh()
+    sh = pixel_sharding(mesh)
+    r_a = rt.Renderer(scene, cam, settings, sharding=sh, shard_mode="spp")
+    r_a.render_frame(block=True)
+    r_a.save_checkpoint(ckpt)
+
+    r_b = rt.Renderer(scene, cam, settings, sharding=sh, shard_mode="spp")
+    r_b.load_checkpoint(ckpt)
+    assert r_b.frame_num == 1
+    r_b.render_frame(block=True)
+    assert np.isfinite(np.asarray(r_b.accum)).all()
+    assert r_b.frame_num == 2
+
+
+def test_coherent_pixel_shards_draw_distinct_streams():
+    """Coherent (tile-shared) wavefront sampling folds the shard's global
+    tile base into its iteration key: two shards of the same frame must NOT
+    repeat one structured tile-noise pattern. Regression for a round-3
+    review finding (the megakernel path already globalised its seed)."""
+    from raytracer_tpu.ops.integrator import render_sample_mean
+    scene, use_sky = rt.build_scene(1)
+    settings = rt.RenderSettings(
+        rays_per_pixel=2, reflect_limit=3, sampler="regen", coherent=True,
+    ).with_sky(use_sky)
+    cam = build_camera(rt.CameraConfig(width=32, height=16))
+    o, d = primary_rays(cam, 32, 16)
+    idx = jnp.arange(32 * 16, dtype=jnp.int32)
+    key = jax.random.key(3)
+
+    m0, _ = render_sample_mean(scene, settings, idx, o, d, key,
+                               tile_offset=0)
+    m0b, _ = render_sample_mean(scene, settings, idx, o, d, key,
+                                tile_offset=0)
+    m7, _ = render_sample_mean(scene, settings, idx, o, d, key,
+                               tile_offset=7)
+    np.testing.assert_array_equal(np.asarray(m0), np.asarray(m0b))
+    assert not np.array_equal(np.asarray(m0), np.asarray(m7))
+    assert np.isfinite(np.asarray(m7)).all()
+
+
 def test_elastic_resume_across_topologies(tmp_path):
     """Elastic resume (SURVEY §5 failure-recovery plan): a checkpoint
     written single-device restores onto an 8-device pixel-sharded mesh

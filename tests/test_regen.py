@@ -91,3 +91,48 @@ def test_rebin_bitwise_equals_regen():
     m_b, s_b = render_sample_mean(scene, rebin, idx, o, d, jax.random.key(7))
     np.testing.assert_array_equal(np.asarray(m_a), np.asarray(m_b))
     assert float(s_a) == float(s_b)
+
+
+def test_lane_destinations_match_stable_argsort():
+    """MXU counting sort (ops/rebin.lane_destinations) must equal a stable
+    argsort by bucket key — a permutation, stable within equal keys."""
+    from raytracer_tpu.ops.rebin import (LANE_BUCKETS, apply_lane_permutation,
+                                         lane_destinations)
+    rng = np.random.default_rng(11)
+    n = 128 * 40
+    key = jnp.asarray(rng.integers(0, LANE_BUCKETS, n), jnp.int32)
+    dest = np.asarray(lane_destinations(key))
+    # dest is a permutation
+    assert sorted(dest.tolist()) == list(range(n))
+    # sorted-by-key and stable: dest of ray i = its position in stable order
+    order = np.argsort(np.asarray(key), kind="stable")
+    expect = np.empty(n, np.int64)
+    expect[order] = np.arange(n)
+    np.testing.assert_array_equal(dest, expect)
+
+    # apply: both movement modes are bitwise identical and actually sort
+    vals = jnp.asarray(rng.normal(size=(3, n)), jnp.float32)
+    one = jnp.asarray(rng.normal(size=n), jnp.float32)
+    mv_s = apply_lane_permutation(jnp.asarray(dest), [vals, one],
+                                  mode="scatter")
+    mv_g = apply_lane_permutation(jnp.asarray(dest), [vals, one],
+                                  mode="gather")
+    for a, b in zip(mv_s, mv_g):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(mv_s[1]),
+                                  np.asarray(one)[order])
+
+
+def test_lane_buckets_group_coherent_rays():
+    """Rays sharing an origin cell and direction octant share a bucket;
+    done rays collapse into one bucket."""
+    from raytracer_tpu.ops.rebin import lane_buckets
+    n = 256
+    o = jnp.zeros((3, n), jnp.float32)
+    o = o.at[:, n // 2:].set(10.0)            # two spatial groups
+    d = jnp.ones((3, n), jnp.float32)
+    d = d.at[0, ::2].set(-1.0)                # two direction octants
+    done = jnp.zeros((n,), bool).at[:4].set(True)
+    b = np.asarray(lane_buckets(o, d, done))
+    # exactly 4 buckets among live rays (2 cells x 2 octants)
+    assert len(set(b[4:].tolist())) == 4
