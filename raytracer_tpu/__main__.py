@@ -32,7 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "default 1, or run-until-quit with --interactive)")
     r.add_argument("--no-antialias", action="store_true")
     r.add_argument("--sampler",
-                   choices=("auto", "mega", "regen", "rebin", "scan"),
+                   choices=("auto", "mega", "regen", "rebin", "lanesort",
+                            "scan"),
                    default="auto")
     r.add_argument("--coherent", action="store_true",
                    help="tile-shared scatter sampling: unchanged per-pixel "

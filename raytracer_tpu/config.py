@@ -55,6 +55,11 @@ class RenderSettings:
     #   (ops/rebin.py) — the fast path for large/incoherent scenes where
     #   tile-granular BVH culling would otherwise collapse after the first
     #   diffuse bounce.
+    # - "lanesort": regen + PER-RAY re-binning via an MXU counting sort
+    #   (ops/rebin.lane_destinations) — re-coheres tiles even when the
+    #   divergence is within 128-lane rows (sphere-field scenes), at the
+    #   cost of two packed state movements per bounce. Bitwise identical
+    #   image to "regen" (RNG streams ride the permutation).
     # - "scan": the direct spp x bounce nested-scan transcription of the
     #   reference (src/raytracer.cu:71,102).
     # All compute the same estimator with different (equally deterministic)

@@ -167,6 +167,7 @@ def _render_regen_soa(
     frame_key: jax.Array,
     backend: str = "woop",
     rebin: bool = False,
+    lane_sort: bool = False,
     tile_offset=0,
 ):
     """Path-regeneration sampler: all spp samples in one while_loop.
@@ -184,6 +185,15 @@ def _render_regen_soa(
     sentinel origin so their tiles retire with every gate closed. RNG
     streams are keyed by pixel, so re-binning never changes the image: the
     per-pixel sums are un-permuted at the end.
+
+    With ``lane_sort=True``, the regrouping is per RAY instead of per row
+    (ops/rebin.lane_destinations — an MXU counting sort, since argsort is
+    off the table on TPU): post-diffuse divergence is *within* rows, which
+    row moves cannot touch, so this is the mode that actually re-coheres
+    tiles on sphere-field scenes. All per-lane state (including the
+    pixel-keyed RNG streams and the per-pixel sums) rides the permutation
+    in two packed movements per bounce, so the image is still bitwise
+    identical to plain regen.
     """
     spp = settings.rays_per_pixel
     limit = settings.reflect_limit
@@ -192,11 +202,16 @@ def _render_regen_soa(
     coherent = (_COHERENT if settings.coherent is None
                 else bool(settings.coherent))
 
-    from .rebin import (LANES, bucket_permutation, permute_rows, row_buckets)
+    from .rebin import (LANES, apply_lane_permutation, bucket_permutation,
+                        lane_buckets, lane_destinations, permute_rows,
+                        row_buckets)
+    lane_sort = bool(lane_sort) and n % LANES == 0 and n // LANES >= 8
     # Row re-binning needs whole 128-lane rows, and is only worth its cost
     # when there are enough rows to regroup.
-    rebin = bool(rebin) and n % LANES == 0 and n // LANES >= 8
-    num_rows = n // LANES if rebin else 0
+    rebin = (bool(rebin) and not lane_sort
+             and n % LANES == 0 and n // LANES >= 8)
+    carries_keys = rebin or lane_sort
+    num_rows = n // LANES if rebin else (n if lane_sort else 0)
 
     def cond(state):
         sample_i = state[5]
@@ -222,7 +237,8 @@ def _render_regen_soa(
                 jax.random.fold_in(
                     jax.random.fold_in(frame_key, tile_offset), it), n)
         else:
-            keys = jax.random.wrap_key_data(kd.T) if rebin else base_keys
+            keys = (jax.random.wrap_key_data(kd.T) if carries_keys
+                    else base_keys)
             jitter_u3, gauss, fresnel_u = rng.lane_randoms(
                 keys, sample_i, bounce_i)
         o, d, thru, rad, cur_ior, continues = _bounce_physics(
@@ -247,7 +263,7 @@ def _render_regen_soa(
         rad = jnp.where(restart, 0.0, rad)
         cur_ior = jnp.where(path_end, 1.0, cur_ior)
 
-        if rebin:
+        if rebin or lane_sort:
             # Park exhausted lanes far away, pointing at nothing: their
             # tiles' BVH gates all fail, so retired rows cost ~zero sweeps.
             done = sample_i >= spp
@@ -255,6 +271,13 @@ def _render_regen_soa(
             d = jnp.where(done[None, :],
                           jnp.asarray([1.0, 0.0, 0.0],
                                       jnp.float32)[:, None], d)
+        if lane_sort:
+            dest = lane_destinations(lane_buckets(o, d, done))
+            (o, d, thru, rad, pixel_sum, o0p, d0p, cur_ior, kd,
+             bounce_i, sample_i, home) = apply_lane_permutation(
+                dest, (o, d, thru, rad, pixel_sum, o0p, d0p, cur_ior, kd,
+                       bounce_i, sample_i, home))
+        elif rebin:
             perm = bucket_permutation(row_buckets(o, d, done))
             (o, d, thru, rad, pixel_sum, o0p, d0p, kd) = (
                 permute_rows(perm, a)
@@ -270,8 +293,8 @@ def _render_regen_soa(
     # (2, N) uint32 key data rides the carry so the permutation can move
     # each lane's pixel-keyed RNG stream along with it.
     kd0 = (jax.random.key_data(base_keys).T.astype(jnp.uint32)
-           if rebin else jnp.zeros((), jnp.uint32))
-    home0 = (jnp.arange(num_rows, dtype=jnp.int32) if rebin
+           if carries_keys else jnp.zeros((), jnp.uint32))
+    home0 = (jnp.arange(num_rows, dtype=jnp.int32) if carries_keys
              else jnp.zeros((), jnp.int32))
     state = (
         o0, d0,
@@ -289,7 +312,10 @@ def _render_regen_soa(
     )
     state = jax.lax.while_loop(cond, body, state)
     pixel_sum, home, segs = state[7], state[11], state[12]
-    if rebin:
+    if lane_sort:
+        # Undo the accumulated lane permutation: home[current] = original.
+        pixel_sum = jnp.zeros_like(pixel_sum).at[:, home].set(pixel_sum)
+    elif rebin:
         # Undo the accumulated row permutation: home[current] = original.
         unperm = jnp.zeros_like(home).at[home].set(
             jnp.arange(num_rows, dtype=jnp.int32))
@@ -339,10 +365,11 @@ def render_sample_mean(
                                              tile_offset=tile_offset)
         return mean.T, segs
 
-    if sampler in ("regen", "rebin"):
+    if sampler in ("regen", "rebin", "lanesort"):
         mean, segs = _render_regen_soa(scene, settings, ray_idx, o3, d3,
                                        frame_key, backend=backend,
                                        rebin=(sampler == "rebin"),
+                                       lane_sort=(sampler == "lanesort"),
                                        tile_offset=tile_offset)
         return mean.T, segs
 

@@ -160,35 +160,53 @@ def lane_destinations(key: jax.Array,
 
 def apply_lane_permutation(dest: jax.Array, arrays: Sequence,
                            mode: str = "scatter") -> list:
-    """Move per-ray state to bucket-sorted order in ONE packed data movement.
+    """Move per-ray state to bucket-sorted order in ONE packed data movement
+    per 4-byte dtype class.
 
-    ``arrays`` are (N,) or (k, N); they are stacked into a single (N, K)
-    payload so the scatter/gather pays its per-index overhead once for all
-    K channels instead of once per plane. ``mode='scatter'`` writes
-    ``out[dest] = packed`` directly; ``mode='gather'`` inverts ``dest``
-    first (one extra small scatter) and reads ``packed[perm]`` — the two
-    are bitwise identical, kept separate because their measured costs
-    differ on TPU."""
-    flats = []
-    for a in arrays:
-        flats.append(a[None, :] if a.ndim == 1 else a)
-    packed = jnp.concatenate(flats, axis=0).T          # (N, K)
-    if mode == "scatter":
-        moved = jnp.zeros_like(packed).at[dest].set(
-            packed, unique_indices=True, mode="promise_in_bounds")
-    else:
+    ``arrays`` are (N,) or (k, N) of f32/i32/u32; each 4-byte class is
+    stacked into a single (N, K) payload so the scatter/gather pays its
+    per-index overhead once for all K channels instead of once per plane
+    (integers ride as an i32 pack — bit-preserving, no float reinterpret).
+    ``mode='scatter'`` writes ``out[dest] = packed`` directly;
+    ``mode='gather'`` inverts ``dest`` first (one extra small scatter) and
+    reads ``packed[perm]`` — the two are bitwise identical, kept separate
+    because their measured costs differ on TPU."""
+    perm = None
+    if mode == "gather":
         n = dest.shape[0]
         perm = jnp.zeros((n,), jnp.int32).at[dest].set(
             jnp.arange(n, dtype=jnp.int32), unique_indices=True,
             mode="promise_in_bounds")
-        moved = jnp.take(packed, perm, axis=0)
-    moved = moved.T
-    out, r = [], 0
+
+    def move_pack(flats):
+        packed = jnp.concatenate(flats, axis=0).T      # (N, K)
+        if mode == "scatter":
+            return jnp.zeros_like(packed).at[dest].set(
+                packed, unique_indices=True, mode="promise_in_bounds").T
+        return jnp.take(packed, perm, axis=0).T
+
+    groups: dict = {}
+    metas = []
     for a in arrays:
-        k = 1 if a.ndim == 1 else a.shape[0]
-        piece = moved[r:r + k]
-        out.append(piece[0] if a.ndim == 1 else piece)
-        r += k
+        flat = a[None, :] if a.ndim == 1 else a
+        cls = "f" if jnp.issubdtype(flat.dtype, jnp.floating) else "i"
+        if cls == "i":
+            flat = flat.astype(jnp.int32) if flat.dtype != jnp.int32 else flat
+        lst = groups.setdefault(cls, [])
+        metas.append((cls, len(lst), a.ndim, a.dtype,
+                      1 if a.ndim == 1 else a.shape[0]))
+        for r in flat:
+            lst.append(r[None, :])
+        # record starting row, not per-plane entries
+        metas[-1] = (cls, len(lst) - flat.shape[0], a.ndim, a.dtype,
+                     flat.shape[0])
+    moved = {cls: move_pack(lst) for cls, lst in groups.items()}
+    out = []
+    for cls, row, ndim, dtype, k in metas:
+        piece = moved[cls][row:row + k]
+        if cls == "i" and dtype != jnp.int32:
+            piece = piece.astype(dtype)
+        out.append(piece[0] if ndim == 1 else piece)
     return out
 
 

@@ -136,3 +136,22 @@ def test_lane_buckets_group_coherent_rays():
     b = np.asarray(lane_buckets(o, d, done))
     # exactly 4 buckets among live rays (2 cells x 2 octants)
     assert len(set(b[4:].tolist())) == 4
+
+
+def test_lanesort_bitwise_equals_regen():
+    """Per-ray re-binning (MXU counting sort) permutes execution order only:
+    RNG key data rides the permutation and per-pixel sums are un-permuted at
+    the end, so the image must be bitwise identical to plain regen."""
+    scene, use_sky = rt.build_scene(4, seed=0)
+    settings = rt.RenderSettings(rays_per_pixel=6, reflect_limit=4
+                                 ).with_sky(use_sky)
+    cam = build_camera(rt.CameraConfig(width=64, height=32,
+                                       position=(0.0, 0.5, -6.0)))
+    o, d = primary_rays(cam, 64, 32)
+    idx = jnp.arange(64 * 32, dtype=jnp.int32)
+    regen = dataclasses.replace(settings, sampler="regen")
+    lane = dataclasses.replace(settings, sampler="lanesort")
+    m_a, s_a = render_sample_mean(scene, regen, idx, o, d, jax.random.key(7))
+    m_b, s_b = render_sample_mean(scene, lane, idx, o, d, jax.random.key(7))
+    np.testing.assert_array_equal(np.asarray(m_a), np.asarray(m_b))
+    assert float(s_a) == float(s_b)
