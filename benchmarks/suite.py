@@ -26,9 +26,10 @@ from raytracer_tpu.models import bench_scenes
 
 
 def run_config(name, scene, use_sky, cam, spp, bounces, frames,
-               coherent=None):
+               coherent=None, sampler="auto"):
     settings = rt.RenderSettings(rays_per_pixel=spp, reflect_limit=bounces,
-                                 coherent=coherent).with_sky(use_sky)
+                                 coherent=coherent,
+                                 sampler=sampler).with_sky(use_sky)
     r = rt.Renderer(scene, cam, settings)
     r.render_frame(block=True)  # compile + warm
     stats = r.render_frames(frames)  # async pipeline, single final sync
@@ -148,6 +149,16 @@ def main():
     run_config("stress10k_coherent_1000x800_20spp", scene, sky,
                rt.CameraConfig(width=1000, height=800, position=(0, 1, -4)),
                spp=5 if q else 20, bounces=5, frames=2, coherent=True)
+    # Per-ray re-binning (MXU counting sort, ops/rebin.lane_destinations):
+    # the wavefront sampler whose tiles stay (cell, octant)-coherent after
+    # diffuse bounces — the divergent-scene alternative to the megakernel.
+    run_config("stress10k_lanesort_1000x800_20spp", scene, sky,
+               rt.CameraConfig(width=1000, height=800, position=(0, 1, -4)),
+               spp=5 if q else 20, bounces=5, frames=2, sampler="lanesort")
+    run_config("stress10k_lanesort_coherent_1000x800_20spp", scene, sky,
+               rt.CameraConfig(width=1000, height=800, position=(0, 1, -4)),
+               spp=5 if q else 20, bounces=5, frames=2, sampler="lanesort",
+               coherent=True)
 
     # Beyond-SMEM scene: the HBM-streamed blocked kernel (per-block union
     # gates + in-block supers, ops/intersect_pallas.py _kernel_blocked)
