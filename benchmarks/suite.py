@@ -108,11 +108,12 @@ def main():
                spp=10 if q else 200, bounces=5, frames=2)
 
     # Big-image-texture configs (VERDICT round-2 item 4): a 256x512 earth
-    # (1024 packed rows) and a 512x1024 earth (4096 rows) both stay on the
-    # megakernel's in-kernel fetch — the row select clamps to the tile's
-    # [min, max] texel-row range past IMG_STATIC_ROWS; a 1024x2048 earth
-    # (16384 rows) exceeds IMG_MAX_ROWS and measures the wavefront
-    # pipeline's XLA atlas-gather fallback.
+    # (1024 packed rows) and a 512x1024 earth (4096 rows) stay on the
+    # megakernel's VMEM-resident fetch — the row select clamps to the
+    # tile's [min, max] texel-row range past IMG_STATIC_ROWS; a 1024x2048
+    # earth (16384 rows) exceeds IMG_MAX_ROWS and rides the HBM-paged
+    # texel plane (IMG_PAGE-row DMA bands through a VMEM scratch); the
+    # wavefront XLA atlas gather is measured once as the explicit fallback.
     from raytracer_tpu.models.scenes import procedural_earth_texture
     scene, sky = rt.build_scene(
         2, earth_image=procedural_earth_texture(256))
@@ -126,9 +127,12 @@ def main():
                spp=2 if q else 20, bounces=5, frames=2)
     scene, sky = rt.build_scene(
         2, earth_image=procedural_earth_texture(1024))
-    run_config("earth2048_wavefront_1000x800_20spp", scene, sky,
+    run_config("earth2048_hbm_paged_1000x800_20spp", scene, sky,
                rt.CameraConfig(width=1000, height=800),
                spp=2 if q else 20, bounces=5, frames=2)
+    run_config("earth2048_wavefront_1000x800_20spp", scene, sky,
+               rt.CameraConfig(width=1000, height=800),
+               spp=2 if q else 20, bounces=5, frames=2, sampler="regen")
 
     scene, sky = bench_scenes.monkey_light_scene()
     run_config("monkey_1920x1080_100spp", scene, sky,

@@ -262,8 +262,9 @@ class SceneArrays:
     # texture planes: ((atlas_offset, height, width, row_offset), ...) for
     # each distinct image, plus the total packed row count (wide images
     # pack into ceil(w/128) column-block rows per image row). Zero rows
-    # means no image textures; rows > megakernel.IMG_MAX_ROWS disables
-    # the in-kernel sampling (wavefront fallback).
+    # means no image textures; planes past megakernel.IMG_MAX_ROWS live in
+    # HBM and are paged through a VMEM scratch in-kernel, up to the
+    # IMG_HBM_MAX_ROWS sanity bound (wavefront fallback beyond that).
     img_layout: tuple = dataclasses.field(
         default=(), metadata=dict(static=True))
     img_rows: int = dataclasses.field(

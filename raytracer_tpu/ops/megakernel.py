@@ -124,6 +124,14 @@ IMG_MAX_ROWS = int(os.environ.get("RAYTRACER_IMG_MAX_ROWS", "8192"))
 # (coherent tiles sample a thin band of the texture, so the clamped loop
 # usually touches a few dozen rows of a multi-thousand-row image).
 IMG_STATIC_ROWS = int(os.environ.get("RAYTRACER_IMG_STATIC_ROWS", "64"))
+# Past IMG_MAX_ROWS the packed texel plane stays in HBM and the fetch DMAs
+# the tile's clamped texel-row band into a VMEM page scratch, IMG_PAGE rows
+# (x 128 x 4 B = 256 KiB) per copy — the VMEM-residency cap disappears and
+# the in-kernel path covers any practical texture; IMG_HBM_MAX_ROWS is a
+# sanity bound on the HBM plane itself (2^18 rows = 128 MiB).
+IMG_PAGE = int(os.environ.get("RAYTRACER_IMG_PAGE", "512"))
+IMG_HBM_MAX_ROWS = int(os.environ.get("RAYTRACER_IMG_HBM_MAX_ROWS",
+                                      str(1 << 18)))
 
 
 def supports(scene: SceneArrays) -> bool:
@@ -131,10 +139,10 @@ def supports(scene: SceneArrays) -> bool:
 
     Image textures are sampled in-kernel with a lane-gather + row-select
     fetch (_fetch_image). Images wider than 128 texels pack each image row
-    into ceil(w/128) column-block rows, so the only cap is the total packed
-    row count: the select sweep is linear in it (3 vector ops per row per
-    image-sampling iteration), so beyond IMG_MAX_ROWS the scene falls back
-    to the wavefront pipeline's XLA atlas gather."""
+    into ceil(w/128) column-block rows. Planes up to IMG_MAX_ROWS live in
+    VMEM; bigger ones stay in HBM and the fetch DMAs the tile's clamped
+    texel-row band through a VMEM page scratch, so the only cap left is
+    the IMG_HBM_MAX_ROWS sanity bound on the plane itself."""
     from .sweep import fits_smem
     if not fits_smem(scene):
         # scene-resident SMEM layout would blow the ~1 MiB budget; the
@@ -142,7 +150,7 @@ def supports(scene: SceneArrays) -> bool:
         return False
     if not scene.has_image_tex:
         return True
-    return 0 < scene.img_rows <= IMG_MAX_ROWS
+    return 0 < scene.img_rows <= IMG_HBM_MAX_ROWS
 
 
 def pack_textures(scene: SceneArrays) -> jax.Array:
@@ -197,7 +205,8 @@ def pack_materials(scene: SceneArrays) -> jax.Array:
 
 
 def _fetch_image(tex_ref, uu, vv, mtw, mth, mtrow, *, img_rows: int,
-                 mask=None):
+                 mask=None, page_ref=None, page_sem=None,
+                 img_rows_padded: int = 0):
     """Nearest-neighbour texel fetch (src/material.cu:119-124), pure VPU.
 
     The texture column select is Mosaic's native lane-dimension dynamic
@@ -230,6 +239,43 @@ def _fetch_image(tex_ref, uu, vv, mtw, mth, mtrow, *, img_rows: int,
     ty = jnp.clip(ty, 0, img_rows - 1)
     lane = u_i & (LANES - 1)
     acc = u_i * 0
+    if page_ref is not None:
+        # HBM plane (img_rows > IMG_MAX_ROWS): stream the tile's clamped
+        # [min(ty), max(ty)] texel-row band through the VMEM page scratch,
+        # IMG_PAGE rows per DMA, and run the same row select against each
+        # page. Page starts are 8-row aligned and clipped to the padded
+        # plane (pages may overlap near the end; the exact ``ty == row``
+        # match makes duplicate rows idempotent). Bitwise identical to the
+        # VMEM path.
+        if mask is None:
+            ty_lo = jnp.min(ty)
+            ty_hi = jnp.max(ty)
+        else:
+            ty_lo = jnp.min(jnp.where(mask, ty, jnp.int32(img_rows - 1)))
+            ty_hi = jnp.max(jnp.where(mask, ty, jnp.int32(0)))
+        base = (ty_lo >> 3) << 3
+        n_pages = (ty_hi - base + IMG_PAGE) // IMG_PAGE
+
+        def fpage(p, acc):
+            start = jnp.minimum(base + p * IMG_PAGE,
+                                img_rows_padded - IMG_PAGE)
+            cp = pltpu.make_async_copy(
+                tex_ref.at[pl.ds(start, IMG_PAGE), :], page_ref, page_sem)
+            cp.start()
+            cp.wait()
+
+            def frow(i, acc):
+                row = page_ref[pl.ds(i, 1), :]
+                g = jnp.take_along_axis(jnp.broadcast_to(row, shape), lane,
+                                        axis=1)
+                return jnp.where(ty == start + i, g, acc)
+
+            lo = jnp.maximum(ty_lo - start, 0)
+            hi = jnp.minimum(ty_hi - start + 1, IMG_PAGE)
+            return jax.lax.fori_loop(lo, hi, frow, acc)
+
+        acc = jax.lax.fori_loop(0, n_pages, fpage, acc)
+        return decode_colour30(acc)
     if img_rows <= IMG_STATIC_ROWS:
         for i in range(img_rows):
             g = jnp.take_along_axis(
@@ -272,7 +318,8 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
             tex_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             sum_r_ref, sum_g_ref, sum_b_ref, segs_ref, depth_ref,
-            *, num_spheres: int, num_tris: int, num_sph_clusters: int,
+            *scratch,
+            num_spheres: int, num_tris: int, num_sph_clusters: int,
             num_tri_clusters: int, num_sph_supers: int,
             num_tri_supers: int, num_materials: int, spp: int,
             limit: int, antialias: bool, sky: tuple,
@@ -283,7 +330,12 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
             img_rows: int, rows_s: int, rows_t: int,
             num_sph_lane: int = 0, num_tri_lane: int = 0,
             sph_lane_leaf: int = 0, tri_lane_leaf: int = 0,
-            interp_rng: bool = False, coherent: bool = False):
+            interp_rng: bool = False, coherent: bool = False,
+            img_rows_padded: int = 0):
+    # HBM-paged image textures (img_rows > IMG_MAX_ROWS): the texel plane
+    # arrives as an HBM ref and pallas passes a VMEM page scratch + DMA
+    # semaphore after the outputs.
+    tex_page_ref, tex_sem = scratch if scratch else (None, None)
     tile = pl.program_id(0)
     # Defer the winner-param selects out of the sweep when the scene is big
     # enough that the per-bounce fetch pass costs less than the per-swept-
@@ -695,7 +747,10 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
                   tr_, tg_, tb_ = args
                   ir, ig, ib = _fetch_image(tex_ref, uu, vv, mtw, mth,
                                             mtrow, img_rows=img_rows,
-                                            mask=is_img)
+                                            mask=is_img,
+                                            page_ref=tex_page_ref,
+                                            page_sem=tex_sem,
+                                            img_rows_padded=img_rows_padded)
                   return (jnp.where(is_img, ir, tr_),
                           jnp.where(is_img, ig, tg_),
                           jnp.where(is_img, ib, tb_))
@@ -943,6 +998,14 @@ def render_sample_mean_mega(
         matv = matv.at[:, :mat.shape[1]].set(mat)
     sphp_f, sphp_i, trip_f, trip_i = pack_param_planes(scene)
     tex = pack_textures(scene)
+    # Texel planes past the VMEM cap stay in HBM; the kernel pages the
+    # tile's sampled row band through a VMEM scratch (see _fetch_image).
+    img_hbm = int(scene.img_rows) > IMG_MAX_ROWS
+    img_rows_padded = 0
+    if img_hbm:
+        img_rows_padded = max(IMG_PAGE, -(-int(scene.img_rows) // 8) * 8)
+        if img_rows_padded > tex.shape[0]:
+            tex = jnp.pad(tex, ((0, img_rows_padded - tex.shape[0]), (0, 0)))
     kd = jax.random.key_data(frame_key).astype(jnp.int32).reshape(-1)
     seed = jnp.concatenate(
         [kd[:2], jnp.asarray([tile_offset], jnp.int32).reshape(1)])
@@ -990,14 +1053,19 @@ def render_sample_mean_mega(
             interp_rng=_interpret(),
             coherent=(COHERENT if settings.coherent is None
                       else bool(settings.coherent)),
+            img_rows_padded=img_rows_padded,
         ),
         grid=(rows // mrows,),
         in_specs=([smem] * 15
-                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10
+                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9
+                  + [pl.BlockSpec(memory_space=(pl.ANY if img_hbm
+                                                else pltpu.VMEM))]
                   + [ray_spec] * 6),
         out_specs=(ray_spec,) * 5,
         out_shape=tuple(jax.ShapeDtypeStruct((rows, LANES), f32, vma=vma)
                         for _ in range(5)),
+        scratch_shapes=([pltpu.VMEM((IMG_PAGE, LANES), jnp.int32),
+                         pltpu.SemaphoreType.DMA] if img_hbm else []),
         interpret=_interpret(),
     )(seed, sphf, sphi, trif, trii, sphc, tric, sphs, tris,
       sph_order, tri_order, cell_grid, mat, slcl, tlcl, matv,

@@ -38,12 +38,21 @@ def test_supports_flags():
     b.add_sphere((0, 0, 2), 1.0, Material.standard(wide, 0))
     s_wide = b.build()
     assert s_wide.img_rows == 64 * 3 and supports(s_wide)  # ceil(320/128)=3
-    # an image past the packed-row cap falls back to the wavefront
+    # an image past the VMEM packed-row cap now stays in-kernel (HBM-paged
+    # texel plane); only the HBM sanity bound disables the megakernel
+    import raytracer_tpu.ops.megakernel as mk
     b = SceneBuilder()
     big = Texture.from_image(
         np.zeros((IMG_MAX_ROWS, 256, 3), np.float32))
     b.add_sphere((0, 0, 2), 1.0, Material.standard(big, 0))
-    assert not supports(b.build())
+    s_big = b.build()
+    assert s_big.img_rows > IMG_MAX_ROWS and supports(s_big)
+    orig = mk.IMG_HBM_MAX_ROWS
+    try:
+        mk.IMG_HBM_MAX_ROWS = s_big.img_rows - 1
+        assert not supports(s_big)
+    finally:
+        mk.IMG_HBM_MAX_ROWS = orig
 
 
 def test_pack_materials_shape():
@@ -280,6 +289,98 @@ def test_fetch_image_wide_texture_matches_atlas_gather(h_img, w_img,
         np.testing.assert_array_equal(got[sel], expect[sel])
     else:
         np.testing.assert_array_equal(got, expect)
+
+
+def test_fetch_image_hbm_paged_matches_atlas_gather():
+    """The HBM-paged texel fetch (plane in ANY memory, IMG_PAGE-row DMA
+    bands through a VMEM scratch) must reproduce the atlas gather bitwise —
+    same check as the VMEM-resident test, different residency."""
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from raytracer_tpu.models.materials import Material, Texture
+    from raytracer_tpu.models.scene import SceneBuilder
+    from raytracer_tpu.ops.megakernel import (IMG_PAGE, _fetch_image,
+                                              pack_textures)
+
+    h_img, w_img = 96, 1024                 # 768 packed rows -> 2 DMA pages
+    rng = np.random.default_rng(13)
+    img = rng.uniform(0, 1, (h_img, w_img, 3)).astype(np.float32)
+    b = SceneBuilder()
+    b.add_sphere((0, 0, 2), 1.0,
+                 Material.standard(Texture.from_image(img), 0))
+    scene = b.build()
+    planes = pack_textures(scene)
+    padded = max(IMG_PAGE, -(-scene.img_rows // 8) * 8)
+    if padded > planes.shape[0]:
+        planes = jnp.pad(planes, ((0, padded - planes.shape[0]), (0, 0)))
+
+    rows, lanes = 4, 128
+    uu = jnp.asarray(rng.uniform(0, 1, (rows, lanes)), jnp.float32)
+    vv = jnp.asarray(rng.uniform(0, 1, (rows, lanes)), jnp.float32)
+    w = jnp.full((rows, lanes), float(w_img))
+    hh = jnp.full((rows, lanes), float(h_img))
+    trow = jnp.zeros((rows, lanes))
+
+    def kernel(tex_ref, u_ref, v_ref, w_ref, h_ref, row_ref,
+               r_ref, g_ref, b_ref, page_ref, sem):
+        r, g, bb = _fetch_image(tex_ref, u_ref[:], v_ref[:], w_ref[:],
+                                h_ref[:], row_ref[:],
+                                img_rows=scene.img_rows, mask=None,
+                                page_ref=page_ref, page_sem=sem,
+                                img_rows_padded=padded)
+        r_ref[:] = r
+        g_ref[:] = g
+        b_ref[:] = bb
+
+    r, g, bch = pl.pallas_call(
+        kernel,
+        out_shape=tuple(jax.ShapeDtypeStruct((rows, lanes), jnp.float32)
+                        for _ in range(3)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                        for _ in range(3)),
+        scratch_shapes=[pltpu.VMEM((IMG_PAGE, 128), jnp.int32),
+                        pltpu.SemaphoreType.DMA],
+        interpret=not ON_TPU,
+    )(planes, uu, vv, w, hh, trow)
+
+    u_i = np.clip(((w_img - 1.0) * np.asarray(uu)).astype(np.int32),
+                  0, w_img - 1)
+    v_i = np.clip(((h_img - 1.0) * np.asarray(vv)).astype(np.int32),
+                  0, h_img - 1)
+    flat = 1 + v_i * w_img + u_i
+    expect = np.asarray(scene.atlas)[flat]
+    got = np.stack([np.asarray(r), np.asarray(g), np.asarray(bch)], -1)
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_mega_hbm_paged_textures_match_vmem(monkeypatch):
+    """End-to-end megakernel render with the texel plane forced onto the
+    HBM-paged path (IMG_MAX_ROWS patched below the scene's packed rows)
+    must be bitwise identical to the VMEM-resident render: the fetch math
+    is the same, only the residency changes."""
+    import raytracer_tpu.ops.megakernel as mk
+    from raytracer_tpu.models.scenes import procedural_earth_texture
+    scene, use_sky = rt.build_scene(
+        2, earth_image=procedural_earth_texture(128))   # 256 packed rows
+    settings = rt.RenderSettings(rays_per_pixel=6, reflect_limit=3,
+                                 sampler="mega").with_sky(use_sky)
+    w, h = 64, 32
+    cam = build_camera(rt.CameraConfig(width=w, height=h))
+    o, d = primary_rays(cam, w, h)
+    idx = jnp.arange(w * h, dtype=jnp.int32)
+
+    m_vmem, s_v = render_sample_mean(scene, settings, idx, o, d,
+                                     jax.random.key(5), backend="pallas")
+    m_vmem = np.asarray(m_vmem)
+    monkeypatch.setattr(mk, "IMG_MAX_ROWS", 64)
+    assert scene.img_rows > 64 and supports(scene)
+    m_hbm, s_h = render_sample_mean(scene, settings, idx, o, d,
+                                    jax.random.key(5), backend="pallas")
+    np.testing.assert_array_equal(m_vmem, np.asarray(m_hbm))
+    assert float(s_v) == float(s_h)
 
 
 def test_mega_tile_offset_shard_invariance():
