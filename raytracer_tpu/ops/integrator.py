@@ -49,6 +49,11 @@ from .textures import sample_texture
 # gate footprints. Opt-in; default streams stay pixel-keyed
 # (shard-invariant).
 _COHERENT = os.environ.get("RAYTRACER_COHERENT", "0") == "1"
+# lanesort cadence: re-bin every k-th while_loop iteration (1 = every
+# iteration). Post-diffuse directions re-randomise each bounce, so sorted
+# order decays in one bounce — but if the permutation's fixed cost
+# dominates on hardware, k=2..3 trades footprint for build time.
+_LANESORT_EVERY = int(os.environ.get("RAYTRACER_LANESORT_EVERY", "1"))
 
 
 def _bounce_physics(scene, settings, backend, o, d, thru, rad, alive,
@@ -272,11 +277,20 @@ def _render_regen_soa(
                           jnp.asarray([1.0, 0.0, 0.0],
                                       jnp.float32)[:, None], d)
         if lane_sort:
-            dest = lane_destinations(lane_buckets(o, d, done))
+            def resort(args):
+                o, d = args[0], args[1]
+                dest = lane_destinations(lane_buckets(o, d, done))
+                return tuple(apply_lane_permutation(dest, args))
+
+            args = (o, d, thru, rad, pixel_sum, o0p, d0p, cur_ior, kd,
+                    bounce_i, sample_i, home)
+            if _LANESORT_EVERY > 1:
+                args = jax.lax.cond(it % _LANESORT_EVERY == 0, resort,
+                                    lambda a: a, args)
+            else:
+                args = resort(args)
             (o, d, thru, rad, pixel_sum, o0p, d0p, cur_ior, kd,
-             bounce_i, sample_i, home) = apply_lane_permutation(
-                dest, (o, d, thru, rad, pixel_sum, o0p, d0p, cur_ior, kd,
-                       bounce_i, sample_i, home))
+             bounce_i, sample_i, home) = args
         elif rebin:
             perm = bucket_permutation(row_buckets(o, d, done))
             (o, d, thru, rad, pixel_sum, o0p, d0p, kd) = (
