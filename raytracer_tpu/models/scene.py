@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .materials import Material, compile_materials
+from .materials import MAT_REFRACTIVE, Material, compile_materials
 
 _PAD = 8  # pad primitive pools to a multiple of this
 _CLUSTER_LEAF = 32  # BVH leaf size for tile-sweep culling (measured best)
@@ -241,6 +241,11 @@ class SceneArrays:
         default=False, metadata=dict(static=True))
     # Static: any one-way triangle? Skips the cull dot product per pair.
     has_one_way: bool = dataclasses.field(
+        default=True, metadata=dict(static=True))
+    # Static: any refractive material? Lets the megakernel skip the whole
+    # Snell/Schlick block (2 sqrt + rsqrt + divides per bounce) on scenes
+    # without glass (need-based skip, like need_uv src/material.cu:142).
+    has_refractive: bool = dataclasses.field(
         default=True, metadata=dict(static=True))
     # Static: any triangle with a UV-dependent texture? Skips barycentric
     # UV interpolation per pair (need_uv analog, src/material.cu:142).
@@ -735,6 +740,8 @@ class SceneBuilder:
             needs_sphere_uv=needs_sphere_uv,
             has_image_tex=bool(np.any(table.tex_type == 3)),
             has_one_way=has_one_way,
+            has_refractive=bool(np.any(np.asarray(table.mat_type)
+                                       == MAT_REFRACTIVE)),
             needs_tri_uv=needs_tri_uv,
             sph_leaf=int(s_leaf),
             tri_leaf=int(t_leaf),

@@ -331,7 +331,7 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
             num_sph_lane: int = 0, num_tri_lane: int = 0,
             sph_lane_leaf: int = 0, tri_lane_leaf: int = 0,
             interp_rng: bool = False, coherent: bool = False,
-            img_rows_padded: int = 0):
+            img_rows_padded: int = 0, has_refractive: bool = True):
     # HBM-paged image textures (img_rows > IMG_MAX_ROWS): the texel plane
     # arrives as an HBM ref and pallas passes a VMEM page scratch + DMA
     # semaphore after the outputs.
@@ -800,6 +800,14 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
                   refx * refx + refy * refy + refz * refz, 1e-24))
               refx, refy, refz = refx * rinv, refy * rinv, refz * rinv
 
+              if not has_refractive:
+                  # no glass in the scene (static): the Snell/Schlick block
+                  # below (2 sqrt + rsqrt + 4 divides) is dead weight —
+                  # skip it the way the reference's need_uv flag skips UV
+                  # math (src/material.cu:142). fres_u stays drawn so the
+                  # RNG stream is identical with the block on or off.
+                  return refx, refy, refz, ior
+
               exiting = ddn > 0.0
               n1_ = jnp.where(exiting, mior, ior)
               # exit medium: the reference forgets air (quirk), the fix restores it
@@ -811,17 +819,22 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
               sin1 = jnp.sqrt(jnp.maximum(1.0 - cos1 * cos1, 0.0))
               sin2 = jnp.minimum(n1_ * sin1 / n2_, 1.0)
               cos2 = jnp.sqrt(jnp.maximum(1.0 - sin2 * sin2, 0.0))
-              tir = sin1 > (n2_ / n1_)
+              # sin1 > n2/n1  <=>  sin1 * n1 > n2 (IORs are positive);
+              # saves a divide on the bounce chain
+              tir = sin1 * n1_ > n2_
               sq0 = (n1_ - n2_) / (n1_ + n2_)
               r0 = sq0 * sq0
               mm_ = 1.0 - cos1
               m2 = mm_ * mm_
               refl = r0 + (1.0 - r0) * (m2 * m2 * mm_)
               do_reflect = tir | (refl > fres_u)
-              ssin1 = jnp.where(sin1 == 0.0, 1.0, sin1)
-              pfx = jnp.where(sin1 != 0.0, (dx - rnx * cos1) / ssin1, 0.0)
-              pfy = jnp.where(sin1 != 0.0, (dy - rny * cos1) / ssin1, 0.0)
-              pfz = jnp.where(sin1 != 0.0, (dz - rnz * cos1) / ssin1, 0.0)
+              # one reciprocal instead of three divides (x * (1/s) — the
+              # megakernel is held to statistical/PSNR tests, not bitwise)
+              inv_s1 = jnp.where(sin1 == 0.0, 0.0,
+                                 1.0 / jnp.where(sin1 == 0.0, 1.0, sin1))
+              pfx = (dx - rnx * cos1) * inv_s1
+              pfy = (dy - rny * cos1) * inv_s1
+              pfz = (dz - rnz * cos1) * inv_s1
               rfx = rnx * cos2 + pfx * sin2
               rfy = rny * cos2 + pfy * sin2
               rfz = rnz * cos2 + pfz * sin2
@@ -1054,6 +1067,7 @@ def render_sample_mean_mega(
             coherent=(COHERENT if settings.coherent is None
                       else bool(settings.coherent)),
             img_rows_padded=img_rows_padded,
+            has_refractive=bool(scene.has_refractive),
         ),
         grid=(rows // mrows,),
         in_specs=([smem] * 15
