@@ -96,6 +96,7 @@ def _bounce_physics(scene, settings, backend, o, d, thru, rad, alive,
         gauss, fresnel_u, d, shade.normal,
         cols.mat_type, shade.smooth, cols.ior, cur_ior,
         fix_exit_ior=settings.fix_exit_ior,
+        has_refractive=bool(scene.has_refractive),
     )
     o = jnp.where(live_hit[None, :], shade.point, o)
     d = jnp.where(live_hit[None, :], new_d, d)

@@ -75,6 +75,7 @@ def scatter(
     mat_ior: jax.Array,      # (N,) f32
     cur_ior: jax.Array,      # (N,) f32 medium the ray is travelling in
     fix_exit_ior: bool = False,
+    has_refractive: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Sample outgoing directions for all rays; returns (new_dir, new_cur_ior).
 
@@ -82,12 +83,19 @@ def scatter(
     smoothness) (src/ray.cu:67-75); refractives follow Snell + Schlick with
     probabilistic reflection (src/ray.cu:77-128). Randoms are passed in
     pre-drawn (per-ray counter-based streams — see ops.rng).
+
+    ``has_refractive=False`` (static, from the scene) skips the whole
+    refraction block — with no refractive material ids present, the
+    ``is_refr`` selects below never pick it, so this is bitwise identical
+    and strictly cheaper.
     """
     # -- reflection family (STANDARD / EMISSIVE; also Fresnel bounce) -------
     diffuse = _diffuse_dir(gauss, normal)
     specular = _specular_dir(d, normal)
     reflect_dir = _normalize(
         diffuse + (specular - diffuse) * smoothness[None, :])
+    if not has_refractive:
+        return reflect_dir, cur_ior
 
     # -- refraction (REFRACTIVE) --------------------------------------------
     # Sphere normals stay outward, so dot(n, d) > 0 means the ray is exiting
