@@ -135,6 +135,40 @@ def test_renderer_spp_sharded_mode():
     assert r.total_segments >= len(devs) * 2 * 512
 
 
+def test_pixel_sharded_lanesort_equals_single_device():
+    """lanesort under shard_map: each shard counting-sorts only its own
+    rays, but RNG streams are pixel-keyed and ride the permutation, so the
+    sharded image must stay bitwise identical to the single-device render
+    (which equals plain regen)."""
+    import dataclasses
+    scene, use_sky = rt.build_scene(4, seed=0)
+    settings = rt.RenderSettings(rays_per_pixel=2, reflect_limit=3,
+                                 sampler="lanesort").with_sky(use_sky)
+    cam = build_camera(rt.CameraConfig(width=64, height=32,
+                                       position=(0.0, 0.5, -6.0)))
+    o, d = primary_rays(cam, 64, 32)
+    idx = jnp.arange(64 * 32, dtype=jnp.int32)
+    n = o.shape[0]
+    key = jax.random.key(5)
+
+    ref, ref_segs = render_frame(scene, settings, idx, o, d,
+                                 jnp.zeros((n, 3)), jnp.int32(0), key)
+    mesh = make_mesh()
+    sh = pixel_sharding(mesh)
+    step = make_pixel_sharded_step(mesh, settings)
+    out, segs = step(scene, jax.device_put(idx, sh), jax.device_put(o, sh),
+                     jax.device_put(d, sh),
+                     jax.device_put(jnp.zeros((n, 3)), sh), jnp.int32(0),
+                     key)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+    assert float(ref_segs) == float(segs)
+
+    regen = dataclasses.replace(settings, sampler="regen")
+    ref2, _ = render_frame(scene, regen, idx, o, d, jnp.zeros((n, 3)),
+                           jnp.int32(0), key)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(ref2))
+
+
 def test_spp_mode_checkpoint_resume(tmp_path):
     """load_checkpoint in spp shard mode must keep the accumulator
     replicated (make_spp_sharded_step declares it P()); re-placing it with
