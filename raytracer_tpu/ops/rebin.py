@@ -101,8 +101,14 @@ def bucket_permutation(bucket: jax.Array) -> jax.Array:
 # multiply-reduces, never gathers. The one data movement is a single packed
 # scatter/gather of the ray state (see apply_lane_permutation).
 
-LANE_GRID = 2                           # spatial cells per axis (lane bins)
-LANE_BUCKETS = LANE_GRID ** 3 * 8       # cells x direction octants <= 128
+import os
+
+# Spatial cells per axis of the lane-bin lattice. The counting sort's
+# one-hot work is O(N * LANE_BUCKETS): grid 2 -> 64 buckets (102 MB of
+# bf16 one-hots per 800k-ray rebin), grid 3 -> 216 (finer re-cohesion,
+# ~3.4x the build traffic). Tune on hardware against the sweep time saved.
+LANE_GRID = int(os.environ.get("RAYTRACER_LANE_GRID", "2"))
+LANE_BUCKETS = LANE_GRID ** 3 * 8       # cells x direction octants
 
 
 def lane_buckets(o: jax.Array, d: jax.Array, done: jax.Array) -> jax.Array:
