@@ -504,10 +504,10 @@ def _run_kernel_blocked(planes, scene: SceneArrays, rows: int):
             pl.BlockSpec(memory_space=smem),      # bbox (resident)
             pl.BlockSpec(memory_space=smem),      # border (near-first)
             pl.BlockSpec(memory_space=smem),      # bgrid (cell lattice)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # sphf blocks (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # sphi blocks
-            pl.BlockSpec(memory_space=pltpu.ANY),  # trif blocks
-            pl.BlockSpec(memory_space=pltpu.ANY),  # trii blocks
+            pl.BlockSpec(memory_space=pl.ANY),  # sphf blocks (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # sphi blocks
+            pl.BlockSpec(memory_space=pl.ANY),  # trif blocks
+            pl.BlockSpec(memory_space=pl.ANY),  # trii blocks
         ] + [ray_spec] * 6,
         out_specs=tuple(
             pl.BlockSpec((BROWS, LANES), lambda i: (i, 0),

@@ -196,6 +196,23 @@ SPH_NAN = os.environ.get("RAYTRACER_SPH_NAN", "1") == "1"
 # 99.6 -> 94.5, monkey+coherent 199.7 -> 175.6, stress10k 11.8 -> 11.3.
 # Kept as a measurement knob; do not re-try without new hardware facts.
 GATE2_ORD = os.environ.get("RAYTRACER_GATE2_ORDERED", "0") == "1"
+# Mask-pop traversal for cluster-heavy pools: the gate scheme pays one
+# any+cond scalar sync per cluster (plus one per super) whether or not the
+# gate opens — 300+ per tile per bounce on the 10k-sphere field, where
+# only ~10% of gates open. Mask-pop instead (1) bootstraps best-t through
+# the existing near-first gates on a small prefix, (2) slab-tests EVERY
+# remaining cluster vectorised into per-lane entry masks (lane_masks — no
+# syncs), and (3) pops the tile's union one cluster at a time, each pop
+# costing one min-reduce + one retest cond. Scalar syncs drop from
+# O(clusters) to O(union). Bitwise identical: masks are built against a
+# bootstrap best-t >= the final one, so every cluster a lane could still
+# win is present, the retest is the same rule as cluster_gate, and extra
+# sweeps are no-ops under the strict < select. Opt-in until measured.
+MASKPOP = os.environ.get("RAYTRACER_MASKPOP", "0") == "1"
+MASKPOP_MIN = int(os.environ.get("RAYTRACER_MASKPOP_MIN", "64"))
+MASKPOP_BOOT = int(os.environ.get("RAYTRACER_MASKPOP_BOOT", "8"))
+MASKPOP_BOOT_SUPERS = int(os.environ.get("RAYTRACER_MASKPOP_BOOT_SUPERS",
+                                         "2"))
 
 
 def lane_words(n_clusters: int) -> int:
@@ -720,6 +737,50 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
                                             cl_base=cl_base), cr)
         return jax.lax.cond(enter, inner, lambda cr: cr, carries)
 
+    def _min_set_index(masks):
+        """Scalar index of the lowest set bit across all lanes' mask words
+        (sentinel 2^20 when every lane's mask is empty) — one cross-lane
+        min-reduce per call."""
+        big = jnp.int32(1 << 20)
+        best = None
+        for w, m in enumerate(masks):
+            low = m & -m
+            idx = jnp.where(m != 0, w * LANE_WORD_BITS + _pow2_log2(low),
+                            big)
+            best = idx if best is None else jnp.minimum(best, idx)
+        return jnp.min(best)
+
+    def maskpop_loop(cl_get, leaf, n_cl, carries, body, boot, cl_base=0):
+        """Mask-pop traversal (see MASKPOP): bootstrap best-t via ``boot``
+        (the existing near-first gates over a small prefix), slab-test all
+        ``n_cl`` clusters vectorised into per-lane entry masks, then pop
+        the tile's union — one min-reduce + one retest cond per popped
+        cluster instead of one any+cond per cluster tested."""
+        carries = boot(carries)
+        # cl_base may be a traced scalar (the blocked kernel's block-local
+        # cluster rows), so always offset rather than branching on it
+        get = lambda i, k: cl_get(cl_base + i, k)
+        masks, _, _ = lane_masks(get, n_cl, best_t(carries), False)
+        live_all = zero_i == 0
+
+        def wbody(st):
+            c, masks, carries = st
+            # same pruning rule as cluster_gate, against the evolving
+            # best-t (the mask was built at the looser bootstrap best-t)
+            hit = slab(get, c, best_t(carries))
+            carries = jax.lax.cond(
+                jnp.any(hit),
+                lambda cr: leaf_sweep(c * leaf, leaf, cr, body),
+                lambda cr: cr, carries)
+            masks = tuple(_clear_bit(list(masks), zero_i + c, live_all))
+            return (_min_set_index(masks), masks, carries)
+
+        c0 = _min_set_index(masks)
+        _, _, carries = jax.lax.while_loop(
+            lambda st: st[0] < jnp.int32(n_cl), wbody,
+            (c0, tuple(masks), carries))
+        return carries
+
     if defer_params:
         fresh = (zero_f + _INF, zero_i, zero_f, zero_f)
     else:
@@ -796,6 +857,41 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
         tile_coherent = (rsx * rsx + rsy * rsy + rsz * rsz) > LANE_R2
 
     def sph_shared(carry):
+        if (MASKPOP and stats_ref is None
+                and num_sph_clusters >= MASKPOP_MIN):
+            if sph_ordered and num_sph_supers > 0:
+                base = cell * num_sph_supers
+                nb = min(MASKPOP_BOOT_SUPERS, num_sph_supers)
+                boot = lambda cr: jax.lax.fori_loop(
+                    0, nb,
+                    lambda i, cr2: super_gate(ssup_get, scl_get, sph_leaf,
+                                              sph_order[base + i], cr2,
+                                              sph_body), cr)
+            elif num_sph_supers > 0:
+                nb = min(MASKPOP_BOOT_SUPERS, num_sph_supers)
+                boot = lambda cr: jax.lax.fori_loop(
+                    0, nb,
+                    lambda g, cr2: super_gate(ssup_get, scl_get, sph_leaf,
+                                              sph_sup_base + g, cr2,
+                                              sph_body, cl_base=sph_cl_base),
+                    cr)
+            elif sph_ordered:
+                base = cell * num_sph_clusters
+                nb = min(MASKPOP_BOOT, num_sph_clusters)
+                boot = lambda cr: jax.lax.fori_loop(
+                    0, nb,
+                    lambda i, cr2: cluster_gate(scl_get, sph_leaf,
+                                                sph_order[base + i], cr2,
+                                                sph_body), cr)
+            else:
+                nb = min(MASKPOP_BOOT, num_sph_clusters)
+                boot = lambda cr: jax.lax.fori_loop(
+                    0, nb,
+                    lambda c, cr2: cluster_gate(scl_get, sph_leaf, c, cr2,
+                                                sph_body,
+                                                cl_base=sph_cl_base), cr)
+            return maskpop_loop(scl_get, sph_leaf, num_sph_clusters, carry,
+                                sph_body, boot, cl_base=sph_cl_base)
         if sph_ordered and num_sph_supers > 0:
             base = cell * num_sph_supers
             return jax.lax.fori_loop(
@@ -922,6 +1018,41 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
                            k * 2 + 1, cr)
 
     def tri_shared(carry):
+        if (MASKPOP and stats_ref is None
+                and num_tri_clusters >= MASKPOP_MIN):
+            if tri_ordered and num_tri_supers > 0:
+                base = cell * num_tri_supers
+                nb = min(MASKPOP_BOOT_SUPERS, num_tri_supers)
+                boot = lambda cr: jax.lax.fori_loop(
+                    0, nb,
+                    lambda i, cr2: super_gate(tsup_get, tcl_get, tri_leaf,
+                                              tri_order[base + i], cr2,
+                                              tri_body), cr)
+            elif num_tri_supers > 0:
+                nb = min(MASKPOP_BOOT_SUPERS, num_tri_supers)
+                boot = lambda cr: jax.lax.fori_loop(
+                    0, nb,
+                    lambda g, cr2: super_gate(tsup_get, tcl_get, tri_leaf,
+                                              tri_sup_base + g, cr2,
+                                              tri_body, cl_base=tri_cl_base),
+                    cr)
+            elif tri_ordered:
+                base = cell * num_tri_clusters
+                nb = min(MASKPOP_BOOT, num_tri_clusters)
+                boot = lambda cr: jax.lax.fori_loop(
+                    0, nb,
+                    lambda i, cr2: cluster_gate(tcl_get, tri_leaf,
+                                                tri_order[base + i], cr2,
+                                                tri_body), cr)
+            else:
+                nb = min(MASKPOP_BOOT, num_tri_clusters)
+                boot = lambda cr: jax.lax.fori_loop(
+                    0, nb,
+                    lambda c, cr2: cluster_gate(tcl_get, tri_leaf, c, cr2,
+                                                tri_body,
+                                                cl_base=tri_cl_base), cr)
+            return maskpop_loop(tcl_get, tri_leaf, num_tri_clusters, carry,
+                                tri_body, boot, cl_base=tri_cl_base)
         if tri_ordered and num_tri_supers > 0:
             base = cell * num_tri_supers
             return jax.lax.fori_loop(

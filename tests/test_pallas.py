@@ -195,6 +195,49 @@ def test_blocked_kernel_matches_oracle(monkeypatch):
                                np.asarray(sd_x.colour)[:, both], atol=1e-6)
 
 
+def test_maskpop_matches_gate_sweep(monkeypatch):
+    """Mask-pop traversal (sweep.MASKPOP: vectorised per-lane entry masks +
+    min-reduce pop of the tile union) must be bitwise identical to the
+    cond-gate scheme — masks are built at a bootstrap best-t that is never
+    tighter than the final one and pops retest with the cluster_gate rule,
+    so only the visitation order differs and strict < selects make that
+    order-invariant."""
+    from raytracer_tpu.models.materials import Material, Texture
+    from raytracer_tpu.models.scene import SceneBuilder
+    from raytracer_tpu.ops import sweep as sweep_mod
+    rng = np.random.default_rng(7)
+    b = SceneBuilder()
+    b.add_spheres(
+        rng.uniform(-10, 10, (1500, 3)), rng.uniform(0.1, 0.4, 1500),
+        Material.standard(Texture.const_colour((1, 1, 1)), 0.2),
+        colours=rng.uniform(0, 1, (1500, 3)))
+    white = Material.standard(Texture.const_colour((0.9, 0.9, 0.9)), 0)
+    for k in range(520):
+        p = rng.uniform(-10, 10, 3)
+        b.add_triangle(p, p + rng.uniform(-1, 1, 3),
+                       p + rng.uniform(-1, 1, 3), white)
+    scene = b.build()
+    monkeypatch.setattr(sweep_mod, "MASKPOP_MIN", 16)
+    assert scene.sph_clusters.shape[0] >= 16      # sphere pool: mask-pop
+    assert scene.tri_clusters.shape[0] >= 16      # triangle pool: mask-pop
+
+    # divergent rays: random origins in the field, random directions
+    o = jnp.asarray(rng.uniform(-10, 10, (3, 512)), jnp.float32)
+    d = rng.normal(size=(3, 512))
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    d = jnp.asarray(d, jnp.float32)
+
+    rec_gate = nearest_hit_pallas(o, d, scene)
+    monkeypatch.setattr(sweep_mod, "MASKPOP", True)
+    rec_pop = nearest_hit_pallas(o, d, scene)
+    np.testing.assert_array_equal(np.asarray(rec_gate.t),
+                                  np.asarray(rec_pop.t))
+    np.testing.assert_array_equal(np.asarray(rec_gate.idx),
+                                  np.asarray(rec_pop.idx))
+    np.testing.assert_array_equal(np.asarray(rec_gate.is_tri),
+                                  np.asarray(rec_pop.is_tri))
+
+
 def test_blocked_rows_knob_validated(monkeypatch):
     """RAYTRACER_BLOCKED_ROWS values that do not divide the ray-plane row
     count must raise instead of silently truncating the grid (leaving tail
