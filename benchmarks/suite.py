@@ -25,8 +25,13 @@ import raytracer_tpu as rt
 from raytracer_tpu.models import bench_scenes
 
 
+_ONLY = None   # --only substring filter (set in main)
+
+
 def run_config(name, scene, use_sky, cam, spp, bounces, frames,
                coherent=None, sampler="auto"):
+    if _ONLY and _ONLY not in name:
+        return None
     settings = rt.RenderSettings(rays_per_pixel=spp, reflect_limit=bounces,
                                  coherent=coherent,
                                  sampler=sampler).with_sky(use_sky)
@@ -94,8 +99,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="reduced spp/frames for smoke runs")
+    ap.add_argument("--only", default=None,
+                    help="run only configs whose name contains this "
+                         "substring (fly-through included iff it matches "
+                         "'flythrough')")
     args = ap.parse_args()
     q = args.quick
+    global _ONLY
+    _ONLY = args.only
 
     scene, sky = bench_scenes.rtiow_trio_scene()
     run_config("rtiow_trio_640x360_100spp", scene, sky,
@@ -171,8 +182,9 @@ def main():
                rt.CameraConfig(width=1000, height=800, position=(0, 1, -4)),
                spp=2 if q else 4, bounces=5, frames=2)
 
-    run_flythrough(1024 if q else 3840, 512 if q else 2160,
-                   positions=4 if q else 16)
+    if not _ONLY or "flythrough" in _ONLY:
+        run_flythrough(1024 if q else 3840, 512 if q else 2160,
+                       positions=4 if q else 16)
 
 
 if __name__ == "__main__":
