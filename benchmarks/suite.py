@@ -28,10 +28,24 @@ from raytracer_tpu.models import bench_scenes
 _ONLY = None   # --only substring filter (set in main)
 
 
-def run_config(name, scene, use_sky, cam, spp, bounces, frames,
+class _Lazy:
+    """Build-once scene factory: --only runs skip the (expensive) BVH
+    clustering / texture generation of every filtered-out config."""
+
+    def __init__(self, fn):
+        self.fn, self._v = fn, None
+
+    def __call__(self):
+        if self._v is None:
+            self._v = self.fn()
+        return self._v
+
+
+def run_config(name, scene_fn, cam, spp, bounces, frames,
                coherent=None, sampler="auto"):
     if _ONLY and _ONLY not in name:
         return None
+    scene, use_sky = scene_fn()
     settings = rt.RenderSettings(rays_per_pixel=spp, reflect_limit=bounces,
                                  coherent=coherent,
                                  sampler=sampler).with_sky(use_sky)
@@ -108,13 +122,12 @@ def main():
     global _ONLY
     _ONLY = args.only
 
-    scene, sky = bench_scenes.rtiow_trio_scene()
-    run_config("rtiow_trio_640x360_100spp", scene, sky,
+    run_config("rtiow_trio_640x360_100spp",
+               _Lazy(bench_scenes.rtiow_trio_scene),
                rt.CameraConfig(width=640, height=360),
                spp=10 if q else 100, bounces=5, frames=2)
 
-    scene, sky = bench_scenes.cube_scene()
-    run_config("cube_1280x720_200spp", scene, sky,
+    run_config("cube_1280x720_200spp", _Lazy(bench_scenes.cube_scene),
                rt.CameraConfig(width=1280, height=720),
                spp=10 if q else 200, bounces=5, frames=2)
 
@@ -126,65 +139,66 @@ def main():
     # texel plane (IMG_PAGE-row DMA bands through a VMEM scratch); the
     # wavefront XLA atlas gather is measured once as the explicit fallback.
     from raytracer_tpu.models.scenes import procedural_earth_texture
-    scene, sky = rt.build_scene(
-        2, earth_image=procedural_earth_texture(256))
-    run_config("earth512_in_kernel_1000x800_20spp", scene, sky,
+
+    def earth(size):
+        return _Lazy(lambda: rt.build_scene(
+            2, earth_image=procedural_earth_texture(size)))
+
+    earth_2048 = earth(1024)
+    run_config("earth512_in_kernel_1000x800_20spp", earth(256),
                rt.CameraConfig(width=1000, height=800),
                spp=5 if q else 20, bounces=5, frames=2)
-    scene, sky = rt.build_scene(
-        2, earth_image=procedural_earth_texture(512))
-    run_config("earth1024_in_kernel_1000x800_20spp", scene, sky,
+    run_config("earth1024_in_kernel_1000x800_20spp", earth(512),
                rt.CameraConfig(width=1000, height=800),
                spp=2 if q else 20, bounces=5, frames=2)
-    scene, sky = rt.build_scene(
-        2, earth_image=procedural_earth_texture(1024))
-    run_config("earth2048_hbm_paged_1000x800_20spp", scene, sky,
+    run_config("earth2048_hbm_paged_1000x800_20spp", earth_2048,
                rt.CameraConfig(width=1000, height=800),
                spp=2 if q else 20, bounces=5, frames=2)
-    run_config("earth2048_wavefront_1000x800_20spp", scene, sky,
+    run_config("earth2048_wavefront_1000x800_20spp", earth_2048,
                rt.CameraConfig(width=1000, height=800),
                spp=2 if q else 20, bounces=5, frames=2, sampler="regen")
 
-    scene, sky = bench_scenes.monkey_light_scene()
-    run_config("monkey_1920x1080_100spp", scene, sky,
+    monkey = _Lazy(bench_scenes.monkey_light_scene)
+    run_config("monkey_1920x1080_100spp", monkey,
                rt.CameraConfig(width=1920, height=1080),
                spp=5 if q else 100, bounces=5, frames=2)
     # Divergent-scene coherent-sampling mode (tile-shared scatter randoms,
     # unchanged per-pixel marginals — RenderSettings.coherent): the
     # secondary-bounce footprint collapse is the whole gap between the
     # easy configs and these, so both modes are reported.
-    run_config("monkey_coherent_1920x1080_100spp", scene, sky,
+    run_config("monkey_coherent_1920x1080_100spp", monkey,
                rt.CameraConfig(width=1920, height=1080),
                spp=5 if q else 100, bounces=5, frames=2, coherent=True)
 
-    scene, sky = bench_scenes.stress_10k_scene()
-    run_config("stress10k_1000x800_20spp", scene, sky,
+    stress = _Lazy(bench_scenes.stress_10k_scene)
+    run_config("stress10k_1000x800_20spp", stress,
                rt.CameraConfig(width=1000, height=800, position=(0, 1, -4)),
                spp=5 if q else 20, bounces=5, frames=2)
-    run_config("stress10k_coherent_1000x800_20spp", scene, sky,
+    run_config("stress10k_coherent_1000x800_20spp", stress,
                rt.CameraConfig(width=1000, height=800, position=(0, 1, -4)),
                spp=5 if q else 20, bounces=5, frames=2, coherent=True)
     # Per-ray re-binning (MXU counting sort, ops/rebin.lane_destinations):
     # the wavefront sampler whose tiles stay (cell, octant)-coherent after
     # diffuse bounces — the divergent-scene alternative to the megakernel.
-    run_config("stress10k_lanesort_1000x800_20spp", scene, sky,
+    run_config("stress10k_lanesort_1000x800_20spp", stress,
                rt.CameraConfig(width=1000, height=800, position=(0, 1, -4)),
                spp=5 if q else 20, bounces=5, frames=2, sampler="lanesort")
-    run_config("stress10k_lanesort_coherent_1000x800_20spp", scene, sky,
+    run_config("stress10k_lanesort_coherent_1000x800_20spp", stress,
                rt.CameraConfig(width=1000, height=800, position=(0, 1, -4)),
                spp=5 if q else 20, bounces=5, frames=2, sampler="lanesort",
                coherent=True)
 
     # Beyond-SMEM scene: the HBM-streamed blocked kernel (per-block union
     # gates + in-block supers, ops/intersect_pallas.py _kernel_blocked)
-    scene, sky = bench_scenes.stress_10k_scene(num=100000, seed=1)
-    run_config("stress100k_1000x800_4spp", scene, sky,
+    run_config("stress100k_1000x800_4spp",
+               _Lazy(lambda: bench_scenes.stress_10k_scene(num=100000,
+                                                           seed=1)),
                rt.CameraConfig(width=1000, height=800, position=(0, 1, -4)),
                spp=2 if q else 4, bounces=5, frames=2)
 
-    if not _ONLY or "flythrough" in _ONLY:
-        run_flythrough(1024 if q else 3840, 512 if q else 2160,
-                       positions=4 if q else 16)
+    w, h = (1024, 512) if q else (3840, 2160)
+    if not _ONLY or _ONLY in f"flythrough_{w}x{h}_1spp":
+        run_flythrough(w, h, positions=4 if q else 16)
 
 
 if __name__ == "__main__":

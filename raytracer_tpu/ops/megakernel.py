@@ -1016,6 +1016,13 @@ def render_sample_mean_mega(
     img_hbm = int(scene.img_rows) > IMG_MAX_ROWS
     img_rows_padded = 0
     if img_hbm:
+        if IMG_PAGE < 8 or IMG_PAGE % 8 != 0:
+            # page starts are 8-row (sublane) aligned and the plane is
+            # padded to a multiple of 8; an unaligned page size would
+            # mis-tile the DMA instead of failing loudly
+            raise ValueError(
+                f"RAYTRACER_IMG_PAGE={IMG_PAGE} must be a positive "
+                f"multiple of 8")
         img_rows_padded = max(IMG_PAGE, -(-int(scene.img_rows) // 8) * 8)
         if img_rows_padded > tex.shape[0]:
             tex = jnp.pad(tex, ((0, img_rows_padded - tex.shape[0]), (0, 0)))

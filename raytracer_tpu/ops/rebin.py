@@ -141,6 +141,13 @@ def lane_destinations(key: jax.Array,
     All O(N·B) work is MXU matmuls / elementwise one-hot reduces.
     """
     n = key.shape[0]
+    if n > (1 << 24):
+        # destinations accumulate through f32 sums (exact integers only up
+        # to 2^24); past that two rays could silently share a slot and the
+        # unique-indices scatter would drop state
+        raise ValueError(
+            f"lane_destinations supports at most 2^24 rays per shard "
+            f"(got {n}): f32 rank accumulation would lose exactness")
     c = n // LANES
     kc = key.reshape(c, LANES)
     oh = (kc[:, :, None]
@@ -199,13 +206,9 @@ def apply_lane_permutation(dest: jax.Array, arrays: Sequence,
         if cls == "i":
             flat = flat.astype(jnp.int32) if flat.dtype != jnp.int32 else flat
         lst = groups.setdefault(cls, [])
-        metas.append((cls, len(lst), a.ndim, a.dtype,
-                      1 if a.ndim == 1 else a.shape[0]))
+        metas.append((cls, len(lst), a.ndim, a.dtype, flat.shape[0]))
         for r in flat:
             lst.append(r[None, :])
-        # record starting row, not per-plane entries
-        metas[-1] = (cls, len(lst) - flat.shape[0], a.ndim, a.dtype,
-                     flat.shape[0])
     moved = {cls: move_pack(lst) for cls, lst in groups.items()}
     out = []
     for cls, row, ndim, dtype, k in metas:

@@ -207,7 +207,12 @@ GATE2_ORD = os.environ.get("RAYTRACER_GATE2_ORDERED", "0") == "1"
 # O(clusters) to O(union). Bitwise identical: masks are built against a
 # bootstrap best-t >= the final one, so every cluster a lane could still
 # win is present, the retest is the same rule as cluster_gate, and extra
-# sweeps are no-ops under the strict < select. Opt-in until measured.
+# sweeps are no-ops under the strict < select. One caveat shared with the
+# lane traversal and TRI_FIRST: the strict < makes EXACT-t ties between
+# primitives in different clusters resolve to the first-swept one, and
+# mask-pop visits clusters in index order rather than near-first — scenes
+# with coincident duplicate geometry can pick the other twin. Opt-in
+# until measured.
 MASKPOP = os.environ.get("RAYTRACER_MASKPOP", "0") == "1"
 MASKPOP_MIN = int(os.environ.get("RAYTRACER_MASKPOP_MIN", "64"))
 MASKPOP_BOOT = int(os.environ.get("RAYTRACER_MASKPOP_BOOT", "8"))
