@@ -1,0 +1,69 @@
+#!/bin/bash
+# Unattended hardware-measurement queue (docs/TESTLOG.md "Pending" list).
+#
+# Runs the round's pending TPU measurements sequentially — ONE TPU process
+# at a time, per-step timeouts so a tunnel re-outage can't wedge the queue,
+# interleaved repeats for every A/B claim (tunnel throughput drifts +-10%
+# when degraded). Logs one file per step under $LOG_DIR; summarise results
+# into docs/TESTLOG.md afterwards.
+#
+# Usage: scripts/hw_queue.sh [log_dir]      (default /tmp/hwq)
+
+set -u
+cd "$(dirname "$0")/.."
+LOG_DIR=${1:-/tmp/hwq}
+mkdir -p "$LOG_DIR"
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/root/.jax_cache}
+
+step() {  # step <timeout_s> <logname> <cmd...>
+  local t=$1 name=$2; shift 2
+  echo "=== $(date -u +%FT%TZ) START $name: $*" | tee -a "$LOG_DIR/queue.log"
+  timeout -k 30 "$t" "$@" >"$LOG_DIR/$name.log" 2>&1
+  local rc=$?
+  echo "=== $(date -u +%FT%TZ) END $name rc=$rc" | tee -a "$LOG_DIR/queue.log"
+  tail -3 "$LOG_DIR/$name.log" | sed 's/^/    /' >> "$LOG_DIR/queue.log"
+}
+
+# 0. sanity: is the TPU actually reachable? abort fast if not.
+if ! timeout -k 10 300 python -c \
+    "import jax; d=jax.devices(); assert d[0].platform!='cpu', d"; then
+  echo "TPU unreachable — queue aborted" | tee -a "$LOG_DIR/queue.log"
+  exit 1
+fi
+
+# 1. full TPU test suite on the final tree (re-attributes the two
+#    tunnel-degradation F's from 2026-08-17 19:50).
+step 7200 01_test_tpu make test-tpu
+
+# 2. headline after the scatter trims (3 repeats; expect >= 650)
+for i in 1 2 3; do
+  step 1800 02_bench_$i python bench.py
+done
+
+# 3a. stress10k A/B: default megakernel vs mask-pop traversal, interleaved
+for i in 1 2 3; do
+  step 1800 03_stress_default_$i \
+    python benchmarks/suite.py --only stress10k_1000x800
+  step 1800 03_stress_maskpop_$i \
+    env RAYTRACER_MASKPOP=1 python benchmarks/suite.py --only stress10k_1000x800
+done
+
+# 3b. lanesort sampler configs (plain + coherent), 2 repeats
+for i in 1 2; do
+  step 1800 03_lanesort_$i python benchmarks/suite.py --only lanesort
+done
+
+# 3c. permutation cost model
+step 1800 03_rebin_cost python benchmarks/rebin_cost.py
+
+# 4. image-texture configs incl. the HBM-paged 2048 earth
+step 2400 04_earth python benchmarks/suite.py --only earth
+
+# 5. cube (static has_refractive skip) and monkey (glass — no change expected)
+step 1800 05_cube python benchmarks/suite.py --only cube
+step 2400 05_monkey python benchmarks/suite.py --only monkey
+
+# 6. full suite on the final defaults (ARCHITECTURE.md round-3 column)
+step 5400 06_full_suite python benchmarks/suite.py
+
+echo "=== $(date -u +%FT%TZ) QUEUE DONE" | tee -a "$LOG_DIR/queue.log"
