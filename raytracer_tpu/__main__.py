@@ -9,6 +9,7 @@ src/camera.cu:4-5, quality knobs src/main.cu:318-330).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -61,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--checkpoint", type=str, default=None)
     r.add_argument("--resume", type=str, default=None)
     r.add_argument("--checkpoint-every", type=int, default=0)
+    r.add_argument("--retries", type=int, default=0,
+                   help="with --checkpoint: survive this many transient "
+                        "device failures by rebuilding device state and "
+                        "restoring the last checkpoint (runtime/elastic.py; "
+                        "bitwise identical to an uninterrupted run)")
     r.add_argument("--stats", type=str, default=None,
                    help="JSONL stats sink path")
     r.add_argument("--temporal", action="store_true",
@@ -125,10 +131,15 @@ def cmd_render(args) -> int:
         from raytracer_tpu.parallel.mesh import make_mesh, pixel_sharding
         sharding = pixel_sharding(make_mesh(jax.devices()))
 
-    renderer = rt.Renderer(scene, camera, settings, backend=args.backend,
+    def make_renderer():
+        # fresh device placement each call — render_resilient rebuilds
+        # through this after a transient device failure
+        return rt.Renderer(scene, camera, settings, backend=args.backend,
                            seed=args.seed, sharding=sharding,
                            shard_mode=args.shard if sharding else "pixel",
                            temporal=args.temporal)
+
+    renderer = make_renderer()
     if args.resume:
         renderer.load_checkpoint(args.resume)
 
@@ -154,10 +165,27 @@ def cmd_render(args) -> int:
                 camera, y_rot=camera.y_rot + args.orbit * frame_i))
 
     frames = 1 if args.frames is None else args.frames
-    run_render_loop(renderer, frames=frames, out_path=args.out,
-                    display=args.view, checkpoint=args.checkpoint,
-                    checkpoint_every=args.checkpoint_every,
-                    per_frame=move)
+    if args.retries and args.checkpoint and move is None:
+        # supervised loop: transient device failures rebuild the renderer
+        # and restore the last checkpoint (see runtime/elastic.py)
+        from raytracer_tpu.runtime.elastic import render_resilient
+
+        def factory():
+            r = make_renderer()
+            if args.resume and not os.path.exists(args.checkpoint):
+                r.load_checkpoint(args.resume)
+            return r
+
+        renderer = render_resilient(
+            factory, frames, args.checkpoint,
+            checkpoint_every=args.checkpoint_every or 1,
+            max_retries=args.retries, quiet=False)
+        renderer.save_png(args.out)
+    else:
+        run_render_loop(renderer, frames=frames, out_path=args.out,
+                        display=args.view, checkpoint=args.checkpoint,
+                        checkpoint_every=args.checkpoint_every,
+                        per_frame=move)
     if args.stats:
         renderer.write_stats(args.stats)
     print(f"wrote {args.out} ({renderer.frame_num} frames, "
