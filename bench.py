@@ -12,12 +12,35 @@ vs_baseline is against the 500 Mrays/s/chip north-star target.
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 
 BASELINE_MRAYS = 500.0
 
+# The remote-TPU tunnel in this environment has multi-hour outages during
+# which backend discovery hangs every fresh process forever. Fail fast and
+# loud instead of wedging the caller: if the warmup frame hasn't completed
+# within the watchdog window (generous enough for a cold remote compile),
+# exit nonzero with a diagnostic on stderr. Never triggers on a healthy run.
+WATCHDOG_S = float(os.environ.get("RAYTRACER_BENCH_WATCHDOG_S", "1800"))
+
+
+def _arm_watchdog() -> threading.Event:
+    done = threading.Event()
+
+    def fire():
+        if not done.wait(WATCHDOG_S):
+            print(f"bench watchdog: no warmup frame within {WATCHDOG_S:.0f}s "
+                  "(device backend unreachable?)", file=sys.stderr, flush=True)
+            os._exit(3)
+
+    threading.Thread(target=fire, daemon=True).start()
+    return done
+
 
 def main() -> None:
+    warmup_done = _arm_watchdog()
     import raytracer_tpu as rt
 
     spp = int(sys.argv[1]) if len(sys.argv) > 1 else 20
@@ -37,6 +60,7 @@ def main() -> None:
 
     # warmup / compile
     r.render_frame(block=True)
+    warmup_done.set()
 
     # async frame pipeline with a single final sync (the production loop)
     rec = r.render_frames(frames)
