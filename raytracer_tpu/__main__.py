@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--gamma", type=float, default=None)
     r.add_argument("--fix-exit-ior", action="store_true")
     r.add_argument("--emissive-terminates", action="store_true")
+    r.add_argument("--russian-roulette", type=int, default=0, metavar="N",
+                   help="unbiased path termination after N bounces "
+                        "(wavefront samplers; 0 = off, reference-faithful)")
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--cam-pos", type=float, nargs=3, default=None)
     r.add_argument("--cam-rot", type=float, nargs=3, default=None,
@@ -111,6 +114,7 @@ def cmd_render(args) -> int:
         gamma=args.gamma,
         fix_exit_ior=args.fix_exit_ior,
         emissive_terminates=args.emissive_terminates,
+        russian_roulette=args.russian_roulette,
     ).with_sky(use_sky)
 
     cam_kwargs = dict(width=args.width, height=args.height,

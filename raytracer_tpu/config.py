@@ -82,6 +82,16 @@ class RenderSettings:
     fix_exit_ior: bool = False
     gamma: Optional[float] = None
 
+    # Russian roulette (deviation — the reference always traces to
+    # reflect_limit, src/raytracer.cu:71). 0 = off (reference-faithful).
+    # N >= 1: after a path has completed N bounces it survives each further
+    # bounce with probability p = clamp(max(throughput), 0.05, 1) and its
+    # throughput is divided by p — an unbiased estimator that stops paying
+    # for segments whose contribution is already near zero. Wavefront
+    # samplers only (scan/regen/rebin/lanesort); 'auto' then avoids the
+    # fixed-budget megakernel. When off, RNG streams are bitwise unchanged.
+    russian_roulette: int = 0
+
     def with_sky(self, use_sky: bool) -> "RenderSettings":
         """Cornell-box scenes zero the sky (src/main.cu:325-329)."""
         sky = self.sky_colour if use_sky else (0.0, 0.0, 0.0)

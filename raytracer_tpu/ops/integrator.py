@@ -57,13 +57,21 @@ _LANESORT_EVERY = int(os.environ.get("RAYTRACER_LANESORT_EVERY", "1"))
 
 
 def _bounce_physics(scene, settings, backend, o, d, thru, rad, alive,
-                    cur_ior, jitter_u3, gauss, fresnel_u):
+                    cur_ior, jitter_u3, gauss, fresnel_u,
+                    rr_u=None, bounces_done=None):
     """One bounce for all lanes; the shared body of both samplers.
 
     Returns (o, d, thru, rad, cur_ior, path_continues). ``rad`` has sky and
     emission contributions added; ``path_continues`` is False where the path
     ended this bounce by missing (sky) or terminating on an emissive (when
     that quirk-fix is enabled).
+
+    With ``rr_u`` (an independent (N,) uniform) russian roulette runs on
+    paths that would otherwise continue: once a path has completed
+    ``settings.russian_roulette`` bounces it survives with probability
+    p = clamp(max(throughput), 0.05, 1) and its throughput is divided by p
+    (unbiased — E[thru/p * survive] = thru). ``bounces_done`` is the
+    0-based index of the bounce just traced (scalar or per-lane).
     """
     if settings.antialias:
         d = antialias_jitter(jitter_u3, d)
@@ -105,6 +113,16 @@ def _bounce_physics(scene, settings, backend, o, d, thru, rad, alive,
     path_continues = live_hit
     if settings.emissive_terminates:
         path_continues = path_continues & ~is_emissive
+    if rr_u is not None:
+        # survival probability from the post-absorption throughput; paths
+        # keep their first `russian_roulette` bounces unconditionally
+        p = jnp.clip(jnp.max(thru, axis=0), 0.05, 1.0)
+        eligible = path_continues & (
+            bounces_done + 1 >= settings.russian_roulette)
+        survive = rr_u < p
+        thru = jnp.where((eligible & survive)[None, :],
+                         thru / p[None, :], thru)
+        path_continues = path_continues & ~(eligible & ~survive)
     return o, d, thru, rad, cur_ior, path_continues
 
 
@@ -140,13 +158,18 @@ def _trace_soa(
     """SoA core of ``trace``; returns (radiance (3, N), segments)."""
     ray_keys = rng.per_ray_keys(key, ray_idx)
 
+    use_rr = settings.russian_roulette > 0
+
     def bounce(carry, bounce_i):
         o, d, thru, rad, alive, cur_ior = carry
         live_count = jnp.sum(alive.astype(jnp.float32))
-        jitter_u3, gauss, fresnel_u = rng.bounce_randoms(ray_keys, bounce_i)
+        drawn = rng.bounce_randoms(ray_keys, bounce_i, with_rr=use_rr)
+        jitter_u3, gauss, fresnel_u = drawn[:3]
+        rr_u = drawn[3] if use_rr else None
         o, d, thru, rad, cur_ior, alive = _bounce_physics(
             scene, settings, backend, o, d, thru, rad, alive, cur_ior,
-            jitter_u3, gauss, fresnel_u)
+            jitter_u3, gauss, fresnel_u,
+            rr_u=rr_u, bounces_done=bounce_i if use_rr else None)
         return (o, d, thru, rad, alive, cur_ior), live_count
 
     # Derive the init carry from ``o`` so its sharding/varying type matches
@@ -207,6 +230,7 @@ def _render_regen_soa(
     n = o0.shape[1]
     coherent = (_COHERENT if settings.coherent is None
                 else bool(settings.coherent))
+    use_rr = settings.russian_roulette > 0
 
     from .rebin import (LANES, apply_lane_permutation, bucket_permutation,
                         lane_buckets, lane_destinations, permute_rows,
@@ -239,17 +263,21 @@ def _render_regen_soa(
             # distinct streams (the megakernel does the same via its
             # seed words); without it every shard would repeat one
             # structured tile-noise pattern across the frame.
-            jitter_u3, gauss, fresnel_u = rng.tile_randoms(
+            drawn = rng.tile_randoms(
                 jax.random.fold_in(
-                    jax.random.fold_in(frame_key, tile_offset), it), n)
+                    jax.random.fold_in(frame_key, tile_offset), it), n,
+                with_rr=use_rr)
         else:
             keys = (jax.random.wrap_key_data(kd.T) if carries_keys
                     else base_keys)
-            jitter_u3, gauss, fresnel_u = rng.lane_randoms(
-                keys, sample_i, bounce_i)
+            drawn = rng.lane_randoms(keys, sample_i, bounce_i,
+                                     with_rr=use_rr)
+        jitter_u3, gauss, fresnel_u = drawn[:3]
+        rr_u = drawn[3] if use_rr else None
         o, d, thru, rad, cur_ior, continues = _bounce_physics(
             scene, settings, backend, o, d, thru, rad, active, cur_ior,
-            jitter_u3, gauss, fresnel_u)
+            jitter_u3, gauss, fresnel_u,
+            rr_u=rr_u, bounces_done=bounce_i if use_rr else None)
 
         # Path ends on miss/termination or at the bounce limit
         # (src/raytracer.cu:71: fixed reflect_limit iterations).
@@ -364,7 +392,8 @@ def render_sample_mean(
         # explicitly with sampler='mega'.
         from .megakernel import supports
         use_mega = (backend == "pallas" and supports(scene)
-                    and jax.default_backend() == "tpu")
+                    and jax.default_backend() == "tpu"
+                    and settings.russian_roulette == 0)
         sampler = "mega" if use_mega else "regen"
     if sampler == "mega":
         from .megakernel import render_sample_mean_mega, supports
@@ -375,6 +404,11 @@ def render_sample_mean(
             raise ValueError(
                 "sampler='mega' cannot render this scene (unsupported "
                 "texture configuration); use sampler='regen' or 'auto'.")
+        if settings.russian_roulette:
+            raise ValueError(
+                "russian_roulette is a wavefront-sampler feature (the "
+                "megakernel traces the fixed budget); use sampler='regen' "
+                "or 'auto'.")
         mean, segs = render_sample_mean_mega(scene, settings, o3, d3,
                                              frame_key,
                                              tile_offset=tile_offset)

@@ -39,7 +39,7 @@ def per_ray_keys(key: jax.Array, ray_idx: jax.Array) -> jax.Array:
     return jax.vmap(lambda i: jax.random.fold_in(key, i))(ray_idx)
 
 
-def bounce_randoms(ray_keys: jax.Array, bounce_idx) -> Tuple[jax.Array, jax.Array, jax.Array]:
+def bounce_randoms(ray_keys: jax.Array, bounce_idx, with_rr: bool = False):
     """All randoms one bounce needs, drawn per-ray (SoA).
 
     Returns (jitter_u3 (3, N) uniform [0,1), gauss (3, N) standard normal,
@@ -47,24 +47,33 @@ def bounce_randoms(ray_keys: jax.Array, bounce_idx) -> Tuple[jax.Array, jax.Arra
     (src/ray.cu:130-142), the Lambertian sample (src/ray.cu:157-170), and the
     Schlick reflection test (src/ray.cu:108). Component-scalar draws keep
     every array lane-major (no (N, 3) layouts).
+
+    ``with_rr=True`` appends an independent (N,) uniform for the russian-
+    roulette survival test as a fourth element — drawn from an 8th split so
+    the first seven streams are bitwise unchanged whether or not RR is on.
     """
     def draw(k):
         kb = jax.random.fold_in(k, bounce_idx)
-        ks = jax.random.split(kb, 7)
-        return (jax.random.uniform(ks[0], (), jnp.float32),
-                jax.random.uniform(ks[1], (), jnp.float32),
-                jax.random.uniform(ks[2], (), jnp.float32),
-                jax.random.normal(ks[3], (), jnp.float32),
-                jax.random.normal(ks[4], (), jnp.float32),
-                jax.random.normal(ks[5], (), jnp.float32),
-                jax.random.uniform(ks[6], (), jnp.float32))
+        ks = jax.random.split(kb, 8 if with_rr else 7)
+        out = (jax.random.uniform(ks[0], (), jnp.float32),
+               jax.random.uniform(ks[1], (), jnp.float32),
+               jax.random.uniform(ks[2], (), jnp.float32),
+               jax.random.normal(ks[3], (), jnp.float32),
+               jax.random.normal(ks[4], (), jnp.float32),
+               jax.random.normal(ks[5], (), jnp.float32),
+               jax.random.uniform(ks[6], (), jnp.float32))
+        if with_rr:
+            out = out + (jax.random.uniform(ks[7], (), jnp.float32),)
+        return out
 
-    ux, uy, uz, gx, gy, gz, fres = jax.vmap(draw)(ray_keys)
-    return jnp.stack([ux, uy, uz]), jnp.stack([gx, gy, gz]), fres
+    drawn = jax.vmap(draw)(ray_keys)
+    ux, uy, uz, gx, gy, gz, fres = drawn[:7]
+    out = (jnp.stack([ux, uy, uz]), jnp.stack([gx, gy, gz]), fres)
+    return out + (drawn[7],) if with_rr else out
 
 
 def lane_randoms(base_keys: jax.Array, sample_i: jax.Array,
-                 bounce_i: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+                 bounce_i: jax.Array, with_rr: bool = False):
     """Per-lane randoms for the regeneration sampler.
 
     Like ``bounce_randoms`` but the sample and bounce indices vary per lane
@@ -74,22 +83,26 @@ def lane_randoms(base_keys: jax.Array, sample_i: jax.Array,
     """
     def draw(k, s, b):
         kb = jax.random.fold_in(jax.random.fold_in(k, s), b)
-        ks = jax.random.split(kb, 7)
-        return (jax.random.uniform(ks[0], (), jnp.float32),
-                jax.random.uniform(ks[1], (), jnp.float32),
-                jax.random.uniform(ks[2], (), jnp.float32),
-                jax.random.normal(ks[3], (), jnp.float32),
-                jax.random.normal(ks[4], (), jnp.float32),
-                jax.random.normal(ks[5], (), jnp.float32),
-                jax.random.uniform(ks[6], (), jnp.float32))
+        ks = jax.random.split(kb, 8 if with_rr else 7)
+        out = (jax.random.uniform(ks[0], (), jnp.float32),
+               jax.random.uniform(ks[1], (), jnp.float32),
+               jax.random.uniform(ks[2], (), jnp.float32),
+               jax.random.normal(ks[3], (), jnp.float32),
+               jax.random.normal(ks[4], (), jnp.float32),
+               jax.random.normal(ks[5], (), jnp.float32),
+               jax.random.uniform(ks[6], (), jnp.float32))
+        if with_rr:
+            out = out + (jax.random.uniform(ks[7], (), jnp.float32),)
+        return out
 
-    ux, uy, uz, gx, gy, gz, fres = jax.vmap(draw)(base_keys, sample_i,
-                                                  bounce_i)
-    return jnp.stack([ux, uy, uz]), jnp.stack([gx, gy, gz]), fres
+    drawn = jax.vmap(draw)(base_keys, sample_i, bounce_i)
+    ux, uy, uz, gx, gy, gz, fres = drawn[:7]
+    out = (jnp.stack([ux, uy, uz]), jnp.stack([gx, gy, gz]), fres)
+    return out + (drawn[7],) if with_rr else out
 
 
 def tile_randoms(it_key: jax.Array, n: int,
-                 tile: int = 1024) -> Tuple[jax.Array, jax.Array, jax.Array]:
+                 tile: int = 1024, with_rr: bool = False):
     """Coherent sampling: ONE random bundle per ``tile`` consecutive lanes.
 
     Same return contract as ``bounce_randoms`` but every lane in a
@@ -104,11 +117,14 @@ def tile_randoms(it_key: jax.Array, n: int,
     pixel-keyed) for divergent-scene throughput; opt-in only.
     """
     nt = -(-n // tile)
-    ks = jax.random.split(it_key, 3)
+    ks = jax.random.split(it_key, 4 if with_rr else 3)
     rep = lambda a: jnp.repeat(a, tile, axis=-1)[..., :n]
-    return (rep(jax.random.uniform(ks[0], (3, nt), jnp.float32)),
-            rep(jax.random.normal(ks[1], (3, nt), jnp.float32)),
-            rep(jax.random.uniform(ks[2], (nt,), jnp.float32)))
+    out = (rep(jax.random.uniform(ks[0], (3, nt), jnp.float32)),
+           rep(jax.random.normal(ks[1], (3, nt), jnp.float32)),
+           rep(jax.random.uniform(ks[2], (nt,), jnp.float32)))
+    if with_rr:
+        out = out + (rep(jax.random.uniform(ks[3], (nt,), jnp.float32)),)
+    return out
 
 
 def uniform3(key: jax.Array, shape) -> jax.Array:
