@@ -24,6 +24,8 @@ step() {  # step <timeout_s> <logname> <cmd...>
   tail -3 "$LOG_DIR/$name.log" | sed 's/^/    /' >> "$LOG_DIR/queue.log"
 }
 
+git -C . log --oneline -1 >> "$LOG_DIR/queue.log" 2>/dev/null
+
 # 0. sanity: is the TPU actually reachable? abort fast if not.
 if ! timeout -k 10 300 python -c \
     "import jax; d=jax.devices(); assert d[0].platform!='cpu', d"; then
@@ -46,6 +48,14 @@ for i in 1 2 3; do
     python benchmarks/suite.py --only stress10k_1000x800
   step 1800 03_stress_maskpop_$i \
     env RAYTRACER_MASKPOP=1 python benchmarks/suite.py --only stress10k_1000x800
+done
+
+# 3a'. 100k blocked kernel A/B: mask-pop engages in the per-block sweeps too
+for i in 1 2; do
+  step 2400 03_stress100k_default_$i \
+    python benchmarks/suite.py --only stress100k
+  step 2400 03_stress100k_maskpop_$i \
+    env RAYTRACER_MASKPOP=1 python benchmarks/suite.py --only stress100k
 done
 
 # 3b. lanesort sampler configs (plain + coherent), 2 repeats

@@ -238,6 +238,47 @@ def test_maskpop_matches_gate_sweep(monkeypatch):
                                   np.asarray(rec_pop.is_tri))
 
 
+def test_blocked_maskpop_matches_plain_blocked(monkeypatch):
+    """Mask-pop also engages inside the HBM-streamed blocked kernel's
+    per-block sweeps (traced cl_base); it must stay bitwise identical to
+    the blocked kernel's cond-gate scheme — the combination the hardware
+    100k A/B (scripts/hw_queue.sh) measures."""
+    import raytracer_tpu.ops.intersect_pallas as ip
+    from raytracer_tpu.models.materials import Material, Texture
+    from raytracer_tpu.models.scene import SceneBuilder
+    from raytracer_tpu.ops import sweep as sweep_mod
+    monkeypatch.setattr(ip, "_FORCE_BLOCKED", True)
+    rng = np.random.default_rng(11)
+    b = SceneBuilder()
+    b.add_spheres(
+        rng.uniform(-10, 10, (700, 3)), rng.uniform(0.1, 0.4, 700),
+        Material.standard(Texture.const_colour((1, 1, 1)), 0.3),
+        colours=rng.uniform(0, 1, (700, 3)))
+    white = Material.standard(Texture.const_colour((0.9, 0.9, 0.9)), 0)
+    for k in range(40):
+        p = rng.uniform(-10, 10, 3)
+        b.add_triangle(p, p + rng.uniform(-1, 1, 3),
+                       p + rng.uniform(-1, 1, 3), white)
+    scene = b.build()
+
+    # divergent rays inside the field (the regime the A/B targets)
+    o = jnp.asarray(rng.uniform(-10, 10, (3, 512)), jnp.float32)
+    d = rng.normal(size=(3, 512))
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    d = jnp.asarray(d, jnp.float32)
+
+    rec_gate = nearest_hit_pallas(o, d, scene)
+    monkeypatch.setattr(sweep_mod, "MASKPOP", True)
+    monkeypatch.setattr(sweep_mod, "MASKPOP_MIN", 16)
+    rec_pop = nearest_hit_pallas(o, d, scene)
+    np.testing.assert_array_equal(np.asarray(rec_gate.t),
+                                  np.asarray(rec_pop.t))
+    np.testing.assert_array_equal(np.asarray(rec_gate.idx),
+                                  np.asarray(rec_pop.idx))
+    np.testing.assert_array_equal(np.asarray(rec_gate.is_tri),
+                                  np.asarray(rec_pop.is_tri))
+
+
 def test_blocked_rows_knob_validated(monkeypatch):
     """RAYTRACER_BLOCKED_ROWS values that do not divide the ray-plane row
     count must raise instead of silently truncating the grid (leaving tail
