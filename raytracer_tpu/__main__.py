@@ -143,9 +143,24 @@ def cmd_render(args) -> int:
                            shard_mode=args.shard if sharding else "pixel",
                            temporal=args.temporal)
 
-    renderer = make_renderer()
-    if args.resume:
-        renderer.load_checkpoint(args.resume)
+    # The supervised (--retries) loop owns renderer construction through its
+    # factory; every other path builds one up front.
+    resilient = bool(args.retries and args.checkpoint
+                     and not args.interactive
+                     and not (args.temporal and args.orbit))
+    if args.retries and not resilient:
+        reason = ("--retries needs --checkpoint" if not args.checkpoint else
+                  "--retries does not supervise the interactive/orbit loops")
+        print(f"warning: retries inactive ({reason})", file=sys.stderr)
+    if resilient and args.view:
+        print("warning: --view has no effect with --retries "
+              "(the supervised loop is headless)", file=sys.stderr)
+
+    renderer = None
+    if not resilient:
+        renderer = make_renderer()
+        if args.resume:
+            renderer.load_checkpoint(args.resume)
 
     if args.interactive:
         from raytracer_tpu.runtime.interactive import run_interactive
@@ -169,9 +184,11 @@ def cmd_render(args) -> int:
                 camera, y_rot=camera.y_rot + args.orbit * frame_i))
 
     frames = 1 if args.frames is None else args.frames
-    if args.retries and args.checkpoint and move is None:
+    if resilient:
         # supervised loop: transient device failures rebuild the renderer
         # and restore the last checkpoint (see runtime/elastic.py)
+        import numpy as _np
+
         from raytracer_tpu.runtime.elastic import render_resilient
 
         def factory():
@@ -180,8 +197,16 @@ def cmd_render(args) -> int:
                 r.load_checkpoint(args.resume)
             return r
 
+        # --frames means ADDITIONAL frames (run_render_loop semantics);
+        # render_resilient takes a TOTAL target, so offset by whatever the
+        # resume source already holds. 0 stays "until interrupted".
+        start = 0
+        for src in (args.checkpoint, args.resume):
+            if src and os.path.exists(src):
+                start = int(_np.load(src)["frame_num"])
+                break
         renderer = render_resilient(
-            factory, frames, args.checkpoint,
+            factory, start + frames if frames else 0, args.checkpoint,
             checkpoint_every=args.checkpoint_every or 1,
             max_retries=args.retries, quiet=False)
         renderer.save_png(args.out)

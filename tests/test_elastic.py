@@ -140,22 +140,88 @@ def test_poisoned_accumulator_never_overwrites_checkpoint(tmp_path):
     np.testing.assert_array_equal(np.load(ckpt)["accum"], good)
 
 
+def test_rebuild_failure_consumes_retries_not_the_run(tmp_path):
+    # the backend may still be down when the first backoff expires: a
+    # failing REBUILD must burn a retry and back off, not kill the run
+    base = _factory()
+    calls = {"n": 0}
+
+    def factory():
+        calls["n"] += 1
+        if calls["n"] == 2:   # the first recovery attempt fails too
+            raise RuntimeError("UNAVAILABLE: backend still down")
+        r = base()
+        if calls["n"] == 1:
+            real = r.render_frame
+
+            def flaky(block=False):
+                if r.frame_num == 1:
+                    raise RuntimeError("UNAVAILABLE: injected")
+                return real(block=block)
+
+            r.render_frame = flaky
+        return r
+
+    ref = base()
+    for _ in range(3):
+        ref.render_frame(block=True)
+
+    ckpt = str(tmp_path / "c.npz")
+    r = render_resilient(factory, frames=3, checkpoint_path=ckpt,
+                         checkpoint_every=1, max_retries=3, backoff_s=0.0)
+    assert calls["n"] == 3    # initial + failed rebuild + working rebuild
+    np.testing.assert_array_equal(np.asarray(r.accum), np.asarray(ref.accum))
+
+
+def test_keyboard_interrupt_stops_cleanly(tmp_path):
+    # Ctrl-C mid-run returns the renderer with completed frames intact
+    # (the CLI then writes the PNG) instead of propagating
+    base = _factory()
+
+    def factory():
+        r = base()
+        real = r.render_frame
+
+        def interrupting(block=False):
+            if r.frame_num == 2:
+                raise KeyboardInterrupt
+            return real(block=block)
+
+        r.render_frame = interrupting
+        return r
+
+    r = render_resilient(factory, frames=0,   # "until interrupted" mode
+                         checkpoint_path=str(tmp_path / "c.npz"),
+                         checkpoint_every=1, max_retries=1, backoff_s=0.0)
+    assert r.frame_num == 2
+
+
 def test_cli_retries_wiring(tmp_path):
-    # --retries + --checkpoint takes the supervised path end-to-end
+    # --retries + --checkpoint takes the supervised path end-to-end, and
+    # --frames counts ADDITIONAL frames on a second (resumed) run, matching
+    # the unsupervised loop's semantics
     from raytracer_tpu.__main__ import main
     out = tmp_path / "r.png"
     ckpt = tmp_path / "r.npz"
-    rc = main(["render", "--scene", "1", "--width", "16", "--height", "8",
-               "--spp", "2", "--bounces", "3", "--frames", "2",
-               "--retries", "2", "--checkpoint", str(ckpt),
-               "--out", str(out)])
+    argv = ["render", "--scene", "1", "--width", "16", "--height", "8",
+            "--spp", "2", "--bounces", "3", "--frames", "2",
+            "--retries", "2", "--checkpoint", str(ckpt), "--out", str(out)]
+    rc = main(argv)
     assert rc == 0
     assert out.exists()
     assert int(np.load(ckpt)["frame_num"]) == 2
+    rc = main(argv)           # resumes from the checkpoint: 2 MORE frames
+    assert rc == 0
+    assert int(np.load(ckpt)["frame_num"]) == 4
 
 
 def test_transient_classifier():
     assert is_transient_device_error(RuntimeError("UNAVAILABLE: socket"))
     assert is_transient_device_error(Exception("DEADLINE_EXCEEDED while x"))
+    # prose markers match case-insensitively (raw socket errors are
+    # capitalized: "Connection reset by peer", gRPC "Socket closed")
+    assert is_transient_device_error(
+        ConnectionResetError("[Errno 104] Connection reset by peer"))
+    assert is_transient_device_error(RuntimeError("Socket closed"))
     assert not is_transient_device_error(ValueError("INVALID_ARGUMENT"))
     assert not is_transient_device_error(TypeError("bad call"))
