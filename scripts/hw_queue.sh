@@ -81,9 +81,12 @@ for i in 1 2; do
     env RAYTRACER_MASKPOP=1 python benchmarks/suite.py --only stress100k
 done
 
-# 3b. lanesort sampler configs (plain + coherent), 2 repeats
+# 3b. lanesort sampler configs (plain + coherent), interleaved with the
+# mask-pop combination (mask-pop applies inside lanesort's sweeps too)
 for i in 1 2; do
   step 1800 03_lanesort_$i python benchmarks/suite.py --only lanesort
+  step 1800 03_lanesort_maskpop_$i \
+    env RAYTRACER_MASKPOP=1 python benchmarks/suite.py --only lanesort
 done
 
 # 3c. permutation cost model
