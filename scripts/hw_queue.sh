@@ -60,9 +60,14 @@ fi
 #    tunnel-degradation F's from 2026-08-17 19:50).
 step 7200 01_test_tpu make test-tpu
 
-# 2. headline after the scatter trims (3 repeats; expect >= 650)
+# 2. headline after the scatter trims (3 repeats; expect >= 650),
+#    interleaved with the TRI_FIRST candidate (floor swept before spheres:
+#    floor hits bound best-t and close sphere cluster gates — never
+#    headline-measured; ties resolve to first-swept so it is a knob, not
+#    the golden default)
 for i in 1 2 3; do
   step 1800 02_bench_$i python bench.py
+  step 1800 02_bench_trifirst_$i env RAYTRACER_TRI_FIRST=1 python bench.py
 done
 
 # 3a. stress10k A/B: default megakernel vs mask-pop traversal, interleaved
