@@ -169,6 +169,14 @@ def main():
     run_config("monkey_coherent_1920x1080_100spp", monkey,
                rt.CameraConfig(width=1920, height=1080),
                spp=5 if q else 100, bounces=5, frames=2, coherent=True)
+    # lanesort on the mesh scene: monkey's throughput is dominated by
+    # post-diffuse secondaries sweeping the whole mesh footprint — the
+    # re-binned wavefront is the other divergent-scene candidate besides
+    # coherent mode (20 spp: Mrays/s is ~spp-invariant, keeps the wall
+    # time of the 1080p wavefront run bounded).
+    run_config("monkey_lanesort_1920x1080_20spp", monkey,
+               rt.CameraConfig(width=1920, height=1080),
+               spp=5 if q else 20, bounces=5, frames=2, sampler="lanesort")
 
     stress = _Lazy(bench_scenes.stress_10k_scene)
     run_config("stress10k_1000x800_20spp", stress,

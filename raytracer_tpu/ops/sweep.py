@@ -214,6 +214,16 @@ GATE2_ORD = os.environ.get("RAYTRACER_GATE2_ORDERED", "0") == "1"
 # with coincident duplicate geometry can pick the other twin. Opt-in
 # until measured.
 MASKPOP = os.environ.get("RAYTRACER_MASKPOP", "0") == "1"
+# Retest each popped cluster against the evolving best-t before sweeping
+# (the cluster_gate rule). Popped clusters were entered at the bootstrap
+# best-t, so the retest can only skip sweeps — but it costs the pop's
+# second scalar sync (an any-reduce + cond on top of the pop's min-reduce)
+# and the slab test. RAYTRACER_MASKPOP_RETEST=0 sweeps every popped
+# cluster unconditionally instead: half the per-pop syncs, more leaf
+# sweeps. Bitwise identical either way (extra sweeps are no-ops under the
+# strict < select); which side wins is a hardware question — see the
+# stress10k A/B in scripts/hw_queue.sh.
+MASKPOP_RETEST = os.environ.get("RAYTRACER_MASKPOP_RETEST", "1") == "1"
 MASKPOP_MIN = int(os.environ.get("RAYTRACER_MASKPOP_MIN", "64"))
 MASKPOP_BOOT = int(os.environ.get("RAYTRACER_MASKPOP_BOOT", "8"))
 MASKPOP_BOOT_SUPERS = int(os.environ.get("RAYTRACER_MASKPOP_BOOT_SUPERS",
@@ -770,13 +780,16 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
 
         def wbody(st):
             c, masks, carries = st
-            # same pruning rule as cluster_gate, against the evolving
-            # best-t (the mask was built at the looser bootstrap best-t)
-            hit = slab(get, c, best_t(carries))
-            carries = jax.lax.cond(
-                jnp.any(hit),
-                lambda cr: leaf_sweep(c * leaf, leaf, cr, body),
-                lambda cr: cr, carries)
+            if MASKPOP_RETEST:
+                # same pruning rule as cluster_gate, against the evolving
+                # best-t (the mask was built at the looser bootstrap best-t)
+                hit = slab(get, c, best_t(carries))
+                carries = jax.lax.cond(
+                    jnp.any(hit),
+                    lambda cr: leaf_sweep(c * leaf, leaf, cr, body),
+                    lambda cr: cr, carries)
+            else:
+                carries = leaf_sweep(c * leaf, leaf, carries, body)
             masks = tuple(_clear_bit(list(masks), zero_i + c, live_all))
             return (_min_set_index(masks), masks, carries)
 

@@ -70,12 +70,24 @@ for i in 1 2 3; do
   step 1800 02_bench_trifirst_$i env RAYTRACER_TRI_FIRST=1 python bench.py
 done
 
-# 3a. stress10k A/B: default megakernel vs mask-pop traversal, interleaved
+# 3a. stress10k A/B/C: default megakernel vs mask-pop traversal vs
+#     retest-free mask-pop (half the per-pop scalar syncs), interleaved
 for i in 1 2 3; do
   step 1800 03_stress_default_$i \
     python benchmarks/suite.py --only stress10k_1000x800
   step 1800 03_stress_maskpop_$i \
     env RAYTRACER_MASKPOP=1 python benchmarks/suite.py --only stress10k_1000x800
+  step 1800 03_stress_maskpop_nort_$i \
+    env RAYTRACER_MASKPOP=1 RAYTRACER_MASKPOP_RETEST=0 \
+    python benchmarks/suite.py --only stress10k_1000x800
+  # benchmarks/divergence_bound.py: the tile union SATURATES (~172/313
+  # clusters at rows32), so doubling the tile should cut per-ray sweep
+  # cost ~1.7x if VMEM/register pressure allows
+  step 1800 03_stress_srows64_$i \
+    env RAYTRACER_SROWS=64 python benchmarks/suite.py --only stress10k_1000x800
+  step 1800 03_stress_srows64_mp0_$i \
+    env RAYTRACER_SROWS=64 RAYTRACER_MASKPOP=1 RAYTRACER_MASKPOP_RETEST=0 \
+    python benchmarks/suite.py --only stress10k_1000x800
 done
 
 # 3a'. 100k blocked kernel A/B: mask-pop engages in the per-block sweeps too
@@ -84,14 +96,18 @@ for i in 1 2; do
     python benchmarks/suite.py --only stress100k
   step 2400 03_stress100k_maskpop_$i \
     env RAYTRACER_MASKPOP=1 python benchmarks/suite.py --only stress100k
+  step 2400 03_stress100k_maskpop_nort_$i \
+    env RAYTRACER_MASKPOP=1 RAYTRACER_MASKPOP_RETEST=0 \
+    python benchmarks/suite.py --only stress100k
 done
 
 # 3b. lanesort sampler configs (plain + coherent), interleaved with the
 # mask-pop combination (mask-pop applies inside lanesort's sweeps too)
 for i in 1 2; do
-  step 1800 03_lanesort_$i python benchmarks/suite.py --only lanesort
+  step 1800 03_lanesort_$i \
+    python benchmarks/suite.py --only stress10k_lanesort
   step 1800 03_lanesort_maskpop_$i \
-    env RAYTRACER_MASKPOP=1 python benchmarks/suite.py --only lanesort
+    env RAYTRACER_MASKPOP=1 python benchmarks/suite.py --only stress10k_lanesort
 done
 
 # 3c. permutation cost model
@@ -102,7 +118,12 @@ step 2400 04_earth python benchmarks/suite.py --only earth
 
 # 5. cube (static has_refractive skip) and monkey (glass — no change expected)
 step 1800 05_cube python benchmarks/suite.py --only cube
-step 2400 05_monkey python benchmarks/suite.py --only monkey
+# three configs: 100spp default + coherent, 20spp lanesort (wavefront)
+step 3600 05_monkey python benchmarks/suite.py --only monkey
+# monkey's 31-cluster triangle pool saturates its tile union too — same
+# amortization question as stress10k (divergence_bound.py)
+step 2400 05_monkey_srows64 \
+  env RAYTRACER_SROWS=64 python benchmarks/suite.py --only monkey_1920
 
 # 6. full suite on the final defaults (ARCHITECTURE.md round-3 column)
 step 5400 06_full_suite python benchmarks/suite.py

@@ -237,6 +237,18 @@ def test_maskpop_matches_gate_sweep(monkeypatch):
     np.testing.assert_array_equal(np.asarray(rec_gate.is_tri),
                                   np.asarray(rec_pop.is_tri))
 
+    # retest-free pops (MASKPOP_RETEST=0) sweep every popped cluster
+    # unconditionally — extra sweeps are no-ops under the strict < select,
+    # so results must stay bitwise identical to both schemes above
+    monkeypatch.setattr(sweep_mod, "MASKPOP_RETEST", False)
+    rec_nort = nearest_hit_pallas(o, d, scene)
+    np.testing.assert_array_equal(np.asarray(rec_gate.t),
+                                  np.asarray(rec_nort.t))
+    np.testing.assert_array_equal(np.asarray(rec_gate.idx),
+                                  np.asarray(rec_nort.idx))
+    np.testing.assert_array_equal(np.asarray(rec_gate.is_tri),
+                                  np.asarray(rec_nort.is_tri))
+
 
 def test_blocked_maskpop_matches_plain_blocked(monkeypatch):
     """Mask-pop also engages inside the HBM-streamed blocked kernel's
