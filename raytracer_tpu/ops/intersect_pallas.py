@@ -129,6 +129,20 @@ TRI_BLOCK = 1024
 # supers -> clusters -> leaf sweep)
 SUP_GROUP = int(os.environ.get("RAYTRACER_BLOCK_SUP_GROUP", "16"))
 _FORCE_BLOCKED = bool(os.environ.get("RAYTRACER_FORCE_BLOCKED", ""))
+# Tile-true near-first block visitation (vs the default per-cell static
+# order): slab-test every block union against the tile up front (2*nblocks
+# vectorised tests + nblocks min-reduces, paid once per tile), then pop
+# blocks in ascending min-over-lanes entry distance, re-gating each pop
+# against the evolving best-t. The static cell order is computed from the
+# tile's mean ORIGIN only, so lanes bootstrap far blocks at best-t = INF;
+# popping by actual entry distance makes the first swept block the one
+# that collapses best-t, and the stop rule (min remaining tmin >= the
+# tile's max best-t) retires the loop without testing the tail at all —
+# benchmarks/block_bound.py measures the structural gap on stress100k.
+# Same exact-tie caveat as RAYTRACER_MASKPOP: equal-t winners in
+# *different blocks* resolve to the first-visited block's primitive, and
+# the visit order differs from the cell order. Opt-in until measured.
+_BLOCK_NEARFIRST = os.environ.get("RAYTRACER_BLOCK_NEARFIRST", "0") == "1"
 
 
 def _kernel_blocked(sphc_ref, tric_ref, sphs_ref, tris_ref, bbox_ref,
@@ -221,8 +235,7 @@ def _kernel_blocked(sphc_ref, tric_ref, sphs_ref, tris_ref, bbox_ref,
     # (src/objects.cu:508-516) across its device-resident node arrays.
     cell = tile_cell(ox, oy, oz, bgrid_ref) * nblocks
 
-    def block_body(i, _):
-        b = border_ref[cell + i]
+    def visit_block(b):
         bt = t_ref[:]
         enter = box_enter(b * 2 + 0, bt)
         if sph_blocks > 0 and tri_blocks > 0:
@@ -311,11 +324,58 @@ def _kernel_blocked(sphc_ref, tric_ref, sphs_ref, tris_ref, bbox_ref,
             pa_ref[:] = jnp.where(better, local[7], pa_ref[:])
             pb_ref[:] = jnp.where(better, local[8], pb_ref[:])
 
-        return 0
-
     _lim = int(os.environ.get("RAYTRACER_BLOCK_LIMIT", "0"))
-    jax.lax.fori_loop(0, min(_lim, nblocks) if _lim else nblocks,
-                      block_body, 0)
+    if _BLOCK_NEARFIRST and not _lim and nblocks > 1:
+        # Tile-true near-first pops (see _BLOCK_NEARFIRST): per-block
+        # min-over-lanes entry distance up front, then pop ascending.
+        def box_tmin(i):
+            t1 = (bget(i, 0) - ox) * inv_dx
+            t2 = (bget(i, 3) - ox) * inv_dx
+            tmin = jnp.minimum(t1, t2)
+            tmax = jnp.maximum(t1, t2)
+            t1 = (bget(i, 1) - oy) * inv_dy
+            t2 = (bget(i, 4) - oy) * inv_dy
+            tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+            tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+            t1 = (bget(i, 2) - oz) * inv_dz
+            t2 = (bget(i, 5) - oz) * inv_dz
+            tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+            tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+            tmin = jnp.maximum(tmin, 0.0)
+            return jnp.where((tmin <= tmax) & (tmax > 0.0), tmin, _INF)
+
+        np_pad = -(-nblocks // LANES) * LANES
+        bi = jax.lax.broadcasted_iota(jnp.int32, (1, np_pad), 1)
+        tvec = jnp.full((1, np_pad), _INF, jnp.float32)
+        for b in range(nblocks):
+            tb = None
+            if sph_blocks > 0:
+                tb = box_tmin(b * 2 + 0)
+            if tri_blocks > 0:
+                tt = box_tmin(b * 2 + 1)
+                tb = tt if tb is None else jnp.minimum(tb, tt)
+            tvec = jnp.where(bi == b, jnp.min(tb), tvec)
+
+        def pop_body(st):
+            m = jnp.min(st)
+            b = jnp.min(jnp.where(st == m, bi, np_pad))
+            # visit_block re-gates against the evolving best-t (the exact
+            # per-lane rule), so a stale pop only skips its sweep
+            visit_block(b)
+            return jnp.where(bi == b, _INF, st)
+
+        jax.lax.while_loop(
+            # min remaining entry distance >= every lane's best-t ⇒ no
+            # remaining block can open any lane's gate: stop, untested
+            lambda st: jnp.min(st) < jnp.max(t_ref[:]),
+            pop_body, tvec)
+    else:
+        def block_body(i, _):
+            visit_block(border_ref[cell + i])
+            return 0
+
+        jax.lax.fori_loop(0, min(_lim, nblocks) if _lim else nblocks,
+                          block_body, 0)
 
 
 def _run_kernel_blocked(planes, scene: SceneArrays, rows: int):

@@ -90,7 +90,10 @@ for i in 1 2 3; do
     python benchmarks/suite.py --only stress10k_1000x800
 done
 
-# 3a'. 100k blocked kernel A/B: mask-pop engages in the per-block sweeps too
+# 3a'. 100k blocked kernel A/B: mask-pop engages in the per-block sweeps
+#      too, and _BLOCK_NEARFIRST replaces the static cell block order with
+#      tile-true near-first pops (benchmarks/block_bound.py measures the
+#      structural gap: the static order bootstraps far blocks at INF)
 for i in 1 2; do
   step 2400 03_stress100k_default_$i \
     python benchmarks/suite.py --only stress100k
@@ -98,6 +101,11 @@ for i in 1 2; do
     env RAYTRACER_MASKPOP=1 python benchmarks/suite.py --only stress100k
   step 2400 03_stress100k_maskpop_nort_$i \
     env RAYTRACER_MASKPOP=1 RAYTRACER_MASKPOP_RETEST=0 \
+    python benchmarks/suite.py --only stress100k
+  step 2400 03_stress100k_nearfirst_$i \
+    env RAYTRACER_BLOCK_NEARFIRST=1 python benchmarks/suite.py --only stress100k
+  step 2400 03_stress100k_nf_maskpop_$i \
+    env RAYTRACER_BLOCK_NEARFIRST=1 RAYTRACER_MASKPOP=1 \
     python benchmarks/suite.py --only stress100k
 done
 

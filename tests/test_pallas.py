@@ -291,6 +291,58 @@ def test_blocked_maskpop_matches_plain_blocked(monkeypatch):
                                   np.asarray(rec_pop.is_tri))
 
 
+def test_blocked_nearfirst_matches_static_order(monkeypatch):
+    """Tile-true near-first block pops (_BLOCK_NEARFIRST: per-block slab
+    tmin up front, pop ascending, re-gate each pop against the evolving
+    best-t) must be bitwise identical to the static per-cell block order —
+    only the visitation order differs and the strict < winner select makes
+    that order-invariant on non-coincident geometry. Needs nblocks > 1
+    (> 4096 spheres) for the pop loop to engage."""
+    import raytracer_tpu.ops.intersect_pallas as ip
+    from raytracer_tpu.models.materials import Material, Texture
+    from raytracer_tpu.models.scene import SceneBuilder
+    from raytracer_tpu.ops import sweep as sweep_mod
+    monkeypatch.setattr(ip, "_FORCE_BLOCKED", True)
+    rng = np.random.default_rng(13)
+    b = SceneBuilder()
+    b.add_spheres(
+        rng.uniform(-10, 10, (4500, 3)), rng.uniform(0.1, 0.4, 4500),
+        Material.standard(Texture.const_colour((1, 1, 1)), 0.3),
+        colours=rng.uniform(0, 1, (4500, 3)))
+    white = Material.standard(Texture.const_colour((0.9, 0.9, 0.9)), 0)
+    for k in range(40):
+        p = rng.uniform(-10, 10, 3)
+        b.add_triangle(p, p + rng.uniform(-1, 1, 3),
+                       p + rng.uniform(-1, 1, 3), white)
+    scene = b.build()
+
+    # divergent rays inside the field (the regime the 100k A/B targets)
+    o = jnp.asarray(rng.uniform(-10, 10, (3, 256)), jnp.float32)
+    d = rng.normal(size=(3, 256))
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    d = jnp.asarray(d, jnp.float32)
+
+    rec_static = nearest_hit_pallas(o, d, scene)
+    monkeypatch.setattr(ip, "_BLOCK_NEARFIRST", True)
+    rec_nf = nearest_hit_pallas(o, d, scene)
+    np.testing.assert_array_equal(np.asarray(rec_static.t),
+                                  np.asarray(rec_nf.t))
+    np.testing.assert_array_equal(np.asarray(rec_static.idx),
+                                  np.asarray(rec_nf.idx))
+    np.testing.assert_array_equal(np.asarray(rec_static.is_tri),
+                                  np.asarray(rec_nf.is_tri))
+
+    # the hardware A/B's headline combination: near-first block pops with
+    # mask-pop cluster traversal inside each entered block
+    monkeypatch.setattr(sweep_mod, "MASKPOP", True)
+    monkeypatch.setattr(sweep_mod, "MASKPOP_MIN", 16)
+    rec_both = nearest_hit_pallas(o, d, scene)
+    np.testing.assert_array_equal(np.asarray(rec_static.t),
+                                  np.asarray(rec_both.t))
+    np.testing.assert_array_equal(np.asarray(rec_static.idx),
+                                  np.asarray(rec_both.idx))
+
+
 def test_blocked_rows_knob_validated(monkeypatch):
     """RAYTRACER_BLOCKED_ROWS values that do not divide the ray-plane row
     count must raise instead of silently truncating the grid (leaving tail
