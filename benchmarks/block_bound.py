@@ -1,33 +1,39 @@
 """Dynamic traversal simulation for the beyond-SMEM blocked kernel (stress100k).
 
 Sibling of benchmarks/divergence_bound.py, one level up the hierarchy — and
-a *dynamics* study, not just a structural one. The HBM-streamed kernel
-(ops/intersect_pallas.py _kernel_blocked) was measured at ~1.2 Mrays/s and
-ARCHITECTURE.md attributed that to tile-synchronous unions. This script
-replays the kernel's exact gate logic in numpy (per-lane evolving best-t,
+a *dynamics* study, not just a structural one. This script replays the
+HBM-streamed kernel's gate logic in numpy (per-lane evolving best-t,
 per-cell static block order, build-order in-block clusters, global-best
 seeding) against the true per-(lane, cluster) nearest-t table, so the cost
 can be decomposed into:
 
-  - what the production ORDER actually sweeps (validates the simulation
-    against the measured number via the stress10k prims/tile anchor);
+  - what the production ORDER sweeps with WORKING gates (see note below);
   - what a tile-true near-first BLOCK order would sweep (pop blocks by
-    min-over-lanes tmin — the mask-pop trick at block level, computable
-    in-kernel from 25 slab tests, no host tables);
+    min-over-lanes tmin — RAYTRACER_BLOCK_NEARFIRST, computable in-kernel
+    from 25 slab tests, no host tables), including its early-stop rule
+    (the pop loop retires once the min remaining entry distance clears
+    every lane's best-t — the tail is never gate-tested);
   - what adding near-first CLUSTER order inside each block gives (pop
     clusters by tile-min tmin — collapses each lane's best-t in its first
     few swept clusters instead of after a build-order scan);
   - the final-t structural floor (gates evaluated against each ray's own
     final nearest-t — unreachable, bounds any single-pass scheme).
 
-The headline round-3 finding this encodes: the floor for coherent primary
-tiles is ~3.5 blocks and a few hundred swept prims per tile, i.e. the
-measured 1.2 Mrays/s is dominated by traversal *bootstrap* (lanes sweeping
-at best-t = INF in a cell-approximate order), not by union synchrony —
-the opposite of the in-SMEM stress10k case (divergence_bound.py), where
-the union itself saturates.
+NOTE (the bug this sim exposed): the shipped kernel before the round-3
+filler fix did NOT behave like the "production" row here. Pool-filler
+blocks carried inverted [+INF, -INF] union boxes, and the min/max-swapped
+slab test treats an inverted box as its swapped hull — always entered at
+tmin = 0. On stress100k (24 of 25 tri sub-blocks pure padding) every tile
+therefore entered and swept ALL 25 blocks: the measured ~1.2 Mrays/s was
+a filler-gate brute-force scan, not union synchrony. This sim models the
+FIXED kernel (real boxes only) and so *predicts* its footprint: ~4 blocks
+and ~600 swept prims per coherent primary tile, ~8 blocks / ~4-7k prims
+per diffuse-secondary tile (vs ~25 blocks / >100k prims broken). On this
+footprint the near-first pops are a small refinement (primaries -5%
+prims, secondaries only with in-block cluster_nf), not the main lever.
 
-Runs on the CPU backend; ~4-6 min at the default --tiles 8.
+Runs on the CPU backend; ~15-25 min at the default --tiles 8 (the oracle
+per-(lane, cluster) table over 100k spheres dominates).
 
 Usage: python benchmarks/block_bound.py [--tiles 8] [--num 100000] [--json]
 """
@@ -50,9 +56,8 @@ EPS = 1e-4
 BIG = 1e30
 
 
-def slab_tmin(o, d, boxes, cap=None):
-    """(N, C) slab tmin vs each box; +inf where the ray misses the box.
-    ``cap`` (N,) optionally prunes entries at tmin >= cap to +inf."""
+def slab_tmin(o, d, boxes):
+    """(N, C) slab tmin vs each box; +inf where the ray misses the box."""
     with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         inv = np.where(d == 0.0, BIG, 1.0 / d)
         t1 = (boxes[None, :, 0:3] - o[:, None, :]) * inv[:, None, :]
@@ -60,8 +65,6 @@ def slab_tmin(o, d, boxes, cap=None):
     tmin = np.maximum(np.minimum(t1, t2).max(axis=2), 0.0)
     tmax = np.maximum(t1, t2).min(axis=2)
     enter = (tmin <= tmax) & (tmax > 0.0)
-    if cap is not None:
-        enter &= tmin < cap[:, None]
     return np.where(enter, tmin, np.inf)
 
 
@@ -108,13 +111,15 @@ def floor_t(o, d, quad):
     return np.where(ok, t, np.inf).astype(np.float32)
 
 
-def replay(cl_tmin, cl_t, blk_tmin, ftri, block_order, nblocks, cpb, leaf,
-           sup_group, block_nf, cluster_nf, floor_first, final_t=None):
+def replay(cl_tmin, cl_t, blk_tmin, blk_tmin_ord, ftri, block_order, cpb,
+           leaf, sup_group, block_nf, cluster_nf, floor_first, final_t=None):
     """Replay the kernel's gate logic on one tile. Returns
     (swept_prims, blocks_entered, gate_syncs).
 
     cl_tmin/cl_t: (TILE, C) cluster slab tmin / true in-cluster nearest t.
-    blk_tmin: (TILE, B) block-union slab tmin. ftri: (TILE,) floor t.
+    blk_tmin: (TILE, B) sphere-union slab tmin (the per-lane gate).
+    blk_tmin_ord: (TILE, B) COMBINED (sphere ∪ real-tri) union tmin — what
+    the kernel's tvec pops by and early-stops on. ftri: (TILE,) floor t.
     block_nf / cluster_nf: tile-true near-first order (by min-over-lane
     tmin) instead of the static cell order / build order.
     final_t: evaluate every gate at each lane's final t (structural floor)
@@ -132,9 +137,15 @@ def replay(cl_tmin, cl_t, blk_tmin, ftri, block_order, nblocks, cpb, leaf,
         prims += leaf                      # the 32-prim padded tri cluster
 
     order = block_order
+    ord_tmin = None
     if block_nf:
-        order = np.argsort(blk_tmin.min(axis=0), kind="stable")
-    for b in order:
+        ord_scalar = blk_tmin_ord.min(axis=0)
+        order = np.argsort(ord_scalar, kind="stable")
+        ord_tmin = ord_scalar[order]
+    for k, b in enumerate(order):
+        if block_nf and ord_tmin[k] >= bt.max():
+            break                          # kernel's pop-loop early stop:
+            # the remaining tail is never gate-tested at all
         syncs += 1                         # block union gate / pop
         gate = blk_tmin[:, b] < bt
         if b == 0 and not floor_first:
@@ -196,6 +207,7 @@ def run_population(name, o, d, t_final, cl_boxes, blk_sph, blk_comb,
             [cl_t, np.full((n, pad), np.inf, np.float32)], axis=1)
     cl_tmin = slab_tmin(o, d, cl_boxes)
     blk_tmin = slab_tmin(o, d, blk_sph)
+    blk_tmin_comb = slab_tmin(o, d, blk_comb)   # the kernel's pop keys
 
     schemes = {
         "production": dict(block_nf=False, cluster_nf=False,
@@ -218,8 +230,8 @@ def run_population(name, o, d, t_final, cl_boxes, blk_sph, blk_comb,
             cell = np.clip(((om - glo) * ginv).astype(int), 0, og - 1)
             cid = (cell[0] * og + cell[1]) * og + cell[2]
             p, b, s = replay(
-                cl_tmin[sl], cl_t[sl], blk_tmin[sl], ftri[sl],
-                border[cid], nblocks, cpb, leaf, sup_group,
+                cl_tmin[sl], cl_t[sl], blk_tmin[sl], blk_tmin_comb[sl],
+                ftri[sl], border[cid], cpb, leaf, sup_group,
                 cfgd["block_nf"], cfgd["cluster_nf"], cfgd["floor_first"],
                 final_t=t_final[sl] if cfgd.get("final") else None)
             tp += p
@@ -330,12 +342,14 @@ def main():
             print(f"  {sname:<22} prims/tile {r['prims_per_tile']:>9}  "
                   f"blocks {r['blocks_per_tile']:>6}  "
                   f"syncs {r['syncs_per_tile']:>7}")
-    print("\n# reading: 'production' replays the shipped kernel "
-          "(validates the sim against the measured\n# ~1.2 Mrays/s via the "
-          "anchor); the _nf rows replace the static cell block order / "
-          "build\n# cluster order with tile-true near-first pops (25 + 128 "
-          "extra slab tests per tile, all\n# vectorisable); final_t_floor "
-          "gates at each lane's final t — the single-pass bound.")
+    print("\n# reading: 'production' replays the FIXED kernel (real union "
+          "boxes; the shipped kernel\n# before the round-3 filler fix "
+          "entered all blocks every tile — see module docstring);\n# the "
+          "_nf rows replace the static cell block order / build cluster "
+          "order with tile-true\n# near-first pops incl. the pop loop's "
+          "early stop (25 + 128 extra slab tests per tile,\n# all "
+          "vectorisable); final_t_floor gates at each lane's final t — the "
+          "single-pass bound.")
 
 
 if __name__ == "__main__":

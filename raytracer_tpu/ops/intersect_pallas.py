@@ -236,12 +236,26 @@ def _kernel_blocked(sphc_ref, tric_ref, sphs_ref, tris_ref, bbox_ref,
     cell = tile_cell(ox, oy, oz, bgrid_ref) * nblocks
 
     def visit_block(b):
+        # Pool-filler guard (b < pool_blocks): a pool padded to the block
+        # axis (pad_j) contributes an INVERTED [+INF, -INF] union box for
+        # its filler blocks, and the min/max-swapped slab test turns any
+        # inverted box into its swapped hull — ALWAYS entered at tmin = 0,
+        # not never entered. Unguarded, one all-filler pool (stress100k:
+        # tri blocks 1..24) opened every block's gate for every tile and
+        # reduced the whole hierarchy to a brute-force scan (the measured
+        # 1.18 Mrays/s); real blocks are index-contiguous, so one scalar
+        # compare restores the gate.
         bt = t_ref[:]
-        enter = box_enter(b * 2 + 0, bt)
-        if sph_blocks > 0 and tri_blocks > 0:
-            enter = jnp.logical_or(enter, box_enter(b * 2 + 1, bt))
-        elif tri_blocks > 0:
-            enter = box_enter(b * 2 + 1, bt)
+        enter = None
+        if sph_blocks > 0:
+            enter = box_enter(b * 2 + 0, bt)
+            if sph_blocks < nblocks:
+                enter = jnp.logical_and(enter, b < sph_blocks)
+        if tri_blocks > 0:
+            e_t = box_enter(b * 2 + 1, bt)
+            if tri_blocks < nblocks:
+                e_t = jnp.logical_and(e_t, b < tri_blocks)
+            enter = e_t if enter is None else jnp.logical_or(enter, e_t)
         if _abl == "neverenter":
             enter = jnp.logical_and(enter, b < 0)
 
@@ -251,25 +265,48 @@ def _kernel_blocked(sphc_ref, tric_ref, sphs_ref, tris_ref, bbox_ref,
         # even when the branch was not taken.
         @pl.when(enter)
         def _():
-            copies = []
-            if sph_blocks > 0:
-                copies.append(pltpu.make_async_copy(
+            # Per-pool DMA guards mirror the gate guards above: a block
+            # entered through one pool's box must not stream the OTHER
+            # pool's filler slots (stress100k: 24 of 25 tri sub-blocks are
+            # pure padding — 104 KiB of dead DMA per entered block). The
+            # scratch then still holds a PREVIOUS block's primitives, but
+            # the resident cluster boxes for this block's filler rows are
+            # NaN (see _run_kernel_blocked), so no gate ever opens on the
+            # stale data.
+            def copy_sph():
+                c0 = pltpu.make_async_copy(
                     sphf_hbm.at[pl.ds(b * 4 * s_chunks, 4 * s_chunks), :],
-                    sphf_s, sems.at[0]))
-                copies.append(pltpu.make_async_copy(
+                    sphf_s, sems.at[0])
+                c1 = pltpu.make_async_copy(
                     sphi_hbm.at[pl.ds(b * 2 * s_chunks, 2 * s_chunks), :],
-                    sphi_s, sems.at[1]))
-            if tri_blocks > 0:
-                copies.append(pltpu.make_async_copy(
+                    sphi_s, sems.at[1])
+                c0.start()
+                c1.start()
+                c0.wait()
+                c1.wait()
+
+            def copy_tri():
+                c0 = pltpu.make_async_copy(
                     trif_hbm.at[pl.ds(b * 24 * t_chunks, 24 * t_chunks), :],
-                    trif_s, sems.at[2]))
-                copies.append(pltpu.make_async_copy(
+                    trif_s, sems.at[2])
+                c1 = pltpu.make_async_copy(
                     trii_hbm.at[pl.ds(b * 2 * t_chunks, 2 * t_chunks), :],
-                    trii_s, sems.at[3]))
-            for c in copies:
-                c.start()
-            for c in copies:
-                c.wait()
+                    trii_s, sems.at[3])
+                c0.start()
+                c1.start()
+                c0.wait()
+                c1.wait()
+
+            if sph_blocks > 0:
+                if sph_blocks < nblocks:
+                    pl.when(b < sph_blocks)(copy_sph)
+                else:
+                    copy_sph()
+            if tri_blocks > 0:
+                if tri_blocks < nblocks:
+                    pl.when(b < tri_blocks)(copy_tri)
+                else:
+                    copy_tri()
             if _abl == "dmaonly":
                 t_ref[:] = jnp.minimum(t_ref[:], zero_f + sphf_s[0, 0])
                 return
@@ -325,7 +362,13 @@ def _kernel_blocked(sphc_ref, tric_ref, sphs_ref, tris_ref, bbox_ref,
             pb_ref[:] = jnp.where(better, local[8], pb_ref[:])
 
     _lim = int(os.environ.get("RAYTRACER_BLOCK_LIMIT", "0"))
-    if _BLOCK_NEARFIRST and not _lim and nblocks > 1:
+    if _BLOCK_NEARFIRST and _lim:
+        # refuse rather than silently run the static order: an ablation
+        # combining the knobs would otherwise record mislabelled data
+        raise ValueError(
+            "RAYTRACER_BLOCK_LIMIT (a static-order prefix ablation) cannot "
+            "be combined with RAYTRACER_BLOCK_NEARFIRST (dynamic pop order)")
+    if _BLOCK_NEARFIRST and nblocks > 1:
         # Tile-true near-first pops (see _BLOCK_NEARFIRST): per-block
         # min-over-lanes entry distance up front, then pop ascending.
         def box_tmin(i):
@@ -348,10 +391,14 @@ def _kernel_blocked(sphc_ref, tric_ref, sphs_ref, tris_ref, bbox_ref,
         bi = jax.lax.broadcasted_iota(jnp.int32, (1, np_pad), 1)
         tvec = jnp.full((1, np_pad), _INF, jnp.float32)
         for b in range(nblocks):
+            # only fold pools with a REAL block at b: a pool-filler slot's
+            # inverted box scores tmin = 0 under the swapped slab test and
+            # would pin the block to the front of the pop order (b is a
+            # Python int here, so the guard is free)
             tb = None
-            if sph_blocks > 0:
+            if sph_blocks > b:
                 tb = box_tmin(b * 2 + 0)
-            if tri_blocks > 0:
+            if tri_blocks > b:
                 tt = box_tmin(b * 2 + 1)
                 tb = tt if tb is None else jnp.minimum(tb, tt)
             tvec = jnp.where(bi == b, jnp.min(tb), tvec)
@@ -409,7 +456,12 @@ def _run_kernel_blocked(planes, scene: SceneArrays, rows: int):
 
     def pad_clusters(cl, leaf, pool_slots, count):
         """One row per leaf over the padded pool; missing leaves get
-        never-entered boxes (min=+INF > max=-INF fails the slab test)."""
+        inverted [+INF, -INF] boxes so they VANISH in the block-union /
+        super min-max reductions below. They must NOT reach any slab
+        test: the min/max-swapped slab turns an inverted box into its
+        swapped hull (always entered at tmin=0) — after the unions are
+        computed, every pure-filler row is rewritten to NaN (fails every
+        compare, so no gate ever opens)."""
         rows_needed = pool_slots // leaf
         out = jnp.tile(jnp.asarray(
             [[_INF, _INF, _INF, -_INF, -_INF, -_INF, 0.0, 0.0]],
@@ -418,13 +470,61 @@ def _run_kernel_blocked(planes, scene: SceneArrays, rows: int):
             out = out.at[:count].set(cl[:count])
         return out
 
-    sphc = pad_clusters(sphc, int(scene.sph_leaf), sphf.shape[1],
-                        int(scene.sph_clusters.shape[0]))
-    tric = pad_clusters(tric, int(scene.tri_leaf), trif.shape[1],
-                        int(scene.tri_clusters.shape[0]))
+    def leaf_boxes(pmin, pmax, leaf):
+        """Per-leaf [lo, hi, 0, 0] cluster rows from per-primitive bounds
+        (masked-out primitives arrive as inverted [+INF, -INF] and vanish
+        in the min/max)."""
+        n = pmin.shape[0]
+        n_cl = -(-n // leaf)
+        pad = n_cl * leaf - n
+        if pad:
+            pmin = jnp.concatenate(
+                [pmin, jnp.full((pad, 3), _INF, jnp.float32)], axis=0)
+            pmax = jnp.concatenate(
+                [pmax, jnp.full((pad, 3), -_INF, jnp.float32)], axis=0)
+        lo = pmin.reshape(n_cl, leaf, 3).min(axis=1)
+        hi = pmax.reshape(n_cl, leaf, 3).max(axis=1)
+        return jnp.concatenate(
+            [lo, hi, jnp.zeros((n_cl, 2), jnp.float32)], axis=1)
+
+    # Small pools carry no resident cluster table (scene.py builds one only
+    # past its clustering threshold; the resident kernel sweeps them flat).
+    # The blocked kernel's per-block hierarchy gates EVERYTHING through
+    # cluster rows, so synthesise real per-leaf boxes from the primitives
+    # themselves — before this existed, such pools rode all-filler rows
+    # whose inverted boxes pass the swapped slab test (always open): the
+    # stress100k floor quad opened every block's tri gate for every tile.
+    if (int(scene.sph_clusters.shape[0]) == 0
+            and int(scene.sph_center.shape[0]) > 0):
+        ok = (scene.sph_radius > 0)[:, None]
+        rad = scene.sph_radius[:, None]
+        sphc = leaf_boxes(
+            jnp.where(ok, scene.sph_center - rad, _INF),
+            jnp.where(ok, scene.sph_center + rad, -_INF),
+            int(scene.sph_leaf))
+        s_n_cl = int(sphc.shape[0])
+    else:
+        s_n_cl = int(scene.sph_clusters.shape[0])
+    if (int(scene.tri_clusters.shape[0]) == 0
+            and int(scene.tri_v0.shape[0]) > 0):
+        v0, v1 = scene.tri_v0, scene.tri_v0 + scene.tri_e1
+        v2 = scene.tri_v0 + scene.tri_e2
+        ok = scene.tri_valid[:, None]
+        tric = leaf_boxes(
+            jnp.where(ok, jnp.minimum(jnp.minimum(v0, v1), v2), _INF),
+            jnp.where(ok, jnp.maximum(jnp.maximum(v0, v1), v2), -_INF),
+            int(scene.tri_leaf))
+        t_n_cl = int(tric.shape[0])
+    else:
+        t_n_cl = int(scene.tri_clusters.shape[0])
+
+    sphc = pad_clusters(sphc, int(scene.sph_leaf), sphf.shape[1], s_n_cl)
+    tric = pad_clusters(tric, int(scene.tri_leaf), trif.shape[1], t_n_cl)
     # equalise the block axis across pools: every pool must provide a block
     # (a never-entered one where it has run out of primitives)
     def pad_j(arr, per_block):
+        # same inverted-filler convention as pad_clusters (union-neutral
+        # now, NaN-ified before any slab test sees the rows)
         want = nblocks * per_block
         if arr.shape[0] < want:
             fill = jnp.tile(jnp.asarray(
@@ -519,8 +619,8 @@ def _run_kernel_blocked(planes, scene: SceneArrays, rows: int):
     # Per-block super level: group each block's leaf clusters (build order
     # = BVH DFS order, spatially contiguous) into boxes of SUP_GROUP with
     # block-local (start, count) — the in-block analog of the resident
-    # kernel's super-cluster tables. All-filler groups union to
-    # [+INF, -INF] and never enter.
+    # kernel's super-cluster tables. Filler rows vanish in the union
+    # reductions; pure-filler supers are NaN-ified below.
     def block_supers(cl, rows_per_block):
         grp = min(SUP_GROUP, rows_per_block)
         ns = rows_per_block // grp
@@ -536,6 +636,27 @@ def _run_kernel_blocked(planes, scene: SceneArrays, rows: int):
 
     sphs, ss_rows = block_supers(sphc, sc_rows)
     tris, ts_rows = block_supers(tric, tc_rows)
+
+    # Rewrite every still-INVERTED box row (pure-filler cluster rows and
+    # all-filler super groups — real rows always have lo <= hi) to NaN now
+    # that all union reductions above are done. An inverted [+INF, -INF]
+    # box is union-neutral but is its swapped hull under the slab test —
+    # an always-open gate that costs a full (poisoned) leaf sweep per
+    # visit: before this rewrite, the last block's filler rows and every
+    # all-filler sub-block swept thousands of dead primitives per entered
+    # block. NaN fails every slab compare, so these gates (and the
+    # mask-pop lane masks) never open; a group straddling real and filler
+    # rows keeps its real union. The only other readers of these rows are
+    # the reductions above, which already ran.
+    def nan_inverted(arr8):
+        return jnp.where((arr8[:, 0] > arr8[:, 3])[:, None],
+                         jnp.nan, arr8)
+
+    sphs = nan_inverted(sphs)
+    tris = nan_inverted(tris)
+    sphc = nan_inverted(sphc)
+    tric = nan_inverted(tric)
+
     sphs = layout8(sphs)
     tris = layout8(tris)
     sphc = layout8(sphc)

@@ -323,6 +323,12 @@ def test_blocked_nearfirst_matches_static_order(monkeypatch):
     d = jnp.asarray(d, jnp.float32)
 
     rec_static = nearest_hit_pallas(o, d, scene)
+    # oracle check on a MULTI-block scene with a pool-filler tri block
+    # (sph_blocks=2, tri_blocks=1): regression for the inverted-filler-box
+    # always-enter bug — guarded gates/DMAs and NaN filler rows must not
+    # drop real hits or surface stale-scratch ones
+    rec_x = I.nearest_hit(o, d, scene, backend="xla")
+    _assert_oracle_match(rec_static, rec_x)
     monkeypatch.setattr(ip, "_BLOCK_NEARFIRST", True)
     rec_nf = nearest_hit_pallas(o, d, scene)
     np.testing.assert_array_equal(np.asarray(rec_static.t),
@@ -341,6 +347,8 @@ def test_blocked_nearfirst_matches_static_order(monkeypatch):
                                   np.asarray(rec_both.t))
     np.testing.assert_array_equal(np.asarray(rec_static.idx),
                                   np.asarray(rec_both.idx))
+    np.testing.assert_array_equal(np.asarray(rec_static.is_tri),
+                                  np.asarray(rec_both.is_tri))
 
 
 def test_blocked_rows_knob_validated(monkeypatch):
