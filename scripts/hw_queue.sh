@@ -107,6 +107,10 @@ for i in 1 2; do
   step 2400 03_stress100k_nf_maskpop_$i \
     env RAYTRACER_BLOCK_NEARFIRST=1 RAYTRACER_MASKPOP=1 \
     python benchmarks/suite.py --only stress100k
+  # with the filler gates fixed, tile height finally matters for the
+  # blocked kernel too (tighter unions vs more DMA repeats)
+  step 2400 03_stress100k_brows16_$i \
+    env RAYTRACER_BLOCKED_ROWS=16 python benchmarks/suite.py --only stress100k
 done
 
 # 3b. lanesort sampler configs (plain + coherent), interleaved with the
