@@ -1,4 +1,8 @@
-"""Structural bound analysis for divergent-scene traversal (stress10k).
+"""Structural bound analysis for divergent-scene traversal.
+
+Covers both divergent BASELINE workloads: the 10k random-sphere stress
+scene (default; sphere pool) and --scene monkey (the Suzanne + area-light
+1080p config; triangle pool).
 
 The committed, reproducible form of the round-3 CPU counter experiment
 (docs/ROADMAP.md item 3): measures the *structural* quantities that bound
@@ -84,6 +88,11 @@ def main():
                     help="megakernel tiles sampled across the frame")
     ap.add_argument("--num", type=int, default=10000,
                     help="stress-scene sphere count")
+    ap.add_argument("--scene", choices=["stress", "monkey"],
+                    default="stress",
+                    help="stress = 10k-sphere field (sphere pool); monkey "
+                         "= the BASELINE mesh config (triangle pool — the "
+                         "other divergent-scene workload)")
     ap.add_argument("--json", action="store_true",
                     help="one JSON line instead of the table")
     args = ap.parse_args()
@@ -96,12 +105,23 @@ def main():
     from raytracer_tpu.ops import rebin
     from raytracer_tpu.ops.intersect import nearest_hit, resolve_hit
 
-    scene, _ = bench_scenes.stress_10k_scene(num=args.num)
-    boxes = np.asarray(scene.sph_clusters)
+    if args.scene == "monkey":
+        # the suite's monkey_1920x1080 config: Suzanne (723 faces) + area
+        # light + floor quads — the hot pool is the TRIANGLE clusters
+        scene, _ = bench_scenes.monkey_light_scene()
+        boxes = np.asarray(scene.tri_clusters)
+        leaf = int(scene.tri_leaf)
+        n_sup = int(scene.tri_supers.shape[0])
+        cfg = CameraConfig(width=1920, height=1080)
+        scene_name = "monkey_1080p"
+    else:
+        scene, _ = bench_scenes.stress_10k_scene(num=args.num)
+        boxes = np.asarray(scene.sph_clusters)
+        leaf = int(scene.sph_leaf)
+        n_sup = int(scene.sph_supers.shape[0])
+        cfg = CameraConfig(width=1000, height=800, position=(0, 1, -4))
+        scene_name = f"stress{args.num // 1000}k"
     n_cl = boxes.shape[0]
-    n_sup = int(scene.sph_supers.shape[0])
-
-    cfg = CameraConfig(width=1000, height=800, position=(0, 1, -4))
     cam = build_camera(cfg)
     order = morton_order(cfg.width, cfg.height)
     o, d = primary_rays(cam, cfg.width, cfg.height, pixel_order=order)
@@ -166,8 +186,10 @@ def main():
     # state-keyed re-binning; near-first pruning then closes everything
     # behind the hit). Missed rays sort last.
     sidx = np.asarray(srec.idx)
-    hit_cl = np.where(np.asarray(srec.hit), sidx // int(scene.sph_leaf),
-                      n_cl + 1)
+    pool_hit = np.asarray(srec.hit)
+    if args.scene == "monkey":
+        pool_hit = pool_hit & np.asarray(srec.is_tri)
+    hit_cl = np.where(pool_hit, sidx // leaf, n_cl + 1)
     osort = np.argsort(hit_cl, kind="stable")
     oracle = tile_stats(so[osort], sd[osort], st[osort], boxes)
 
@@ -192,16 +214,16 @@ def main():
         ("secondary_hitcl_oracle", oracle),
     ]
     out = {
-        "scene": f"stress{args.num // 1000}k",
+        "scene": scene_name,
         "clusters": n_cl, "supers": n_sup,
-        "leaf": int(scene.sph_leaf), "tiles": args.tiles,
+        "leaf": leaf, "tiles": args.tiles,
     }
     for name, (pr, pm, un) in rows:
         out[name] = {
             "per_ray_entered": round(pr, 1),
             "tile_max_entered": round(pm, 1),
             "tile_union": round(un, 1),
-            "union_prims": round(un * int(scene.sph_leaf)),
+            "union_prims": round(un * leaf),
             "syncs": syncs(un),
         }
     # tile-size sensitivity (regen order): the union SATURATES well below
@@ -217,7 +239,7 @@ def main():
         _, _, un = tile_stats(so, sd, st, boxes, chunk=chunk)
         tsize[f"rows{rows_}"] = {
             "tile_union": round(un, 1),
-            "prims_per_ray": round(un * int(scene.sph_leaf) / chunk, 2),
+            "prims_per_ray": round(un * leaf / chunk, 2),
             "maskpop_nort_syncs_per_ray": round((un + 2) / chunk, 3),
         }
     out["secondary_regen_tile_size"] = tsize
