@@ -111,15 +111,17 @@ def floor_t(o, d, quad):
     return np.where(ok, t, np.inf).astype(np.float32)
 
 
-def replay(cl_tmin, cl_t, blk_tmin, blk_tmin_ord, ftri, block_order, cpb,
-           leaf, sup_group, block_nf, cluster_nf, floor_first, final_t=None):
+def replay(cl_tmin, cl_t, blk_tmin, blk_tmin_ord, ftri, f_gate, block_order,
+           cpb, leaf, sup_group, block_nf, cluster_nf, floor_first,
+           final_t=None):
     """Replay the kernel's gate logic on one tile. Returns
     (swept_prims, blocks_entered, gate_syncs).
 
     cl_tmin/cl_t: (TILE, C) cluster slab tmin / true in-cluster nearest t.
     blk_tmin: (TILE, B) sphere-union slab tmin (the per-lane gate).
     blk_tmin_ord: (TILE, B) COMBINED (sphere ∪ real-tri) union tmin — what
-    the kernel's tvec pops by and early-stops on. ftri: (TILE,) floor t.
+    the kernel's tvec pops by and early-stops on. ftri: (TILE,) floor hit
+    t (best-t updates). f_gate: (TILE,) floor-box slab tmin (the gate).
     block_nf / cluster_nf: tile-true near-first order (by min-over-lane
     tmin) instead of the static cell order / build order.
     final_t: evaluate every gate at each lane's final t (structural floor)
@@ -149,7 +151,9 @@ def replay(cl_tmin, cl_t, blk_tmin, blk_tmin_ord, ftri, block_order, cpb,
         syncs += 1                         # block union gate / pop
         gate = blk_tmin[:, b] < bt
         if b == 0 and not floor_first:
-            gate |= ftri < bt
+            # the kernel's tri gate is the floor quad's AABB slab test
+            # (its synthesised cluster box), not the exact quad hit
+            gate |= f_gate < bt
         if not gate.any():
             continue
         entered += 1
@@ -191,10 +195,12 @@ def make_border(blk_boxes_comb, nblocks, og=4):
 
 
 def run_population(name, o, d, t_final, cl_boxes, blk_sph, blk_comb,
-                   border, glo, ginv, ftri, centers, radii, leaf,
+                   border, glo, ginv, ftri, fq_box, centers, radii, leaf,
                    sup_group, out):
     n = (o.shape[0] // TILE) * TILE
     o, d, t_final, ftri = o[:n], d[:n], t_final[:n], ftri[:n]
+    f_gate = slab_tmin(o, d, fq_box)[:, 0]     # the kernel's block-0 tri
+    # gate: the floor quad's synthesised-cluster AABB, not the exact hit
     ntiles = n // TILE
     cpb = SPH_BLOCK // leaf
     nblocks = blk_sph.shape[0]
@@ -231,7 +237,7 @@ def run_population(name, o, d, t_final, cl_boxes, blk_sph, blk_comb,
             cid = (cell[0] * og + cell[1]) * og + cell[2]
             p, b, s = replay(
                 cl_tmin[sl], cl_t[sl], blk_tmin[sl], blk_tmin_comb[sl],
-                ftri[sl], border[cid], cpb, leaf, sup_group,
+                ftri[sl], f_gate[sl], border[cid], cpb, leaf, sup_group,
                 cfgd["block_nf"], cfgd["cluster_nf"], cfgd["floor_first"],
                 final_t=t_final[sl] if cfgd.get("final") else None)
             tp += p
@@ -277,10 +283,17 @@ def main():
     # combined (sphere ∪ tri) boxes for the border lattice: only block 0
     # has a real tri pool (the floor quad)
     fq = ((-20.0, 20.0), -1.3, (-2.0, 40.0))
+    fq_box = np.asarray([[fq[0][0], fq[1], fq[2][0],
+                          fq[0][1], fq[1], fq[2][1], 0, 0]], np.float32)
     blk_comb = blk_sph.copy()
     blk_comb[0, 0:3] = np.minimum(blk_comb[0, 0:3], [fq[0][0], fq[1], fq[2][0]])
     blk_comb[0, 3:6] = np.maximum(blk_comb[0, 3:6], [fq[0][1], fq[1], fq[2][1]])
     border, glo, ginv = make_border(blk_comb, nblocks)
+    # NaN the filler cluster rows AFTER the unions above — same rule as
+    # the kernel (nan_inverted): an inverted box always enters the swapped
+    # slab test, so leaving them [BIG, -BIG] would sweep phantom prims in
+    # any tile entering the last block and pin fillers first in cluster_nf
+    cl[cl[:, 0] > cl[:, 3]] = np.nan
 
     cfg = CameraConfig(width=1000, height=800, position=(0, 1, -4))
     cam = build_camera(cfg)
@@ -309,7 +322,7 @@ def main():
            "miss_fraction": round(float((~hit).mean()), 4)}
     run_population("primary_morton", o, dn, np.where(hit, t, BIG), cl,
                    blk_sph, blk_comb, border, glo, ginv, floor_t(o, dn, fq),
-                   centers, radii, leaf, SUP_GROUP, out)
+                   fq_box, centers, radii, leaf, SUP_GROUP, out)
 
     rng = np.random.default_rng(0)
     point = o + dn * t[:, None]
@@ -326,7 +339,7 @@ def main():
         float((~np.asarray(srec.hit)).mean()), 4)
     run_population("secondary_regen", so, sd, st, cl, blk_sph, blk_comb,
                    border, glo, ginv, floor_t(so, sd, fq),
-                   centers, radii, leaf, SUP_GROUP, out)
+                   fq_box, centers, radii, leaf, SUP_GROUP, out)
 
     if args.json:
         print(json.dumps(out))

@@ -273,40 +273,47 @@ def _kernel_blocked(sphc_ref, tric_ref, sphs_ref, tris_ref, bbox_ref,
             # the resident cluster boxes for this block's filler rows are
             # NaN (see _run_kernel_blocked), so no gate ever opens on the
             # stale data.
-            def copy_sph():
-                c0 = pltpu.make_async_copy(
-                    sphf_hbm.at[pl.ds(b * 4 * s_chunks, 4 * s_chunks), :],
-                    sphf_s, sems.at[0])
-                c1 = pltpu.make_async_copy(
-                    sphi_hbm.at[pl.ds(b * 2 * s_chunks, 2 * s_chunks), :],
-                    sphi_s, sems.at[1])
-                c0.start()
-                c1.start()
-                c0.wait()
-                c1.wait()
+            def sph_copies():
+                return [pltpu.make_async_copy(
+                            sphf_hbm.at[pl.ds(b * 4 * s_chunks,
+                                              4 * s_chunks), :],
+                            sphf_s, sems.at[0]),
+                        pltpu.make_async_copy(
+                            sphi_hbm.at[pl.ds(b * 2 * s_chunks,
+                                              2 * s_chunks), :],
+                            sphi_s, sems.at[1])]
 
-            def copy_tri():
-                c0 = pltpu.make_async_copy(
-                    trif_hbm.at[pl.ds(b * 24 * t_chunks, 24 * t_chunks), :],
-                    trif_s, sems.at[2])
-                c1 = pltpu.make_async_copy(
-                    trii_hbm.at[pl.ds(b * 2 * t_chunks, 2 * t_chunks), :],
-                    trii_s, sems.at[3])
-                c0.start()
-                c1.start()
-                c0.wait()
-                c1.wait()
+            def tri_copies():
+                return [pltpu.make_async_copy(
+                            trif_hbm.at[pl.ds(b * 24 * t_chunks,
+                                              24 * t_chunks), :],
+                            trif_s, sems.at[2]),
+                        pltpu.make_async_copy(
+                            trii_hbm.at[pl.ds(b * 2 * t_chunks,
+                                              2 * t_chunks), :],
+                            trii_s, sems.at[3])]
 
-            if sph_blocks > 0:
-                if sph_blocks < nblocks:
-                    pl.when(b < sph_blocks)(copy_sph)
-                else:
-                    copy_sph()
-            if tri_blocks > 0:
-                if tri_blocks < nblocks:
-                    pl.when(b < tri_blocks)(copy_tri)
-                else:
-                    copy_tri()
+            # start BOTH pools' streams before waiting on either (the
+            # descriptors are rebuilt in the wait region — the semaphore,
+            # not the object, carries the completion), under the same
+            # per-pool reality guards as the gates
+            def pool_phase(fn):
+                for pool_blocks, copies in ((sph_blocks, sph_copies),
+                                            (tri_blocks, tri_copies)):
+                    if pool_blocks <= 0:
+                        continue
+
+                    def run(cs=copies):
+                        for c in cs():
+                            fn(c)
+
+                    if pool_blocks < nblocks:
+                        pl.when(b < pool_blocks)(run)
+                    else:
+                        run()
+
+            pool_phase(lambda c: c.start())
+            pool_phase(lambda c: c.wait())
             if _abl == "dmaonly":
                 t_ref[:] = jnp.minimum(t_ref[:], zero_f + sphf_s[0, 0])
                 return
@@ -591,10 +598,21 @@ def _run_kernel_blocked(planes, scene: SceneArrays, rows: int):
         return arr.reshape(cc, LANES, 8).transpose(2, 0, 1).reshape(
             8 * cc, LANES)
 
+    def nan_inverted(arr8):
+        """NaN every still-inverted box row (lo > hi — all-filler unions;
+        real rows always have lo <= hi). NaN fails every slab compare, the
+        only way to express "never enter" under the min/max-swapped test;
+        an inverted box is its swapped hull there — always entered."""
+        return jnp.where((arr8[:, 0] > arr8[:, 3])[:, None],
+                         jnp.nan, arr8)
+
     sb_box = block_boxes(sphc, sc_rows)
     tb_box = block_boxes(tric, tc_rows)
-    bbox = layout8(jnp.stack([sb_box, tb_box], axis=1).reshape(
-        nblocks * 2, 8))
+    # nan_inverted also covers EMPTY pools (pad_pool always yields >= 1
+    # block, so e.g. a tri-only scene still carries an all-filler sphere
+    # block 0 the b < sph_blocks guards cannot catch)
+    bbox = layout8(nan_inverted(jnp.stack([sb_box, tb_box], axis=1).reshape(
+        nblocks * 2, 8)))
 
     # Per-cell near-first block visitation order (see _kernel_blocked):
     # distance from each lattice-cell centre to each block's combined
@@ -637,21 +655,12 @@ def _run_kernel_blocked(planes, scene: SceneArrays, rows: int):
     sphs, ss_rows = block_supers(sphc, sc_rows)
     tris, ts_rows = block_supers(tric, tc_rows)
 
-    # Rewrite every still-INVERTED box row (pure-filler cluster rows and
-    # all-filler super groups — real rows always have lo <= hi) to NaN now
-    # that all union reductions above are done. An inverted [+INF, -INF]
-    # box is union-neutral but is its swapped hull under the slab test —
-    # an always-open gate that costs a full (poisoned) leaf sweep per
-    # visit: before this rewrite, the last block's filler rows and every
-    # all-filler sub-block swept thousands of dead primitives per entered
-    # block. NaN fails every slab compare, so these gates (and the
-    # mask-pop lane masks) never open; a group straddling real and filler
-    # rows keeps its real union. The only other readers of these rows are
-    # the reductions above, which already ran.
-    def nan_inverted(arr8):
-        return jnp.where((arr8[:, 0] > arr8[:, 3])[:, None],
-                         jnp.nan, arr8)
-
+    # Rewrite every still-inverted cluster row / super group to NaN (see
+    # nan_inverted above) now that all union reductions are done: before
+    # this, the last block's filler rows and every all-filler sub-block
+    # swept thousands of dead primitives per entered block. A group
+    # straddling real and filler rows keeps its real union; the only other
+    # readers of these rows are the reductions above, which already ran.
     sphs = nan_inverted(sphs)
     tris = nan_inverted(tris)
     sphc = nan_inverted(sphc)

@@ -351,6 +351,41 @@ def test_blocked_nearfirst_matches_static_order(monkeypatch):
                                   np.asarray(rec_both.is_tri))
 
 
+def test_blocked_trionly_empty_sphere_pool(monkeypatch):
+    """A tri-only beyond-SMEM scene still carries one all-filler sphere
+    block (pad_pool yields >= 1 block per pool), whose inverted union box
+    must be NaN-ified — not left always-entering the swapped slab test.
+    Oracle regression for the empty-pool arm of the filler fix, on both
+    block orders."""
+    import raytracer_tpu.ops.intersect_pallas as ip
+    from raytracer_tpu.models.materials import Material, Texture
+    from raytracer_tpu.models.scene import SceneBuilder
+    monkeypatch.setattr(ip, "_FORCE_BLOCKED", True)
+    rng = np.random.default_rng(17)
+    b = SceneBuilder()
+    white = Material.standard(Texture.const_colour((0.9, 0.9, 0.9)), 0.2)
+    for k in range(1300):   # > TRI_BLOCK: 2 tri blocks, 1 filler sph block
+        p = rng.uniform(-10, 10, 3)
+        b.add_triangle(p, p + rng.uniform(-1, 1, 3),
+                       p + rng.uniform(-1, 1, 3), white)
+    scene = b.build()
+
+    o = jnp.asarray(rng.uniform(-10, 10, (3, 256)), jnp.float32)
+    d = rng.normal(size=(3, 256))
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    d = jnp.asarray(d, jnp.float32)
+
+    rec_p = nearest_hit_pallas(o, d, scene)
+    rec_x = I.nearest_hit(o, d, scene, backend="xla")
+    _assert_oracle_match(rec_p, rec_x)
+
+    monkeypatch.setattr(ip, "_BLOCK_NEARFIRST", True)
+    rec_nf = nearest_hit_pallas(o, d, scene)
+    np.testing.assert_array_equal(np.asarray(rec_p.t), np.asarray(rec_nf.t))
+    np.testing.assert_array_equal(np.asarray(rec_p.idx),
+                                  np.asarray(rec_nf.idx))
+
+
 def test_blocked_rows_knob_validated(monkeypatch):
     """RAYTRACER_BLOCKED_ROWS values that do not divide the ray-plane row
     count must raise instead of silently truncating the grid (leaving tail
