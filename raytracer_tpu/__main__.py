@@ -79,12 +79,13 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--orbit", type=float, default=0.0,
                    help="with --temporal: rotate the camera this many "
                         "radians per frame around Y (fly-through demo)")
-    r.add_argument("--shard", choices=("none", "pixel", "spp"),
+    r.add_argument("--shard", choices=("none", "pixel", "spp", "hybrid"),
                    default="none",
                    help="multi-chip strategy over all visible devices: "
                         "'pixel' shards pixel tiles (zero steady-state "
                         "collectives), 'spp' shards the sample budget "
-                        "(one psum-mean per frame)")
+                        "(one psum-mean per frame), 'hybrid' does both "
+                        "over a 2D (px, spp=2) mesh")
 
     c = sub.add_parser("convert-textures",
                        help="pack a directory of images into a texture "
@@ -132,8 +133,17 @@ def cmd_render(args) -> int:
     if args.shard != "none":
         import jax
 
-        from raytracer_tpu.parallel.mesh import make_mesh, pixel_sharding
-        sharding = pixel_sharding(make_mesh(jax.devices()))
+        from raytracer_tpu.parallel.mesh import (make_mesh, make_mesh_2d,
+                                                 pixel_sharding)
+        devs = jax.devices()
+        if args.shard == "hybrid":
+            if len(devs) % 2:
+                raise SystemExit(
+                    "--shard hybrid needs an even device count "
+                    f"(got {len(devs)})")
+            sharding = pixel_sharding(make_mesh_2d(len(devs) // 2, 2, devs))
+        else:
+            sharding = pixel_sharding(make_mesh(devs))
 
     def make_renderer():
         # fresh device placement each call — render_resilient rebuilds

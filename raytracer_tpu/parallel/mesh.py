@@ -15,6 +15,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 PIXEL_AXIS = "px"
+SPP_AXIS = "spp"
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
@@ -22,6 +23,21 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     if devices is None:
         devices = jax.devices()
     return Mesh(np.asarray(devices), (PIXEL_AXIS,))
+
+
+def make_mesh_2d(px: int, spp: int,
+                 devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """2D (px, spp) mesh for the hybrid mode: pixel tiles sharded over the
+    'px' rows, the sample budget over the 'spp' columns. Lay the spp axis
+    minor so its per-frame psum rides the fastest links."""
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) != px * spp:
+        raise ValueError(
+            f"make_mesh_2d({px}, {spp}) needs {px * spp} devices, "
+            f"got {len(devices)}")
+    return Mesh(np.asarray(devices).reshape(px, spp),
+                (PIXEL_AXIS, SPP_AXIS))
 
 
 def pixel_sharding(mesh: Mesh) -> NamedSharding:

@@ -183,10 +183,21 @@ class Renderer:
                 from ..parallel.shard import make_pixel_sharded_step
                 self._step = make_pixel_sharded_step(
                     sharding.mesh, settings, backend=backend)
+            elif shard_mode == "hybrid":
+                # 2D (px, spp) mesh: pixel tiles AND sample slices —
+                # pass sharding=pixel_sharding(make_mesh_2d(px, spp))
+                from ..parallel.mesh import SPP_AXIS
+                from ..parallel.shard import make_hybrid_sharded_step
+                if SPP_AXIS not in sharding.mesh.axis_names:
+                    raise ValueError(
+                        "shard_mode='hybrid' needs a 2D (px, spp) mesh — "
+                        "build it with parallel.mesh.make_mesh_2d")
+                self._step = make_hybrid_sharded_step(
+                    sharding.mesh, settings, backend=backend)
             else:
                 raise ValueError(
-                    f"unknown shard_mode {shard_mode!r}; use 'pixel' or "
-                    "'spp'")
+                    f"unknown shard_mode {shard_mode!r}; use 'pixel', "
+                    "'spp' or 'hybrid'")
         else:
             # Rays are runtime args so moving the camera (set_camera) reuses
             # the compiled step instead of recompiling — needed for

@@ -135,6 +135,60 @@ def test_renderer_spp_sharded_mode():
     assert r.total_segments >= len(devs) * 2 * 512
 
 
+def test_hybrid_sharded_matches_manual_slice_mean():
+    """2D (px, spp) hybrid mode: a (4, 2) mesh must reproduce, bitwise, the
+    mean of the two spp-slice renders computed unsharded (per spp slice the
+    pixel split is the established bitwise-invariant pixel mode; the psum
+    over the 2-wide spp axis is one add in shard order)."""
+    from raytracer_tpu.ops import rng as rng_mod
+    from raytracer_tpu.ops.integrator import render_sample_mean
+    from raytracer_tpu.parallel.mesh import make_mesh_2d
+    from raytracer_tpu.parallel.shard import make_hybrid_sharded_step
+
+    scene, settings, idx, o, d = _setup()
+    n = o.shape[0]
+    key = jax.random.key(7)
+
+    mesh2 = make_mesh_2d(4, 2)
+    sh = pixel_sharding(mesh2)
+    step = make_hybrid_sharded_step(mesh2, settings)
+    out, segs = step(scene, jax.device_put(idx, sh), jax.device_put(o, sh),
+                     jax.device_put(d, sh),
+                     jax.device_put(jnp.zeros((n, 3)), sh), jnp.int32(0),
+                     key)
+
+    means, seg_tot = [], 0.0
+    for i in range(2):
+        fkey = rng_mod.frame_key(jax.random.fold_in(key, i), jnp.int32(0))
+        m, s = render_sample_mean(scene, settings, idx, o, d, fkey)
+        means.append(np.asarray(m))
+        seg_tot += float(s)   # px shards partition each slice's segments
+    ref = (means[0] + means[1]) / np.float32(2.0)
+    np.testing.assert_array_equal(ref, np.asarray(out))
+    assert float(segs) == seg_tot
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_renderer_hybrid_mode_end_to_end():
+    """Renderer(shard_mode='hybrid') on a (4, 2) mesh renders finite frames
+    and rejects 1D meshes."""
+    from raytracer_tpu.parallel.mesh import make_mesh_2d
+    scene, use_sky = rt.build_scene(1)
+    settings = rt.RenderSettings(rays_per_pixel=2, reflect_limit=3
+                                 ).with_sky(use_sky)
+    cam = rt.CameraConfig(width=32, height=16)
+    sh = pixel_sharding(make_mesh_2d(4, 2))
+    r = rt.Renderer(scene, cam, settings, sharding=sh, shard_mode="hybrid")
+    for _ in range(2):
+        r.render_frame(block=True)
+    assert np.isfinite(np.asarray(r.accum)).all()
+    assert r.total_segments >= 2 * 2 * 512   # 2 slices x 2 spp x pixels
+
+    with pytest.raises(ValueError, match="2D"):
+        rt.Renderer(scene, cam, settings, sharding=pixel_sharding(
+            make_mesh()), shard_mode="hybrid")
+
+
 def test_pixel_sharded_lanesort_equals_single_device():
     """lanesort under shard_map: each shard counting-sorts only its own
     rays, but RNG streams are pixel-keyed and ride the permutation, so the
