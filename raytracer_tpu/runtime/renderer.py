@@ -143,7 +143,7 @@ class Renderer:
 
         self.frame_num = 0
         self.accum = film.new_accumulator(camera.num_pixels)
-        if sharding is not None and shard_mode == "pixel":
+        if sharding is not None and shard_mode in ("pixel", "hybrid"):
             self.accum = jax.device_put(self.accum, sharding)
         self.base_key = jax.random.key(seed)
         self.total_segments = 0.0
@@ -223,7 +223,7 @@ class Renderer:
             self._order_dev = jnp.asarray(self._pixel_order, jnp.int32)
         o, d = self._ray_fn(cam, pixel_order=self._order_dev)
         ray_idx = self._order_dev
-        if self._sharding is not None and self._shard_mode == "pixel":
+        if self._sharding is not None and self._shard_mode in ("pixel", "hybrid"):
             # Pixel rows sharded across the mesh; the scene pytree stays
             # replicated (it is broadcast on first use).
             o = jax.device_put(o, self._sharding)
@@ -240,7 +240,7 @@ class Renderer:
         self.camera_cfg = camera
         self._set_rays(camera)
         self.accum = film.new_accumulator(camera.num_pixels)
-        if self._sharding is not None and self._shard_mode == "pixel":
+        if self._sharding is not None and self._shard_mode in ("pixel", "hybrid"):
             self.accum = jax.device_put(self.accum, self._sharding)
         if self._wpix is not None:
             self._wpix = jnp.zeros_like(self._wpix)
@@ -545,7 +545,7 @@ class Renderer:
         # pixel mode shards the accumulator; spp mode keeps it replicated
         # (make_spp_sharded_step declares it P()) — same guard as every
         # other placement site (__init__, set_camera, _set_rays)
-        if self._sharding is not None and self._shard_mode == "pixel":
+        if self._sharding is not None and self._shard_mode in ("pixel", "hybrid"):
             accum = jax.device_put(accum, self._sharding)
         self.accum = accum
         self.frame_num = int(data["frame_num"])

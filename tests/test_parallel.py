@@ -169,9 +169,10 @@ def test_hybrid_sharded_matches_manual_slice_mean():
     assert np.isfinite(np.asarray(out)).all()
 
 
-def test_renderer_hybrid_mode_end_to_end():
-    """Renderer(shard_mode='hybrid') on a (4, 2) mesh renders finite frames
-    and rejects 1D meshes."""
+def test_renderer_hybrid_mode_end_to_end(tmp_path):
+    """Renderer(shard_mode='hybrid') on a (4, 2) mesh renders finite frames,
+    checkpoint/resumes bitwise with the sharded placement, and rejects 1D
+    meshes."""
     from raytracer_tpu.parallel.mesh import make_mesh_2d
     scene, use_sky = rt.build_scene(1)
     settings = rt.RenderSettings(rays_per_pixel=2, reflect_limit=3
@@ -183,6 +184,18 @@ def test_renderer_hybrid_mode_end_to_end():
         r.render_frame(block=True)
     assert np.isfinite(np.asarray(r.accum)).all()
     assert r.total_segments >= 2 * 2 * 512   # 2 slices x 2 spp x pixels
+
+    # checkpoint/resume keeps the pixel-sharded placement (guard parity
+    # with pixel mode) and the continued render stays bitwise identical
+    path = str(tmp_path / "ck.npz")
+    r.save_checkpoint(path)
+    r2 = rt.Renderer(scene, cam, settings, sharding=sh, shard_mode="hybrid")
+    r2.load_checkpoint(path)
+    assert r2.accum.sharding.is_equivalent_to(r.accum.sharding,
+                                              r.accum.ndim)
+    r.render_frame(block=True)
+    r2.render_frame(block=True)
+    np.testing.assert_array_equal(np.asarray(r.accum), np.asarray(r2.accum))
 
     with pytest.raises(ValueError, match="2D"):
         rt.Renderer(scene, cam, settings, sharding=pixel_sharding(
