@@ -15,46 +15,9 @@ LOG_DIR=${1:-/tmp/hwq}
 mkdir -p "$LOG_DIR"
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/root/.jax_cache}
 
-step() {  # step <timeout_s> <logname> <cmd...>
-  local t=$1 name=$2; shift 2
-  echo "=== $(date -u +%FT%TZ) START $name: $*" | tee -a "$LOG_DIR/queue.log"
-  # Own process group per step so the timeout reaches hung GRANDCHILDREN
-  # too (plain `timeout` signals only its direct child: a wedged TPU
-  # python under `make` would survive and hold the single device, starving
-  # every later step). setsid may FORK when it is already a group leader,
-  # so $! is not the new group — the in-session wrapper records its own
-  # pid (= session/group leader) instead. Kills address exactly this
-  # step's pgid — never by name/pattern.
-  local pgf="$LOG_DIR/$name.pgid"
-  rm -f "$pgf"
-  setsid bash -c 'echo "$$" > "$1"; shift; exec "$@"' _ "$pgf" "$@" \
-      >"$LOG_DIR/$name.log" 2>&1 &
-  local wrapper=$!
-  ( sleep "$t"; pg=$(cat "$pgf" 2>/dev/null)
-    [ -n "$pg" ] && kill -TERM -- "-$pg" 2>/dev/null
-    sleep 30
-    [ -n "$pg" ] && kill -KILL -- "-$pg" 2>/dev/null ) &
-  local wd=$!
-  wait "$wrapper"; local rc=$?
-  kill "$wd" 2>/dev/null; wait "$wd" 2>/dev/null
-  # Reap stragglers: the leader may exit (or be TERM'd) while a grandchild
-  # that ignores TERM lives on in the group — it would hold the TPU and
-  # starve every later step. A pgid cannot be recycled while any member
-  # survives, so this targets exactly this step's processes.
-  local pg; pg=$(cat "$pgf" 2>/dev/null)
-  [ -n "$pg" ] && kill -KILL -- "-$pg" 2>/dev/null
-  echo "=== $(date -u +%FT%TZ) END $name rc=$rc" | tee -a "$LOG_DIR/queue.log"
-  tail -3 "$LOG_DIR/$name.log" | sed 's/^/    /' >> "$LOG_DIR/queue.log"
-}
+. scripts/hw_queue_lib.sh
 
-git -C . log --oneline -1 >> "$LOG_DIR/queue.log" 2>/dev/null
-
-# 0. sanity: is the TPU actually reachable? abort fast if not.
-if ! timeout -k 10 300 python -c \
-    "import jax; d=jax.devices(); assert d[0].platform!='cpu', d"; then
-  echo "TPU unreachable — queue aborted" | tee -a "$LOG_DIR/queue.log"
-  exit 1
-fi
+hwq_preamble
 
 # 1. full TPU test suite on the final tree (re-attributes the two
 #    tunnel-degradation F's from 2026-08-17 19:50).

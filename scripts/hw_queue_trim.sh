@@ -12,34 +12,9 @@ LOG_DIR=${1:-/tmp/hwq}
 mkdir -p "$LOG_DIR"
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/root/.jax_cache}
 
-step() {  # step <timeout_s> <logname> <cmd...>
-  local t=$1 name=$2; shift 2
-  echo "=== $(date -u +%FT%TZ) START $name: $*" | tee -a "$LOG_DIR/queue.log"
-  local pgf="$LOG_DIR/$name.pgid"
-  rm -f "$pgf"
-  setsid bash -c 'echo "$$" > "$1"; shift; exec "$@"' _ "$pgf" "$@" \
-      >"$LOG_DIR/$name.log" 2>&1 &
-  local wrapper=$!
-  ( sleep "$t"; pg=$(cat "$pgf" 2>/dev/null)
-    [ -n "$pg" ] && kill -TERM -- "-$pg" 2>/dev/null
-    sleep 30
-    [ -n "$pg" ] && kill -KILL -- "-$pg" 2>/dev/null ) &
-  local wd=$!
-  wait "$wrapper"; local rc=$?
-  kill "$wd" 2>/dev/null; wait "$wd" 2>/dev/null
-  local pg; pg=$(cat "$pgf" 2>/dev/null)
-  [ -n "$pg" ] && kill -KILL -- "-$pg" 2>/dev/null
-  echo "=== $(date -u +%FT%TZ) END $name rc=$rc" | tee -a "$LOG_DIR/queue.log"
-  tail -3 "$LOG_DIR/$name.log" | sed 's/^/    /' >> "$LOG_DIR/queue.log"
-}
+. scripts/hw_queue_lib.sh
 
-git -C . log --oneline -1 >> "$LOG_DIR/queue.log" 2>/dev/null
-
-if ! timeout -k 10 300 python -c \
-    "import jax; d=jax.devices(); assert d[0].platform!='cpu', d"; then
-  echo "TPU unreachable — queue aborted" | tee -a "$LOG_DIR/queue.log"
-  exit 1
-fi
+hwq_preamble
 
 # 1. headline (also warms the scene-4 compile cache)
 step 1500 01_bench python bench.py

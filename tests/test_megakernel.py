@@ -106,9 +106,16 @@ def test_mega_matches_regen_statistically():
     # divide) is not bitwise equal to the regen sampler's XLA divide, so an
     # AA-jittered grazing ray at a box seam can flip hit<->miss and retire
     # a bounce early (measured on v5e 2026-08-19: 83550 vs 83552 segs at
-    # the default tile shape — 0.0024%). Allow 0.1%; determinism of each
-    # sampler stays exact (test_mega_deterministic).
-    assert abs(float(s_m) - float(s_r)) <= 1e-3 * float(s_r), (s_m, s_r)
+    # the default tile shape — 0.0024%). Allow 0.1% there; determinism of
+    # each sampler stays exact (test_mega_deterministic). Off-TPU at the
+    # default tile shape neither source applies (interpret mode uses XLA
+    # divides), so the default CI path keeps the exact-equality check — a
+    # bug dropping a few segments must not pass silently.
+    from raytracer_tpu.ops.megakernel import SROWS
+    if not ON_TPU and SROWS == 32:
+        assert float(s_m) == float(s_r), (s_m, s_r)
+    else:
+        assert abs(float(s_m) - float(s_r)) <= 1e-3 * float(s_r), (s_m, s_r)
 
 
 def test_mega_deterministic():
