@@ -193,14 +193,15 @@ def test_fetch_image_matches_atlas_gather():
     np.testing.assert_array_equal(np.asarray(bch), expect[..., 2])
 
 
-@pytest.mark.parametrize("earth", [None, 128])
+@pytest.mark.parametrize("earth", [None, 64, 128])
 def test_mega_image_texture_matches_regen(earth):
     """Scene 2 (image-textured earth sphere) on the megakernel's in-kernel
     one-hot texel fetch must agree with the wavefront pipeline's atlas
-    gather within Monte-Carlo noise. earth=None uses the default 64x128
-    texture (static row select); earth=128 builds a 128x256 texture (256
-    packed rows), exercising the range-clamped fori_loop select in the
-    full kernel."""
+    gather within Monte-Carlo noise. earth=None uses the scene-2 default —
+    the checked-in 256x512 assets/earth.png (1024 packed rows, column
+    blocks + range-clamped row select on a REAL image asset); earth=64
+    pins the small procedural texture (static unrolled row select);
+    earth=128 a 128x256 one (256 rows, clamped fori_loop select)."""
     if earth is None:
         scene, use_sky = rt.build_scene(2)
     else:
