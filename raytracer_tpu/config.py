@@ -87,9 +87,11 @@ class RenderSettings:
     # N >= 1: after a path has completed N bounces it survives each further
     # bounce with probability p = clamp(max(throughput), 0.05, 1) and its
     # throughput is divided by p — an unbiased estimator that stops paying
-    # for segments whose contribution is already near zero. Wavefront
-    # samplers only (scan/regen/rebin/lanesort); 'auto' then avoids the
-    # fixed-budget megakernel. When off, RNG streams are bitwise unchanged.
+    # for segments whose contribution is already near zero. Supported by
+    # every sampler: the wavefront ones draw an independent 4th uniform
+    # per bounce; the megakernel tests survival in-kernel with an extra
+    # PRNG draw row (a killed lane regenerates onto its pixel's next
+    # sample immediately). When off, RNG streams are bitwise unchanged.
     russian_roulette: int = 0
 
     def with_sky(self, use_sky: bool) -> "RenderSettings":

@@ -392,8 +392,7 @@ def render_sample_mean(
         # explicitly with sampler='mega'.
         from .megakernel import supports
         use_mega = (backend == "pallas" and supports(scene)
-                    and jax.default_backend() == "tpu"
-                    and settings.russian_roulette == 0)
+                    and jax.default_backend() == "tpu")
         sampler = "mega" if use_mega else "regen"
     if sampler == "mega":
         from .megakernel import render_sample_mean_mega, supports
@@ -404,11 +403,6 @@ def render_sample_mean(
             raise ValueError(
                 "sampler='mega' cannot render this scene (unsupported "
                 "texture configuration); use sampler='regen' or 'auto'.")
-        if settings.russian_roulette:
-            raise ValueError(
-                "russian_roulette is a wavefront-sampler feature (the "
-                "megakernel traces the fixed budget); use sampler='regen' "
-                "or 'auto'.")
         mean, segs = render_sample_mean_mega(scene, settings, o3, d3,
                                              frame_key,
                                              tile_offset=tile_offset)

@@ -331,7 +331,8 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
             num_sph_lane: int = 0, num_tri_lane: int = 0,
             sph_lane_leaf: int = 0, tri_lane_leaf: int = 0,
             interp_rng: bool = False, coherent: bool = False,
-            img_rows_padded: int = 0, has_refractive: bool = True):
+            img_rows_padded: int = 0, has_refractive: bool = True,
+            rr_start: int = 0):
     # HBM-paged image textures (img_rows > IMG_MAX_ROWS): the texel plane
     # arrives as an HBM ref and pallas passes a VMEM page scratch + DMA
     # semaphore after the outputs.
@@ -433,7 +434,12 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
           # ~4e3x below a pixel footprint) are packed into those rows'
           # otherwise-unused top bytes, halving the per-iteration PRNG
           # generation when AA is on.
-          nrand = 3 if (AA_PACK or not antialias) else 6
+          nrand_base = 3 if (AA_PACK or not antialias) else 6
+          # Russian roulette (rr_start > 0) consumes one extra uniform per
+          # iteration, appended AFTER the existing draw rows so rows
+          # 0..nrand_base-1 keep their meaning; with RR off the draw shape
+          # (hence the whole stream) is bitwise unchanged.
+          nrand = nrand_base + (1 if rr_start > 0 else 0)
           if coherent:
               # one shared draw per iteration: (nrand, 128) bits, lane 0 of
               # each row broadcast tile-wide (see COHERENT note above)
@@ -540,6 +546,12 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
               gy = jnp.where(take2, gy2, gy)
               gz = jnp.where(take2, gz2, gz)
           fres_u = uni(2)
+          if rr_start > 0:
+              # RR survival uniform: coherent mode's fixed 8-row draw has
+              # row 6 free — a tile-shared survival uniform keeps each
+              # lane's marginal exact (P(u < p_lane) = p_lane; whole-tile
+              # deaths only tighten the retirement tail).
+              rr_u = uni(6) if coherent else uni(nrand_base)
 
           # --- nearest hit + deferred winner-param fetch ---
           if "nosweep" in _ABLATE:
@@ -876,6 +888,22 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
           continues = live_hit
           if emissive_terminates:
               continues = continues & ~is_em
+          if rr_start > 0:
+              # Russian roulette (flag-gated deviation — the reference
+              # always traces to the limit, src/raytracer.cu:71). Exactly
+              # the wavefront estimator (integrator._bounce_physics): once
+              # a path has completed rr_start bounces it survives with
+              # p = clamp(max(post-absorption throughput), 0.05, 1) and is
+              # boosted 1/p — unbiased, E[thru/p * survive] = thru.
+              p = jnp.clip(jnp.maximum(tr, jnp.maximum(tg, tb)), 0.05, 1.0)
+              eligible = continues & (bounce_i + 1 >= rr_start)
+              survive = rr_u < p
+              boost = eligible & survive
+              inv_p = 1.0 / p
+              tr = jnp.where(boost, tr * inv_p, tr)
+              tg = jnp.where(boost, tg * inv_p, tg)
+              tb = jnp.where(boost, tb * inv_p, tb)
+              continues = continues & (~eligible | survive)
           at_limit = bounce_i + 1 >= limit
           path_end = active & (~continues | at_limit)
 
@@ -1075,6 +1103,7 @@ def render_sample_mean_mega(
                       else bool(settings.coherent)),
             img_rows_padded=img_rows_padded,
             has_refractive=bool(scene.has_refractive),
+            rr_start=int(settings.russian_roulette),
         ),
         grid=(rows // mrows,),
         in_specs=([smem] * 15

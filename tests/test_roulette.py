@@ -81,14 +81,68 @@ def test_rr_first_bounces_protected():
     assert segs_prot == segs_plain
 
 
-def test_rr_rejects_megakernel():
+def _render_mega(settings, spp, width=48, height=32):
     scene, use_sky = rt.build_scene(1)
-    settings = rt.RenderSettings(rays_per_pixel=2, sampler="mega",
-                                 russian_roulette=2).with_sky(use_sky)
-    cam_cfg = rt.CameraConfig(width=16, height=8)
+    settings = dataclasses.replace(settings, rays_per_pixel=spp,
+                                   sampler="mega").with_sky(use_sky)
+    cam_cfg = rt.CameraConfig(width=width, height=height)
     cam = build_camera(cam_cfg)
+    o, d = primary_rays(cam, width, height)
+    ray_idx = jnp.arange(width * height, dtype=jnp.int32)
+    mean, segs = render_sample_mean(scene, settings, ray_idx, o, d,
+                                    jax.random.key(7), backend="pallas")
+    return np.asarray(mean), float(segs)
+
+
+def test_rr_mega_unbiased_and_cheaper():
+    """In-kernel RR (megakernel rr_start): a killed lane banks its radiance
+    and regenerates onto the pixel's next sample immediately, so segment
+    counts drop while the estimator stays unbiased."""
+    base = rt.RenderSettings(reflect_limit=5)
+    spp = 40 if jax.default_backend() == "tpu" else 24
+    plain, segs_plain = _render_mega(base, spp=spp)
+    rr, segs_rr = _render_mega(
+        dataclasses.replace(base, russian_roulette=2), spp=spp)
+
+    assert segs_rr < 0.9 * segs_plain          # actually kills paths
+    assert np.isfinite(rr).all()
+    for c in range(3):
+        m_plain, m_rr = plain[c].mean(), rr[c].mean()
+        assert abs(m_rr - m_plain) < 0.08 * max(m_plain, 1e-3), (
+            c, m_plain, m_rr)
+
+
+def test_rr_mega_first_bounces_protected():
+    """rr_start >= reflect_limit: no bounce ever reaches eligibility, so
+    the render equals rr-off — bitwise off-TPU (the interp hash RNG keys
+    draw rows by absolute index, so appending the RR row leaves rows 0-2
+    untouched; the hardware PRNG state advances differently, where only
+    the distribution is pinned)."""
+    base = rt.RenderSettings(reflect_limit=3)
+    plain, segs_plain = _render_mega(base, spp=8, width=32, height=16)
+    prot, segs_prot = _render_mega(
+        dataclasses.replace(base, russian_roulette=3), spp=8,
+        width=32, height=16)
+    assert segs_prot == segs_plain
+    if jax.default_backend() != "tpu":
+        np.testing.assert_array_equal(plain, prot)
+    else:
+        assert abs(prot.mean() - plain.mean()) < 0.05 * max(
+            plain.mean(), 1e-3)
+
+
+def test_rr_auto_sampler_allows_mega():
+    """'auto' no longer demotes RR renders to the wavefront path: on TPU it
+    must pick the megakernel regardless of russian_roulette (off-TPU auto
+    always resolves to regen — compiled XLA beats interpret mode)."""
+    import raytracer_tpu.ops.integrator as integ
+    scene, use_sky = rt.build_scene(1)
+    settings = rt.RenderSettings(rays_per_pixel=2, sampler="auto",
+                                 russian_roulette=2).with_sky(use_sky)
+    cam = build_camera(rt.CameraConfig(width=16, height=8))
     o, d = primary_rays(cam, 16, 8)
-    with pytest.raises(ValueError, match="roulette"):
-        render_sample_mean(scene, settings,
-                           jnp.arange(128, dtype=jnp.int32), o, d,
-                           jax.random.key(0))
+    # must not raise, whatever the backend resolves to
+    mean, segs = integ.render_sample_mean(
+        scene, settings, jnp.arange(128, dtype=jnp.int32), o, d,
+        jax.random.key(0), backend="pallas")
+    assert np.isfinite(np.asarray(mean)).all() and float(segs) > 0
