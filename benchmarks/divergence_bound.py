@@ -82,6 +82,32 @@ def tile_stats(o, d, t_best, boxes, chunk=TILE):
             float(np.mean(unions)))
 
 
+def sublane_stats(o, d, t_best, boxes, group_rows=8):
+    """Per-group unions inside each (32, 128) tile — the footprint bound of
+    a *sublane-group-gated* sweep (VERDICT round-3 item 2): the tile still
+    advances in lockstep, but each ``group_rows``-row sublane group sweeps
+    only the clusters ITS rays enter, at 1/(32/group_rows) of a full-tile
+    sweep's issue cost per cluster.
+
+    Returns (mean sum-of-group-unions per tile, mean tile union,
+    issue_ratio) where issue_ratio = (sum_g union_g * group_rows) /
+    (union_tile * 32) — the sublane sweep's issue cost relative to today's
+    full-tile sweep. 1/issue_ratio is the sweep-side ceiling of the whole
+    approach; the scheme also multiplies gate syncs by 32/group_rows."""
+    g = group_rows * LANES
+    per_tile_sum, unions = [], []
+    n = (o.shape[0] // TILE) * TILE
+    for s in range(0, n, TILE):
+        e = entered(o[s:s + TILE], d[s:s + TILE], t_best[s:s + TILE], boxes)
+        unions.append(e.any(axis=0).sum())
+        per_tile_sum.append(sum(
+            e[gs:gs + g].any(axis=0).sum() for gs in range(0, TILE, g)))
+    gsum = float(np.mean(per_tile_sum))
+    utile = float(np.mean(unions))
+    ratio = (gsum * group_rows) / (utile * TILE_ROWS)
+    return gsum, utile, ratio
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiles", type=int, default=32,
@@ -244,6 +270,26 @@ def main():
         }
     out["secondary_regen_tile_size"] = tsize
 
+    # Sublane-group gate granularity (round-4 candidate): per-8/16-row
+    # group unions within the SAME 32-row tiles (same ray binning as
+    # production). The issue ratio bounds the sweep-side win; syncs
+    # multiply by the group count. Computed for the two hot populations.
+    sub = {}
+    for gname, (po, pd, pt) in (("secondary_regen", (so, sd, st)),
+                                ("secondary_lanesort",
+                                 (so[inv_p], sd[inv_p], st[inv_p]))):
+        for gr in (8, 16):
+            gsum, utile, ratio = sublane_stats(po, pd, pt, boxes,
+                                               group_rows=gr)
+            sub[f"{gname}_rows{gr}"] = {
+                "sum_group_unions": round(gsum, 1),
+                "tile_union": round(utile, 1),
+                "issue_ratio": round(ratio, 3),
+                "sweep_ceiling": round(1.0 / ratio, 2),
+                "gate_sync_multiplier": TILE_ROWS // gr,
+            }
+    out["sublane_groups"] = sub
+
     if args.json:
         print(json.dumps(out))
         return
@@ -265,6 +311,13 @@ def main():
         print(f"  {k:<8} union {v['tile_union']:>6}  "
               f"prims/ray {v['prims_per_ray']:>6}  "
               f"mp0-syncs/ray {v['maskpop_nort_syncs_per_ray']:>6}")
+    print("\n# sublane-group gates (within 32-row tiles; sweep-side "
+          "ceiling = full-tile issue / grouped issue):")
+    for k, v in sub.items():
+        print(f"  {k:<28} sum-grp-unions {v['sum_group_unions']:>7}  "
+              f"tile-union {v['tile_union']:>6}  "
+              f"ceiling {v['sweep_ceiling']:>5}x  "
+              f"syncs x{v['gate_sync_multiplier']}")
     print("\n# reading: a shared tile sweep pays union_prims primitive "
           "tests + the scheme's syncs;\n# a perfect per-ray traversal "
           "pays per_ray_entered x leaf; the per-lane traversal pays\n"
