@@ -141,8 +141,10 @@ _FORCE_BLOCKED = bool(os.environ.get("RAYTRACER_FORCE_BLOCKED", ""))
 # benchmarks/block_bound.py measures the structural gap on stress100k.
 # Same exact-tie caveat as RAYTRACER_MASKPOP: equal-t winners in
 # *different blocks* resolve to the first-visited block's primitive, and
-# the visit order differs from the cell order. Opt-in until measured.
-_BLOCK_NEARFIRST = os.environ.get("RAYTRACER_BLOCK_NEARFIRST", "0") == "1"
+# the visit order differs from the cell order. Default ON: won both
+# interleaved repeats of the 2026-08-19 v5e A/B (stress100k 6.86/6.85 vs
+# 6.61/6.60 Mrays/s static, +3.8% — docs/TESTLOG.md session 5).
+_BLOCK_NEARFIRST = os.environ.get("RAYTRACER_BLOCK_NEARFIRST", "1") == "1"
 
 
 def _kernel_blocked(sphc_ref, tric_ref, sphs_ref, tris_ref, bbox_ref,

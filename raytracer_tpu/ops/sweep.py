@@ -52,11 +52,20 @@ LANES = 128
 LEAF_TARGET = int(os.environ.get("RAYTRACER_LEAF", "32"))
 ORDER_GRID = 4    # cells per axis of the near-first order lattice
 UNROLL = int(os.environ.get("RAYTRACER_SWEEP_UNROLL", "4"))
-# Independent best-hit carries: the nearest-hit reduction is a serial chain
-# of compare+select through every swept primitive, and the kernels are
-# latency-bound — K parallel chains (merged once at the end of the sweep)
-# cut the critical path by ~K at the cost of K-1 extra carry registers.
-KCARRY = int(os.environ.get("RAYTRACER_KCARRY", "1"))
+# (RAYTRACER_KCARRY — K parallel best-hit chains merged at sweep end —
+# was deleted after measuring negative both before and after the lean
+# carry: the K-1 extra carry registers cost more than the shortened
+# serial chain buys. docs/ROADMAP.md kept-negative list.)
+# Min-tree carry update (defer-mode leaf sweeps): reduce each UNROLL group
+# of candidate (t, code[, u, v]) tuples with a strict-< selection tree and
+# apply ONE carry update per group, instead of chaining cmp+select through
+# the carry once per primitive. Same op count, but the serial best-hit
+# chain shrinks ~UNROLL/log2(UNROLL)x and the tree levels are independent
+# (ILP) — the sweep is latency-bound. Bitwise identical: strict < at every
+# level preserves first-swept tie priority exactly (test_megakernel.py
+# test_pairmin_matches_chain). Unlike the deleted KCARRY, no extra carry
+# state lives across loop iterations.
+PAIRMIN = os.environ.get("RAYTRACER_PAIRMIN", "0") == "1"
 
 
 def leaf_size(n: int) -> int:
@@ -171,31 +180,31 @@ LANE_NEAR_FIRST = os.environ.get("RAYTRACER_LANE_NEAR_FIRST", "1") == "1"
 # per-lane traversal wins. LANE_FORCE pins the lane path on (ablations).
 LANE_R2 = float(os.environ.get("RAYTRACER_LANE_R2", "0.25"))
 LANE_FORCE = os.environ.get("RAYTRACER_LANE_FORCE") == "1"
-# Sweep triangles before spheres: on scenes whose triangle pool is a
-# large, frequently-hit surface (the RTiOW checker floor), establishing
-# its best-t first closes sphere cluster gates for the floor-hitting
-# lanes. Ties (t exactly equal) break toward the first-swept pool, so
-# this is an opt-in measured mode, not the golden default.
-TRI_FIRST = os.environ.get("RAYTRACER_TRI_FIRST") == "1"
+# (RAYTRACER_TRI_FIRST — sweep triangles before spheres so the checker
+# floor's best-t closes sphere gates — was deleted after losing its
+# hardware A/B on the scene it targeted: 660.9 vs 666.1 Mrays/s default,
+# v5e 2026-08-19 04:36/05:23, docs/TESTLOG.md session 4 extended.)
 # Gate leaf clusters in PAIRS: one any+cond scalar sync per two clusters
 # (DFS-adjacent clusters are spatially adjacent, so both usually agree).
 # Bitwise identical to single gating: a gate only skips a cluster when no
 # lane can beat its best-t inside the cluster's box, and the best-hit
 # select is strictly `t < bt` — sweeping extra (gate-losing) clusters can
-# never change a winner. Default on (+3.3% headline, v5e); RAYTRACER_GATE2=0
+# never change a winner. The round-2 one-shot +3.3% headline did NOT
+# reproduce under interleaved repeats (on 642.7/643.5/645.0 vs off
+# 640.0/661.3 Mrays/s, v5e 2026-08-19 — a wash within tunnel drift;
+# docs/TESTLOG.md session 5). Kept default-on: no measured loss, and half
+# the gate syncs is the structurally safer side. RAYTRACER_GATE2=0
 # restores per-cluster gates.
 GATE2 = os.environ.get("RAYTRACER_GATE2", "1") == "1"
 # NaN-poisoned sphere miss test (see sph_body_at): drops the explicit
 # disc >= 0 guard. Bitwise identical; measurement knob.
 SPH_NAN = os.environ.get("RAYTRACER_SPH_NAN", "1") == "1"
-# GATE2 for the ordered (near-first / super-range) traversal paths, where
-# pair members are dynamic cluster indices. Separately flagged from GATE2
-# and DEFAULT OFF: pairing trades halved gate syncs for sweeping a pair
-# partner with the pre-pair best-t, and on the divergent ordered scenes
-# the overshoot wins — measured on one v5e (20 spp, 3 frames): monkey
-# 99.6 -> 94.5, monkey+coherent 199.7 -> 175.6, stress10k 11.8 -> 11.3.
-# Kept as a measurement knob; do not re-try without new hardware facts.
-GATE2_ORD = os.environ.get("RAYTRACER_GATE2_ORDERED", "0") == "1"
+# (RAYTRACER_GATE2_ORDERED — gate pairing on the ordered/near-first
+# paths — was deleted after losing on every scene it applies to: monkey
+# 99.6 -> 94.5, monkey+coherent 199.7 -> 175.6, stress10k 11.8 -> 11.3,
+# v5e 20 spp. Pairing trades halved gate syncs for sweeping the pair
+# partner at the pre-pair best-t; on divergent ordered scenes the
+# overshoot always won. docs/ROADMAP.md kept-negative list.)
 # Mask-pop traversal for cluster-heavy pools: the gate scheme pays one
 # any+cond scalar sync per cluster (plus one per super) whether or not the
 # gate opens — 300+ per tile per bounce on the 10k-sphere field, where
@@ -208,22 +217,18 @@ GATE2_ORD = os.environ.get("RAYTRACER_GATE2_ORDERED", "0") == "1"
 # bootstrap best-t >= the final one, so every cluster a lane could still
 # win is present, the retest is the same rule as cluster_gate, and extra
 # sweeps are no-ops under the strict < select. One caveat shared with the
-# lane traversal and TRI_FIRST: the strict < makes EXACT-t ties between
+# lane traversal: the strict < makes EXACT-t ties between
 # primitives in different clusters resolve to the first-swept one, and
 # mask-pop visits clusters in index order rather than near-first — scenes
 # with coincident duplicate geometry can pick the other twin. Opt-in
 # until measured.
 MASKPOP = os.environ.get("RAYTRACER_MASKPOP", "0") == "1"
-# Retest each popped cluster against the evolving best-t before sweeping
-# (the cluster_gate rule). Popped clusters were entered at the bootstrap
-# best-t, so the retest can only skip sweeps — but it costs the pop's
-# second scalar sync (an any-reduce + cond on top of the pop's min-reduce)
-# and the slab test. RAYTRACER_MASKPOP_RETEST=0 sweeps every popped
-# cluster unconditionally instead: half the per-pop syncs, more leaf
-# sweeps. Bitwise identical either way (extra sweeps are no-ops under the
-# strict < select); which side wins is a hardware question — see the
-# stress10k A/B in scripts/hw_queue.sh.
-MASKPOP_RETEST = os.environ.get("RAYTRACER_MASKPOP_RETEST", "1") == "1"
+# Each popped cluster is retested against the evolving best-t before
+# sweeping (the cluster_gate rule) — unconditional. The retest-free
+# variant (RAYTRACER_MASKPOP_RETEST=0: half the per-pop syncs, sweep
+# every pop) was deleted after losing both hardware A/Bs decisively:
+# stress10k 7.68 vs 11.42 default (-33%, 04:19) and 7.84 with SROWS=64
+# (-31%, 04:59), v5e 2026-08-19, docs/TESTLOG.md sessions 4-5.
 MASKPOP_MIN = int(os.environ.get("RAYTRACER_MASKPOP_MIN", "64"))
 MASKPOP_BOOT = int(os.environ.get("RAYTRACER_MASKPOP_BOOT", "8"))
 MASKPOP_BOOT_SUPERS = int(os.environ.get("RAYTRACER_MASKPOP_BOOT_SUPERS",
@@ -547,37 +552,52 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
     def slab(get, i, bt):
         return slab_tmin(get, i, bt)[0]
 
-    def best_t(carries):
-        bt = carries[0][0]
-        for cr in carries[1:]:
-            bt = jnp.minimum(bt, cr[0])
-        return bt
-
-    def leaf_sweep(start, leaf, carries, body):
+    def leaf_sweep(start, leaf, carry, body):
         """Sweep exactly ``leaf`` primitives from ``start`` (static trip
         count, UNROLL-wide so independent primitive tests overlap in the
-        VPU pipeline; bodies feed the KCARRY chains round-robin)."""
-        def step(j, crs):
-            base = start + j * UNROLL
-            crs = list(crs)
-            for u in range(UNROLL):
-                k = u % KCARRY
-                crs[k] = body(base + u, crs[k])
-            return tuple(crs)
-        return jax.lax.fori_loop(0, leaf // UNROLL, step, carries)
+        VPU pipeline).
 
-    def cluster_gate(cl_get, leaf, c, carries, body, cl_base=0):
+        With PAIRMIN and a probing body (defer mode), each UNROLL group is
+        reduced by a strict-< min tree and committed to the carry once —
+        see the PAIRMIN comment at module top."""
+        probe = getattr(body, "probe", None)
+        if PAIRMIN and probe is not None:
+            def step(j, cr):
+                base = start + j * UNROLL
+                cand = [probe(base + u) for u in range(UNROLL)]
+                while len(cand) > 1:
+                    nxt = [tuple(jnp.where(b[0] < a[0], vb, va)
+                                 for va, vb in zip(a, b))
+                           for a, b in zip(cand[0::2], cand[1::2])]
+                    if len(cand) % 2:
+                        nxt.append(cand[-1])
+                    cand = nxt
+                win = cand[0]
+                better = win[0] < cr[0]
+                upd = tuple(jnp.where(better, w, c)
+                            for w, c in zip(win, cr))
+                return upd + tuple(cr[len(win):])
+            return jax.lax.fori_loop(0, leaf // UNROLL, step, carry)
+
+        def step(j, cr):
+            base = start + j * UNROLL
+            for u in range(UNROLL):
+                cr = body(base + u, cr)
+            return cr
+        return jax.lax.fori_loop(0, leaf // UNROLL, step, carry)
+
+    def cluster_gate(cl_get, leaf, c, carry, body, cl_base=0):
         """Gate one leaf cluster: sweep its leaf-primitive block only if
         some lane in the tile can beat its current best inside the AABB
         (tile-granular analog of BVH pruning, src/objects.cu:508-516)."""
-        hit_box = slab(cl_get, cl_base + c, best_t(carries))
+        hit_box = slab(cl_get, cl_base + c, carry[0])
         if stats_ref is not None:
             stats_ref[:] = stats_ref[:] + jnp.where(
                 hit_box, cl_get(cl_base + c, 7), 0.0)
         return jax.lax.cond(
             jnp.any(hit_box),
             lambda cr: leaf_sweep(c * leaf, leaf, cr, body),
-            lambda cr: cr, carries)
+            lambda cr: cr, carry)
 
     def lane_masks(cl_get, n_cl, bt, want_near):
         """Phase 1 of the lane traversal: slab-test every lane cluster
@@ -647,12 +667,15 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
         _, cr = jax.lax.while_loop(cond, wbody, (tuple(masks), cr))
         return cr
 
-    def cluster_gate2(cl_get, leaf, p, carries, body, cl_base=0):
+    def cluster_gate2(cl_get, leaf, p, carry, body, cl_base=0):
         """GATE2 mode: gate clusters 2p and 2p+1 together — one cross-lane
         reduce + scalar cond per pair; adjacent clusters are spatially
         adjacent (BVH DFS order) so the pair usually agrees, trading a
-        halved sync count for occasional single-cluster overshoot."""
-        bt = best_t(carries)
+        halved sync count for occasional single-cluster overshoot.
+        (A dynamic-index variant for the ordered near-first paths,
+        GATE2_ORDERED, was deleted — it lost on every scene it applies
+        to; see the note at the GATE2 flag.)"""
+        bt = carry[0]
         c0 = p + p
         hit0 = slab(cl_get, cl_base + c0, bt)
         hit1 = slab(cl_get, cl_base + c0 + 1, bt)
@@ -663,94 +686,47 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
         return jax.lax.cond(
             jnp.any(hit0 | hit1),
             lambda cr: leaf_sweep(c0 * leaf, 2 * leaf, cr, body),
-            lambda cr: cr, carries)
+            lambda cr: cr, carry)
 
-    def cluster_gate2_at(cl_get, leaf, ca, cb, carries, body, cl_base=0):
-        """GATE2 for non-contiguous (dynamic) cluster indices — the ordered
-        near-first paths and the supers' inner ranges: one cross-lane
-        reduce + scalar cond gates clusters ``ca`` and ``cb`` together,
-        then sweeps both in visitation order. ``cb == ca`` (odd-count
-        clamp) degrades to a duplicate sweep whose strict ``t <`` selects
-        are all no-ops, so results stay bitwise identical."""
-        bt = best_t(carries)
-        hita = slab(cl_get, cl_base + ca, bt)
-        hitb = slab(cl_get, cl_base + cb, bt)
-        if stats_ref is not None:
-            dup = (cb != ca).astype(jnp.float32)
-            stats_ref[:] = stats_ref[:] + (
-                jnp.where(hita, cl_get(cl_base + ca, 7), 0.0)
-                + jnp.where(hitb, cl_get(cl_base + cb, 7), 0.0) * dup)
-
-        def sweep_pair(cr):
-            cr = leaf_sweep(ca * leaf, leaf, cr, body)
-            return leaf_sweep(cb * leaf, leaf, cr, body)
-
-        return jax.lax.cond(jnp.any(hita | hitb), sweep_pair,
-                            lambda cr: cr, carries)
-
-    def ordered_cluster_loop(cl_get, leaf, order, base, n_cl, carries,
+    def ordered_cluster_loop(cl_get, leaf, order, base, n_cl, carry,
                              body):
         """Near-first visitation of ``n_cl`` clusters via the per-cell
-        ``order`` table; GATE2_ORD pairs consecutive order entries (they
-        are near-first neighbours, so spatially close)."""
-        if GATE2_ORD and n_cl >= 2:
-            carries = jax.lax.fori_loop(
-                0, n_cl // 2,
-                lambda p, cr: cluster_gate2_at(
-                    cl_get, leaf, order[base + 2 * p],
-                    order[base + 2 * p + 1], cr, body), carries)
-            if n_cl % 2:
-                carries = cluster_gate(cl_get, leaf,
-                                       order[base + n_cl - 1], carries,
-                                       body)
-            return carries
+        ``order`` table."""
         return jax.lax.fori_loop(
             0, n_cl,
             lambda i, cr: cluster_gate(cl_get, leaf, order[base + i], cr,
-                                       body), carries)
+                                       body), carry)
 
-    def cluster_loop(cl_get, leaf, n_cl, carries, body, cl_base=0):
+    def cluster_loop(cl_get, leaf, n_cl, carry, body, cl_base=0):
         """Plain (super-free, order-free) cluster sweep; GATE2 pairs the
         gates when enabled."""
         if GATE2 and n_cl >= 2:
-            carries = jax.lax.fori_loop(
+            carry = jax.lax.fori_loop(
                 0, n_cl // 2,
                 lambda p, cr: cluster_gate2(cl_get, leaf, p, cr, body,
-                                            cl_base=cl_base), carries)
+                                            cl_base=cl_base), carry)
             if n_cl % 2:
-                carries = cluster_gate(cl_get, leaf, n_cl - 1, carries,
-                                       body, cl_base=cl_base)
-            return carries
+                carry = cluster_gate(cl_get, leaf, n_cl - 1, carry,
+                                     body, cl_base=cl_base)
+            return carry
         return jax.lax.fori_loop(
             0, n_cl,
             lambda c, cr: cluster_gate(cl_get, leaf, c, cr, body,
-                                       cl_base=cl_base), carries)
+                                       cl_base=cl_base), carry)
 
-    def super_gate(sup_get, cl_get, leaf, g, carries, body, cl_base=0):
+    def super_gate(sup_get, cl_get, leaf, g, carry, body, cl_base=0):
         """Second BVH level: slab-test a super-cluster, then its cluster
         range (each cluster gated again). ``g`` addresses the super box
         row directly (callers add any table base); start/count are
         cluster indices relative to ``cl_base``'s table."""
-        enter = jnp.any(slab(sup_get, g, best_t(carries)))
+        enter = jnp.any(slab(sup_get, g, carry[0]))
         start = sup_get(g, 6).astype(jnp.int32)
         count = sup_get(g, 7).astype(jnp.int32)
-        if GATE2_ORD:
-            # pair the (dynamic-count) cluster range; an odd tail clamps
-            # its partner to the last cluster — a bitwise no-op resweep
-            def pair(p, cr):
-                ca = start + 2 * p
-                cb = jnp.minimum(ca + 1, start + count - 1)
-                return cluster_gate2_at(cl_get, leaf, ca, cb, cr, body,
-                                        cl_base=cl_base)
-
-            inner = lambda cr: jax.lax.fori_loop(
-                0, (count + 1) // 2, pair, cr)
-        else:
-            inner = lambda cr: jax.lax.fori_loop(
-                start, start + count,
-                lambda c, cr2: cluster_gate(cl_get, leaf, c, cr2, body,
-                                            cl_base=cl_base), cr)
-        return jax.lax.cond(enter, inner, lambda cr: cr, carries)
+        inner = lambda cr: jax.lax.fori_loop(
+            start, start + count,
+            lambda c, cr2: cluster_gate(cl_get, leaf, c, cr2, body,
+                                        cl_base=cl_base), cr)
+        return jax.lax.cond(enter, inner, lambda cr: cr, carry)
 
     def _min_set_index(masks):
         """Scalar index of the lowest set bit across all lanes' mask words
@@ -765,39 +741,36 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
             best = idx if best is None else jnp.minimum(best, idx)
         return jnp.min(best)
 
-    def maskpop_loop(cl_get, leaf, n_cl, carries, body, boot, cl_base=0):
+    def maskpop_loop(cl_get, leaf, n_cl, carry, body, boot, cl_base=0):
         """Mask-pop traversal (see MASKPOP): bootstrap best-t via ``boot``
         (the existing near-first gates over a small prefix), slab-test all
         ``n_cl`` clusters vectorised into per-lane entry masks, then pop
         the tile's union — one min-reduce + one retest cond per popped
         cluster instead of one any+cond per cluster tested."""
-        carries = boot(carries)
+        carry = boot(carry)
         # cl_base may be a traced scalar (the blocked kernel's block-local
         # cluster rows), so always offset rather than branching on it
         get = lambda i, k: cl_get(cl_base + i, k)
-        masks, _, _ = lane_masks(get, n_cl, best_t(carries), False)
+        masks, _, _ = lane_masks(get, n_cl, carry[0], False)
         live_all = zero_i == 0
 
         def wbody(st):
-            c, masks, carries = st
-            if MASKPOP_RETEST:
-                # same pruning rule as cluster_gate, against the evolving
-                # best-t (the mask was built at the looser bootstrap best-t)
-                hit = slab(get, c, best_t(carries))
-                carries = jax.lax.cond(
-                    jnp.any(hit),
-                    lambda cr: leaf_sweep(c * leaf, leaf, cr, body),
-                    lambda cr: cr, carries)
-            else:
-                carries = leaf_sweep(c * leaf, leaf, carries, body)
+            c, masks, carry = st
+            # same pruning rule as cluster_gate, against the evolving
+            # best-t (the mask was built at the looser bootstrap best-t)
+            hit = slab(get, c, carry[0])
+            carry = jax.lax.cond(
+                jnp.any(hit),
+                lambda cr: leaf_sweep(c * leaf, leaf, cr, body),
+                lambda cr: cr, carry)
             masks = tuple(_clear_bit(list(masks), zero_i + c, live_all))
-            return (_min_set_index(masks), masks, carries)
+            return (_min_set_index(masks), masks, carry)
 
         c0 = _min_set_index(masks)
-        _, _, carries = jax.lax.while_loop(
+        _, _, carry = jax.lax.while_loop(
             lambda st: st[0] < jnp.int32(n_cl), wbody,
-            (c0, tuple(masks), carries))
-        return carries
+            (c0, tuple(masks), carry))
+        return carry
 
     if defer_params:
         fresh = (zero_f + _INF, zero_i, zero_f, zero_f)
@@ -806,7 +779,6 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
                  zero_f, zero_f, zero_f, zero_i, zero_i)
     if carry is None:
         carry = fresh
-    carry = (carry,) + (fresh,) * (KCARRY - 1)
 
     if sph_ordered or tri_ordered:
         # Tile's coarse spatial cell from its mean origin: selects the
@@ -814,11 +786,12 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
         # so best-t pruning closes far clusters' gates.
         cell = tile_cell(ox, oy, oz, grid_ref)
 
-    def sph_body_at(getf, geti, code, cr, live=None):
+    def sph_body_at(getf, geti, code, cr, live=None, probe=False):
         """Sphere test against the tile; ``getf(param)``/``geti(param)``
         return broadcast scalars (shared sweep) or per-lane gathered
-        arrays (lane traversal) — the math is identical either way."""
-        bt = cr[0]
+        arrays (lane traversal) — the math is identical either way.
+        ``probe=True`` returns the candidate ``(t, code)`` without
+        touching the carry (PAIRMIN min-tree, see leaf_sweep)."""
         cx = getf(S_CX)
         cy = getf(S_CY)
         cz = getf(S_CZ)
@@ -843,6 +816,9 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
         if live is not None:
             valid = valid & live
         t = jnp.where(valid, t, _INF)
+        if probe:
+            return t, code
+        bt = cr[0]
         better = t < bt
         bt = jnp.where(better, t, bt)
         bc = jnp.where(better, code, cr[1])        # even code = sphere
@@ -858,6 +834,14 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
     def sph_body(s, cr):
         return sph_body_at(lambda p: sget_f(p, s), lambda p: sget_i(p, s),
                            s * 2, cr)
+
+    if defer_params and PAIRMIN:
+        # Probe attribute consumed by leaf_sweep's min-tree path. Only the
+        # defer-mode carry (t, code[, u, v]) can be tree-selected — the
+        # non-defer carry's per-primitive param selects have no candidate
+        # form.
+        sph_body.probe = lambda s: sph_body_at(
+            lambda p: sget_f(p, s), None, s * 2, None, probe=True)
 
     sph_hybrid = sph_lane_leaf > 0 and num_sph_lane > 0 and num_spheres > 0
     tri_hybrid = tri_lane_leaf > 0 and num_tri_lane > 0 and num_tris > 0
@@ -933,22 +917,18 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
                                 sph_body, cl_base=sph_cl_base)
         if num_spheres > 0:
             # flat pool: padded to a multiple of UNROLL, pads poisoned
-            def sflat(j, crs):
+            def sflat(j, cr):
                 base = j * UNROLL
-                crs = list(crs)
                 for u in range(UNROLL):
-                    k = u % KCARRY
-                    crs[k] = sph_body(base + u, crs[k])
-                return tuple(crs)
+                    cr = sph_body(base + u, cr)
+                return cr
             return jax.lax.fori_loop(0, num_spheres // UNROLL, sflat, carry)
         return carry
 
     def sph_lane_fn(carry):
-        # per-lane traversal is one best-hit chain; other KCARRY chains
-        # stay fresh and merge to no-ops
-        return (lane_traverse(sph_lane_cl_get, sph_lane_pf, sph_lane_pi,
-                              num_sph_lane, sph_lane_leaf, sph_body_at,
-                              carry[0], 0),) + tuple(carry[1:])
+        return lane_traverse(sph_lane_cl_get, sph_lane_pf, sph_lane_pi,
+                             num_sph_lane, sph_lane_leaf, sph_body_at,
+                             carry, 0)
 
     def run_sph(carry):
         if sph_hybrid:
@@ -958,10 +938,11 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
                                 carry)
         return sph_shared(carry)
 
-    def tri_body_at(getf, geti, code, cr, live=None):
+    def tri_body_at(getf, geti, code, cr, live=None, probe=False):
         """Triangle test against the tile; fetch-parameterised like
-        sph_body_at (shared broadcast or per-lane gather)."""
-        bt = cr[0]
+        sph_body_at (shared broadcast or per-lane gather). ``probe=True``
+        returns the candidate ``(t, code[, u, v])`` without touching the
+        carry (PAIRMIN min-tree, see leaf_sweep)."""
         wu0, wu1, wu2, wu3 = (getf(T_WU + r) for r in range(4))
         wv0, wv1, wv2, wv3 = (getf(T_WV + r) for r in range(4))
         ww0, ww1, ww2, ww3 = (getf(T_WW + r) for r in range(4))
@@ -1002,6 +983,11 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
         if live is not None:
             valid = valid & live
         t = jnp.where(valid, t, _INF)
+        if probe:
+            if defer_params and needs_tri_uv:
+                return t, code, u, v
+            return t, code
+        bt = cr[0]
         better = t < bt
         bt = jnp.where(better, t, bt)
         bc = jnp.where(better, code, cr[1])        # odd code = triangle
@@ -1034,6 +1020,10 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
     def tri_body(k, cr):
         return tri_body_at(lambda p: tget_f(p, k), lambda p: tget_i(p, k),
                            k * 2 + 1, cr)
+
+    if defer_params and PAIRMIN:
+        tri_body.probe = lambda k: tri_body_at(
+            lambda p: tget_f(p, k), None, k * 2 + 1, None, probe=True)
 
     def tri_shared(carry):
         if (MASKPOP and stats_ref is None
@@ -1093,20 +1083,18 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
             return cluster_loop(tcl_get, tri_leaf, num_tri_clusters, carry,
                                 tri_body, cl_base=tri_cl_base)
         if num_tris > 0:
-            def tflat(j, crs):
+            def tflat(j, cr):
                 base = j * UNROLL
-                crs = list(crs)
                 for u in range(UNROLL):
-                    k = u % KCARRY
-                    crs[k] = tri_body(base + u, crs[k])
-                return tuple(crs)
+                    cr = tri_body(base + u, cr)
+                return cr
             return jax.lax.fori_loop(0, num_tris // UNROLL, tflat, carry)
         return carry
 
     def tri_lane_fn(carry):
-        return (lane_traverse(tri_lane_cl_get, tri_lane_pf, tri_lane_pi,
-                              num_tri_lane, tri_lane_leaf, tri_body_at,
-                              carry[0], 1),) + tuple(carry[1:])
+        return lane_traverse(tri_lane_cl_get, tri_lane_pf, tri_lane_pi,
+                             num_tri_lane, tri_lane_leaf, tri_body_at,
+                             carry, 1)
 
     def run_tri(carry):
         if tri_hybrid:
@@ -1116,10 +1104,7 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
                                 carry)
         return tri_shared(carry)
 
-    if TRI_FIRST:
-        carry = run_sph(run_tri(carry))
-    else:
-        carry = run_tri(run_sph(carry))
+    carry = run_tri(run_sph(carry))
 
     if stats_ref is not None:
         flat_adjust = 0.0
@@ -1130,13 +1115,7 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
         if flat_adjust:
             stats_ref[:] = stats_ref[:] + flat_adjust
 
-    # merge the K independent chains into the final nearest hit
-    merged = carry[0]
-    for other in carry[1:]:
-        better = other[0] < merged[0]
-        merged = tuple(jnp.where(better, other[i], merged[i])
-                       for i in range(len(merged)))
-    return merged
+    return carry
 
 
 def param_rows(n: int) -> int:

@@ -118,6 +118,37 @@ def test_mega_matches_regen_statistically():
         assert abs(float(s_m) - float(s_r)) <= 1e-3 * float(s_r), (s_m, s_r)
 
 
+def test_pairmin_matches_chain(monkeypatch):
+    """PAIRMIN (sweep.py: strict-< min-tree over each UNROLL group of
+    probed candidates, one carry commit per group) must be bitwise
+    identical to the per-primitive chain: strict < at every tree level
+    preserves first-swept tie priority, and misses are +INF (never NaN),
+    so only the association of the min changes, not its value. Scene 4
+    exceeds DEFER_MIN with both pools live and a checkered floor
+    (needs_tri_uv => the 4-tuple (t, code, u, v) tri probe alongside the
+    2-tuple sphere probe against the same 4-wide defer carry)."""
+    from raytracer_tpu.ops import sweep as sweep_mod
+    scene, use_sky = rt.build_scene(4, seed=0)
+    assert scene.num_spheres + scene.num_triangles >= 64  # defer engages
+    assert scene.needs_tri_uv
+    settings = rt.RenderSettings(rays_per_pixel=2, reflect_limit=4,
+                                 sampler="mega").with_sky(use_sky)
+    w, h = 48, 24
+    cam = build_camera(rt.CameraConfig(width=w, height=h))
+    o, d = primary_rays(cam, w, h)
+    idx = jnp.arange(w * h, dtype=jnp.int32)
+    m_chain, s_chain = render_sample_mean(scene, settings, idx, o, d,
+                                          jax.random.key(3),
+                                          backend="pallas")
+    monkeypatch.setattr(sweep_mod, "PAIRMIN", True)
+    jax.clear_caches()        # module flag is read at trace time
+    m_tree, s_tree = render_sample_mean(scene, settings, idx, o, d,
+                                        jax.random.key(3),
+                                        backend="pallas")
+    np.testing.assert_array_equal(np.asarray(m_chain), np.asarray(m_tree))
+    assert float(s_chain) == float(s_tree)
+
+
 def test_mega_deterministic():
     scene, use_sky = rt.build_scene(4, seed=0)
     settings = rt.RenderSettings(rays_per_pixel=4, reflect_limit=5,
