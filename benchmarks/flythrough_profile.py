@@ -25,11 +25,15 @@ this breakdown has no reference counterpart to match — it serves the
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 import raytracer_tpu as rt
 from raytracer_tpu.models.camera import build_camera, primary_rays
@@ -90,6 +94,16 @@ def main() -> None:
     segs = megad(scene, fkey)
     _timed("mega_depth", lambda: megad(scene, fkey), segs=segs)
 
+    # scanline (identity) pixel order: if the kernel tolerates full-width
+    # strip tiles, the temporal path can drop the Morton permutation and
+    # its two full-frame index gathers (pack + primary reorder)
+    o_s, d_s = primary_rays(cam, w, h)
+    oS, dS = o_s.T, d_s.T
+    megas = jax.jit(lambda s, key: render_sample_mean_mega(
+        s, settings1, oS, dS, key, want_depth=True)[1])
+    segs = megas(scene, fkey)
+    _timed("mega_scanline", lambda: megas(scene, fkey), segs=segs)
+
     settings4 = rt.RenderSettings(rays_per_pixel=4, reflect_limit=5
                                   ).with_sky(use_sky)
     mega4 = jax.jit(lambda s, key: render_sample_mean_mega(
@@ -116,6 +130,40 @@ def main() -> None:
     segs = warp_frame()
     _timed("warp_frame", warp_frame, segs=segs,
            extra={"note": "move (pack history) + render + gather warp"})
+
+    # -- fine-grained sub-phases of the two frame shapes -------------------
+    from raytracer_tpu.runtime.renderer import (_gather_history,
+                                                _pack_history)
+
+    n = w * h
+    accum = r.accum
+    wpix = (r._wpix if r._wpix is not None
+            else jnp.ones((n,), jnp.float32))
+    mean3n = jnp.zeros((3, n), jnp.float32) + 0.25   # a staged mega output
+
+    # the production accumulate: (3,N) kernel mean -> transpose -> (N,3)
+    # accumulator blend (the layout conversion rides inside)
+    acc_t = jax.jit(lambda m, a, wp: (m.T + a * wp[:, None])
+                    / (wp[:, None] + 1.0))
+    _timed("accum_transpose", lambda: acc_t(mean3n, accum, wpix))
+    # the same blend with a (3,N) accumulator (no transpose): the layout
+    # cost is the difference
+    acc_n = jax.jit(lambda m, a, wp: (m + a * wp[None, :])
+                    / (wp[None, :] + 1.0))
+    accum3n = jnp.zeros((3, n), jnp.float32)
+    _timed("accum_lane_major", lambda: acc_n(mean3n, accum3n, wpix))
+
+    inv = jnp.asarray(np.argsort(np.asarray(order)), jnp.int32)
+    _timed("pack_history", lambda: _pack_history(
+        accum, wpix, inv, jnp.float32(8.0)))
+
+    packed = _pack_history(accum, wpix, inv, jnp.float32(8.0))
+    cam_b = build_camera(cfg)
+    depth = r._depth if r._depth is not None else jnp.ones((n,), jnp.float32)
+    gath = jax.jit(lambda o_, d_, dep, pk: _gather_history(
+        w, h, order, o_, d_, dep, pk, cam_b.position, cam_b.tl_pixel,
+        cam_b.delta_u, cam_b.delta_v))
+    _timed("gather_history", lambda: gath(o, d, depth, packed))
 
 
 if __name__ == "__main__":

@@ -86,6 +86,20 @@ DEFER_MIN = int(os.environ.get("RAYTRACER_DEFER_MIN", "64"))
 # Approximate-reciprocal triangle divide in the sweep (statistically
 # validated; exact divide in the wavefront kernels regardless).
 FAST_DIV = os.environ.get("RAYTRACER_FAST_DIV", "1") == "1"
+# Pixels per lane ("pixel packing"). A tile's while_loop runs until its
+# SLOWEST lane finishes all samples, so at spp 1-2 (interactive / temporal
+# fly-through frames) mean lane activity collapses to ~avg/max path length
+# (~32% measured on scene 4): a finished lane has no next sample to
+# regenerate onto. PIXPACK=K gives each lane K pixels — path regeneration
+# rolls a finished path onto the lane's NEXT PIXEL, so the idle tail is
+# paid once per K pixels instead of once per pixel, and per-tile fixed
+# costs (bootstrap sweeps, SMEM broadcasts) amortise Kx. Estimator
+# per pixel is unchanged (spp samples, same per-iteration draw streams);
+# the pixel->(tile, lane, sample) assignment changes, so renders differ
+# bitwise from K=1 but are held to the same statistical contracts as any
+# sampler change. Off (1) by default; pointless at high spp (regen
+# already fills the tail). The K=1 path emits exactly the original ops.
+PIXPACK = int(os.environ.get("RAYTRACER_PIXPACK", "1"))
 # Tile-coherent scatter sampling: one shared random triple per loop
 # iteration (instead of per lane). Each pixel's marginal distribution is
 # exactly unchanged — a pixel's successive samples still draw fresh
@@ -120,10 +134,17 @@ _M_ROWS = 16
 IMG_MAX_ROWS = int(os.environ.get("RAYTRACER_IMG_MAX_ROWS", "8192"))
 # Packed-row count up to which the fetch's row select is a statically
 # unrolled sweep over every row; above it, a fori_loop over the tile's
-# clamped [min(ty), max(ty)] row range with a dynamic single-row slice
-# (coherent tiles sample a thin band of the texture, so the clamped loop
-# usually touches a few dozen rows of a multi-thousand-row image).
-IMG_STATIC_ROWS = int(os.environ.get("RAYTRACER_IMG_STATIC_ROWS", "64"))
+# clamped [min(ty), max(ty)] row range with a dynamic single-row slice.
+# The clamp only pays when tiles sample a THIN band of the texture —
+# true for coherent primaries, false for diffuse-bounce tiles, whose UV
+# spread covers most of the plane. Measured on the earth512 config
+# (1024 packed rows, v5e): static unroll 198 Mrays/s vs clamped loop
+# 51 (the round-3 "range-clamped row select" was a silent 3.9x
+# regression there — caught by the round-4 docs refresh, fixed by
+# raising this threshold from 64 to 1024; docs/TESTLOG.md session 7).
+# Beyond the threshold the clamped loop is the only VMEM-resident
+# option, and past IMG_MAX_ROWS the HBM-paged variant takes over.
+IMG_STATIC_ROWS = int(os.environ.get("RAYTRACER_IMG_STATIC_ROWS", "1024"))
 # Past IMG_MAX_ROWS the packed texel plane stays in HBM and the fetch DMAs
 # the tile's clamped texel-row band into a VMEM page scratch, IMG_PAGE rows
 # (x 128 x 4 B = 256 KiB) per copy — the VMEM-residency cap disappears and
@@ -276,7 +297,12 @@ def _fetch_image(tex_ref, uu, vv, mtw, mth, mtrow, *, img_rows: int,
 
         acc = jax.lax.fori_loop(0, n_pages, fpage, acc)
         return decode_colour30(acc)
-    if img_rows <= IMG_STATIC_ROWS:
+    # In interpret mode (CPU test suites) the static unroll's jaxpr grows
+    # with every row — a 1024-row texture times the whole suite out — and
+    # there is no VPU to schedule it onto anyway; keep interpret tracing
+    # compact and let the compiled TPU path use the measured threshold.
+    static_rows = 64 if _interpret() else IMG_STATIC_ROWS
+    if img_rows <= static_rows:
         for i in range(img_rows):
             g = jnp.take_along_axis(
                 jnp.broadcast_to(tex_ref[i:i + 1, :], shape), lane, axis=1)
@@ -332,7 +358,7 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
             sph_lane_leaf: int = 0, tri_lane_leaf: int = 0,
             interp_rng: bool = False, coherent: bool = False,
             img_rows_padded: int = 0, has_refractive: bool = True,
-            rr_start: int = 0):
+            rr_start: int = 0, pixpack: int = 1):
     # HBM-paged image textures (img_rows > IMG_MAX_ROWS): the texel plane
     # arrives as an HBM ref and pallas passes a VMEM page scratch + DMA
     # semaphore after the outputs.
@@ -364,7 +390,9 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
 
     o0x_t, o0y_t, o0z_t = ox_ref[:], oy_ref[:], oz_ref[:]
     d0x_t, d0y_t, d0z_t = dx_ref[:], dy_ref[:], dz_ref[:]
-    srows = mrows // nstream
+    srows = mrows // (nstream * pixpack)
+    # per-lane sample budget: spp per pixel x pixpack pixels per lane
+    budget = spp * pixpack
 
     # The per-bounce program is one long dependency chain of (rows, 128)
     # ops; measured on v5e it is latency-bound with most VPU issue slots
@@ -372,11 +400,20 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
     # independent ray streams per grid step lets their chains overlap in
     # the pipeline — near-linear throughput gain until register pressure
     # bites (2 x 32 rows measured best).
-    def make_stream(lo):
-      o0x, o0y, o0z = o0x_t[lo:lo + srows], o0y_t[lo:lo + srows], \
-          o0z_t[lo:lo + srows]
-      d0x, d0y, d0z = d0x_t[lo:lo + srows], d0y_t[lo:lo + srows], \
-          d0z_t[lo:lo + srows]
+    def make_stream(stream):
+      # pixel block k of stream s rides rows [(k*nstream + s) * srows ...):
+      # consecutive Morton tiles stay contiguous per k, so each of a lane's
+      # pixpack pixels comes from a spatially coherent block.
+      offs = [(k * nstream + stream) * srows for k in range(pixpack)]
+      lo = offs[0]
+      o0x_l = [o0x_t[off:off + srows] for off in offs]
+      o0y_l = [o0y_t[off:off + srows] for off in offs]
+      o0z_l = [o0z_t[off:off + srows] for off in offs]
+      d0x_l = [d0x_t[off:off + srows] for off in offs]
+      d0y_l = [d0y_t[off:off + srows] for off in offs]
+      d0z_l = [d0z_t[off:off + srows] for off in offs]
+      o0x, o0y, o0z = o0x_l[0], o0y_l[0], o0z_l[0]
+      d0x, d0y, d0z = d0x_l[0], d0y_l[0], d0z_l[0]
 
       shape = (srows, LANES)
       # Derive loop-carry seeds from loaded data: broadcast constants get a
@@ -408,14 +445,27 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
               sph_lane_leaf=sph_lane_leaf, tri_lane_leaf=tri_lane_leaf)
 
       def body(state):
-          if interp_rng:
+          if pixpack > 1:
+              # pixel-packed carry: the pixel accumulators (sr/sg/sb),
+              # per-pixel primary depths (t0) ride as pixpack-tuples and
+              # cur_k tracks each lane's current pixel block
+              (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, bounce_i,
+               sample_i, ior, srs, sgs, sbs, segs, t0s, cur_k,
+               *itc_t) = state
+              sr = sg = sb = t0 = None
+          elif interp_rng:
               (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, bounce_i,
                sample_i, ior, sr, sg, sb, segs, t0, itc) = state
-              itc = itc + 1
           else:
               (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, bounce_i,
                sample_i, ior, sr, sg, sb, segs, t0) = state
-          active = sample_i < spp
+          if pixpack > 1 and interp_rng:
+              itc = itc_t[0] + 1
+          elif pixpack > 1:
+              itc_t = ()
+          elif interp_rng:
+              itc = itc + 1
+          active = sample_i < budget
           if "iters" in _ABLATE:
               # measurement: count every lane-iteration instead of active ones
               # (base_mrays / iters_mrays = mean lane activity)
@@ -621,6 +671,8 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
               # measurement: consume every sweep output (so none of its
               # selects are DCE'd), then regenerate immediately — isolates
               # while+RNG+sweep from the shading/scatter half of the body.
+              # (measurement knob; not composed with pixel packing — see
+              # the pixpack guard in render_sample_mean_mega)
               dummy = (bt + bu + bv + n0 + n1 + n2
                        + (bc + pa + pb).astype(jnp.float32))
               sr = sr + jnp.where(active, dummy * 1e-30, 0.0)
@@ -639,8 +691,15 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
           is_tri = (bc & 1) == 1
           # primary-hit depth (sample 0, bounce 0): free per-pixel depth
           # for temporal reprojection of camera moves (runtime/renderer.py)
-          first = active & (sample_i == 0) & (bounce_i == 0)
-          t0 = jnp.where(first, bt, t0)
+          if pixpack > 1:
+              # first sample of the lane's CURRENT pixel block
+              first = (active & (bounce_i == 0)
+                       & (sample_i == cur_k * spp))
+              t0s = tuple(jnp.where(first & (cur_k == k), bt, t0s[k])
+                          for k in range(pixpack))
+          else:
+              first = active & (sample_i == 0) & (bounce_i == 0)
+              t0 = jnp.where(first, bt, t0)
           safe_t = jnp.where(hit, bt, 0.0)
           px = ox + dx * safe_t
           py = oy + dy * safe_t
@@ -907,16 +966,49 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
           at_limit = bounce_i + 1 >= limit
           path_end = active & (~continues | at_limit)
 
-          sr = sr + jnp.where(path_end, rr, 0.0)
-          sg = sg + jnp.where(path_end, rg, 0.0)
-          sb = sb + jnp.where(path_end, rb, 0.0)
+          if pixpack > 1:
+              # bank the finished path's radiance into its PIXEL's
+              # accumulator (pre-advance cur_k)
+              srs = tuple(srs[k] + jnp.where(path_end & (cur_k == k),
+                                             rr, 0.0)
+                          for k in range(pixpack))
+              sgs = tuple(sgs[k] + jnp.where(path_end & (cur_k == k),
+                                             rg, 0.0)
+                          for k in range(pixpack))
+              sbs = tuple(sbs[k] + jnp.where(path_end & (cur_k == k),
+                                             rb, 0.0)
+                          for k in range(pixpack))
+          else:
+              sr = sr + jnp.where(path_end, rr, 0.0)
+              sg = sg + jnp.where(path_end, rg, 0.0)
+              sb = sb + jnp.where(path_end, rb, 0.0)
 
           sample_i = jnp.where(path_end, sample_i + 1, sample_i)
           bounce_i = jnp.where(path_end, 0,
                                jnp.where(active, bounce_i + 1, bounce_i))
-          ox = jnp.where(path_end, o0x, ox)
-          oy = jnp.where(path_end, o0y, oy)
-          oz = jnp.where(path_end, o0z, oz)
+          if pixpack > 1:
+              # advance to the next pixel block once this one's spp samples
+              # are done (sample_i is post-increment here); the clamp keeps
+              # fully retired lanes on their last pixel's primary exactly
+              # like the K=1 regen (active gates every accumulate anyway)
+              adv = path_end & (sample_i == (cur_k + 1) * spp)
+              cur_k = jnp.minimum(cur_k + adv.astype(jnp.int32),
+                                  pixpack - 1)
+
+              def selk(plst):
+                  out = plst[0]
+                  for k in range(1, pixpack):
+                      out = jnp.where(cur_k == k, plst[k], out)
+                  return out
+
+              o0x_s, o0y_s, o0z_s = selk(o0x_l), selk(o0y_l), selk(o0z_l)
+              d0x_s, d0y_s, d0z_s = selk(d0x_l), selk(d0y_l), selk(d0z_l)
+          else:
+              o0x_s, o0y_s, o0z_s = o0x, o0y, o0z
+              d0x_s, d0y_s, d0z_s = d0x, d0y, d0z
+          ox = jnp.where(path_end, o0x_s, ox)
+          oy = jnp.where(path_end, o0y_s, oy)
+          oz = jnp.where(path_end, o0z_s, oz)
           if RETIRE_POISON:
               # A lane whose sample budget is exhausted would otherwise
               # keep its primary ray in (o, d) and keep opening cluster
@@ -926,13 +1018,13 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
               # retired lanes stop paying for leaf sweeps. Pure work
               # removal: retired lanes' results are already banked and
               # every accumulate is gated on `active`.
-              retired = sample_i >= spp
+              retired = sample_i >= budget
               ox = jnp.where(retired, 1e30, ox)
               oy = jnp.where(retired, 1e30, oy)
               oz = jnp.where(retired, 1e30, oz)
-          dx = jnp.where(path_end, d0x, dx)
-          dy = jnp.where(path_end, d0y, dy)
-          dz = jnp.where(path_end, d0z, dz)
+          dx = jnp.where(path_end, d0x_s, dx)
+          dy = jnp.where(path_end, d0y_s, dy)
+          dz = jnp.where(path_end, d0z_s, dz)
           tr = jnp.where(path_end, 1.0, tr)
           tg = jnp.where(path_end, 1.0, tg)
           tb = jnp.where(path_end, 1.0, tb)
@@ -941,27 +1033,45 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
           rb = jnp.where(path_end, 0.0, rb)
           ior = jnp.where(path_end, 1.0, ior)
 
-          out = (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
-                 bounce_i, sample_i, ior, sr, sg, sb, segs, t0)
+          if pixpack > 1:
+              out = (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
+                     bounce_i, sample_i, ior, srs, sgs, sbs, segs, t0s,
+                     cur_k)
+          else:
+              out = (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb,
+                     bounce_i, sample_i, ior, sr, sg, sb, segs, t0)
           return out + (itc,) if interp_rng else out
 
       one = f0 + 1.0
-      state0 = (o0x, o0y, o0z, d0x, d0y, d0z,
-                one, one, one,          # throughput
-                f0, f0, f0,             # path radiance
-                i0, i0,                 # bounce, sample
-                one,                    # ior
-                f0, f0, f0,             # pixel sums
-                f0,                     # segments
-                f0 + _INF)              # primary-hit depth
+      if pixpack > 1:
+          state0 = (o0x, o0y, o0z, d0x, d0y, d0z,
+                    one, one, one,               # throughput
+                    f0, f0, f0,                  # path radiance
+                    i0, i0,                      # bounce, sample
+                    one,                         # ior
+                    (f0,) * pixpack,             # pixel sums r
+                    (f0,) * pixpack,             # pixel sums g
+                    (f0,) * pixpack,             # pixel sums b
+                    f0,                          # segments
+                    (f0 + _INF,) * pixpack,      # primary-hit depths
+                    i0)                          # current pixel block
+      else:
+          state0 = (o0x, o0y, o0z, d0x, d0y, d0z,
+                    one, one, one,          # throughput
+                    f0, f0, f0,             # path radiance
+                    i0, i0,                 # bounce, sample
+                    one,                    # ior
+                    f0, f0, f0,             # pixel sums
+                    f0,                     # segments
+                    f0 + _INF)              # primary-hit depth
       if interp_rng:
           state0 = state0 + (jnp.int32(0),)  # loop iteration counter
       return body, state0
 
-    streams = [make_stream(i * srows) for i in range(nstream)]
+    streams = [make_stream(s) for s in range(nstream)]
 
     def cond(states):
-        live = [jnp.any(st[13] < spp) for st in states]
+        live = [jnp.any(st[13] < budget) for st in states]
         out = live[0]
         for lv in live[1:]:
             out = jnp.logical_or(out, lv)
@@ -978,13 +1088,28 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
         cond, body_all, tuple(b_s[1] for b_s in streams))
 
     inv_spp = 1.0 / float(spp)
-    for i, st in enumerate(states):
-        lo = i * srows
-        sum_r_ref[lo:lo + srows] = st[15] * inv_spp
-        sum_g_ref[lo:lo + srows] = st[16] * inv_spp
-        sum_b_ref[lo:lo + srows] = st[17] * inv_spp
-        segs_ref[lo:lo + srows] = st[18]
-        depth_ref[lo:lo + srows] = st[19]
+    for s, st in enumerate(states):
+        if pixpack > 1:
+            srs, sgs, sbs, segs, t0s = st[15], st[16], st[17], st[18], st[19]
+            for k in range(pixpack):
+                off = (k * nstream + s) * srows
+                sum_r_ref[off:off + srows] = srs[k] * inv_spp
+                sum_g_ref[off:off + srows] = sgs[k] * inv_spp
+                sum_b_ref[off:off + srows] = sbs[k] * inv_spp
+                # segments are counted per LANE (they span the lane's
+                # pixpack pixels); bank the lane total on block 0 so the
+                # frame sum stays exact (per-pixel segs are undefined in
+                # packed mode — see the lane_segs guard in
+                # render_sample_mean_mega)
+                segs_ref[off:off + srows] = segs if k == 0 else segs * 0.0
+                depth_ref[off:off + srows] = t0s[k]
+        else:
+            lo = s * srows
+            sum_r_ref[lo:lo + srows] = st[15] * inv_spp
+            sum_g_ref[lo:lo + srows] = st[16] * inv_spp
+            sum_b_ref[lo:lo + srows] = st[17] * inv_spp
+            segs_ref[lo:lo + srows] = st[18]
+            depth_ref[lo:lo + srows] = st[19]
 
 
 def render_sample_mean_mega(
@@ -996,6 +1121,7 @@ def render_sample_mean_mega(
     tile_offset=0,
     lane_segs: bool = False,
     want_depth: bool = False,
+    pixpack: int | None = None,
 ):
     """Full-frame megakernel sampler; returns ((3, N) mean, segments).
 
@@ -1003,9 +1129,21 @@ def render_sample_mean_mega(
     ids under shard_map so multi-chip renders stay deterministic.
     ``lane_segs=True`` returns the per-pixel segment counts instead of their
     sum — the cost signal the Renderer's adaptive pixel binning sorts by.
+    ``pixpack`` (default: the RAYTRACER_PIXPACK env flag) packs K pixels
+    per lane — see the PIXPACK module comment. Forced to 1 for lane_segs
+    (per-pixel costs are undefined when a lane spans K pixels); K > 1
+    changes the pixel->tile assignment, so use the same K on every shard
+    of a sharded render (the temporal fly-through path, its only
+    production caller, is unsharded).
     """
+    K = PIXPACK if pixpack is None else int(pixpack)
+    if lane_segs:
+        K = 1
+    if K > 1 and _ABLATE:
+        raise ValueError("RAYTRACER_ABLATE paths assume the unpacked "
+                         "carry layout; unset it or use pixpack=1")
     n = o.shape[1]
-    mega_tile = mega_tile_for(scene)
+    mega_tile = mega_tile_for(scene) * K
     mrows = mega_tile // LANES
     n_pad = max(mega_tile, ((n + mega_tile - 1) // mega_tile) * mega_tile)
     if n_pad != n:
@@ -1104,6 +1242,7 @@ def render_sample_mean_mega(
             img_rows_padded=img_rows_padded,
             has_refractive=bool(scene.has_refractive),
             rr_start=int(settings.russian_roulette),
+            pixpack=K,
         ),
         grid=(rows // mrows,),
         in_specs=([smem] * 15

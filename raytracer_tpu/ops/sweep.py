@@ -56,16 +56,16 @@ UNROLL = int(os.environ.get("RAYTRACER_SWEEP_UNROLL", "4"))
 # was deleted after measuring negative both before and after the lean
 # carry: the K-1 extra carry registers cost more than the shortened
 # serial chain buys. docs/ROADMAP.md kept-negative list.)
-# Min-tree carry update (defer-mode leaf sweeps): reduce each UNROLL group
-# of candidate (t, code[, u, v]) tuples with a strict-< selection tree and
-# apply ONE carry update per group, instead of chaining cmp+select through
-# the carry once per primitive. Same op count, but the serial best-hit
-# chain shrinks ~UNROLL/log2(UNROLL)x and the tree levels are independent
-# (ILP) — the sweep is latency-bound. Bitwise identical: strict < at every
-# level preserves first-swept tie priority exactly (test_megakernel.py
-# test_pairmin_matches_chain). Unlike the deleted KCARRY, no extra carry
-# state lives across loop iterations.
-PAIRMIN = os.environ.get("RAYTRACER_PAIRMIN", "0") == "1"
+# (RAYTRACER_PAIRMIN — a strict-< min TREE over each UNROLL group of
+# probed (t, code[, u, v]) candidates with one carry commit per group,
+# shortening the serial best-hit chain ~2x — was deleted after losing
+# both interleaved hardware A/Bs on both its targets: headline
+# 635.2/638.4 vs 662.5/666.7 default (-4.2%) and stress10k 11.37/11.37
+# vs 11.43/11.43, v5e 2026-08-19 (docs/TESTLOG.md session 6). Same
+# lesson as KCARRY from the other side: the sweep's cmp+select chain is
+# already hidden under the slab/fetch pipeline, and restructuring it
+# only adds ops. Do not re-try chain-shortening without new hardware
+# facts.)
 
 
 def leaf_size(n: int) -> int:
@@ -555,30 +555,7 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
     def leaf_sweep(start, leaf, carry, body):
         """Sweep exactly ``leaf`` primitives from ``start`` (static trip
         count, UNROLL-wide so independent primitive tests overlap in the
-        VPU pipeline).
-
-        With PAIRMIN and a probing body (defer mode), each UNROLL group is
-        reduced by a strict-< min tree and committed to the carry once —
-        see the PAIRMIN comment at module top."""
-        probe = getattr(body, "probe", None)
-        if PAIRMIN and probe is not None:
-            def step(j, cr):
-                base = start + j * UNROLL
-                cand = [probe(base + u) for u in range(UNROLL)]
-                while len(cand) > 1:
-                    nxt = [tuple(jnp.where(b[0] < a[0], vb, va)
-                                 for va, vb in zip(a, b))
-                           for a, b in zip(cand[0::2], cand[1::2])]
-                    if len(cand) % 2:
-                        nxt.append(cand[-1])
-                    cand = nxt
-                win = cand[0]
-                better = win[0] < cr[0]
-                upd = tuple(jnp.where(better, w, c)
-                            for w, c in zip(win, cr))
-                return upd + tuple(cr[len(win):])
-            return jax.lax.fori_loop(0, leaf // UNROLL, step, carry)
-
+        VPU pipeline)."""
         def step(j, cr):
             base = start + j * UNROLL
             for u in range(UNROLL):
@@ -786,12 +763,10 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
         # so best-t pruning closes far clusters' gates.
         cell = tile_cell(ox, oy, oz, grid_ref)
 
-    def sph_body_at(getf, geti, code, cr, live=None, probe=False):
+    def sph_body_at(getf, geti, code, cr, live=None):
         """Sphere test against the tile; ``getf(param)``/``geti(param)``
         return broadcast scalars (shared sweep) or per-lane gathered
-        arrays (lane traversal) — the math is identical either way.
-        ``probe=True`` returns the candidate ``(t, code)`` without
-        touching the carry (PAIRMIN min-tree, see leaf_sweep)."""
+        arrays (lane traversal) — the math is identical either way."""
         cx = getf(S_CX)
         cy = getf(S_CY)
         cz = getf(S_CZ)
@@ -816,8 +791,6 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
         if live is not None:
             valid = valid & live
         t = jnp.where(valid, t, _INF)
-        if probe:
-            return t, code
         bt = cr[0]
         better = t < bt
         bt = jnp.where(better, t, bt)
@@ -834,14 +807,6 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
     def sph_body(s, cr):
         return sph_body_at(lambda p: sget_f(p, s), lambda p: sget_i(p, s),
                            s * 2, cr)
-
-    if defer_params and PAIRMIN:
-        # Probe attribute consumed by leaf_sweep's min-tree path. Only the
-        # defer-mode carry (t, code[, u, v]) can be tree-selected — the
-        # non-defer carry's per-primitive param selects have no candidate
-        # form.
-        sph_body.probe = lambda s: sph_body_at(
-            lambda p: sget_f(p, s), None, s * 2, None, probe=True)
 
     sph_hybrid = sph_lane_leaf > 0 and num_sph_lane > 0 and num_spheres > 0
     tri_hybrid = tri_lane_leaf > 0 and num_tri_lane > 0 and num_tris > 0
@@ -938,11 +903,9 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
                                 carry)
         return sph_shared(carry)
 
-    def tri_body_at(getf, geti, code, cr, live=None, probe=False):
+    def tri_body_at(getf, geti, code, cr, live=None):
         """Triangle test against the tile; fetch-parameterised like
-        sph_body_at (shared broadcast or per-lane gather). ``probe=True``
-        returns the candidate ``(t, code[, u, v])`` without touching the
-        carry (PAIRMIN min-tree, see leaf_sweep)."""
+        sph_body_at (shared broadcast or per-lane gather)."""
         wu0, wu1, wu2, wu3 = (getf(T_WU + r) for r in range(4))
         wv0, wv1, wv2, wv3 = (getf(T_WV + r) for r in range(4))
         ww0, ww1, ww2, ww3 = (getf(T_WW + r) for r in range(4))
@@ -983,10 +946,6 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
         if live is not None:
             valid = valid & live
         t = jnp.where(valid, t, _INF)
-        if probe:
-            if defer_params and needs_tri_uv:
-                return t, code, u, v
-            return t, code
         bt = cr[0]
         better = t < bt
         bt = jnp.where(better, t, bt)
@@ -1020,10 +979,6 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
     def tri_body(k, cr):
         return tri_body_at(lambda p: tget_f(p, k), lambda p: tget_i(p, k),
                            k * 2 + 1, cr)
-
-    if defer_params and PAIRMIN:
-        tri_body.probe = lambda k: tri_body_at(
-            lambda p: tget_f(p, k), None, k * 2 + 1, None, probe=True)
 
     def tri_shared(carry):
         if (MASKPOP and stats_ref is None

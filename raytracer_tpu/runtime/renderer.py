@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 import time
 
 import jax
@@ -39,16 +40,23 @@ from ..ops.integrator import render_frame
 # [0, _HIST_MAX) (history is decaying approximate data; fresh samples are
 # never quantised) and the capped frame-count weight takes the low 5 bits.
 _HIST_MAX = 8.0
+# Temporal warp gather backend: the banded Pallas kernel (ops/warp.py) vs
+# the plain XLA gather. Opt-in until the hardware A/B lands.
+_WARP_BANDED = os.environ.get("RAYTRACER_WARP_BANDED", "0") == "1"
 
 
 @jax.jit
 def _pack_history(accum, wpix, inv_order, history):
-    """(slot-ordered accum, weights) -> pixel-ordered packed history."""
+    """(slot-ordered accum, weights) -> pixel-ordered packed history.
+
+    ``inv_order=None`` means the slot order IS pixel order (scanline
+    temporal mode): the permutation gather — the expensive half of this
+    function at 4K — is skipped entirely."""
     w = jnp.clip(jnp.minimum(wpix, history), 0.0, 31.0).astype(jnp.int32)
     q = jnp.round(jnp.sqrt(jnp.clip(accum / _HIST_MAX, 0.0, 1.0))
                   * 511.0).astype(jnp.int32)
     packed = (q[:, 0] << 23) | (q[:, 1] << 14) | (q[:, 2] << 5) | w
-    return packed[inv_order]
+    return packed if inv_order is None else packed[inv_order]
 
 
 def _gather_history(width, height, order, o, d, depth, packed_pix,
@@ -79,7 +87,17 @@ def _gather_history(width, height, order, o, d, depth, packed_pix,
     valid = (hit & (vn > 1e-9) & (xi >= 0) & (xi < width)
              & (yi >= 0) & (yi < height))
     flat = jnp.clip(yi * width + xi, 0, width * height - 1)
-    packed = packed_pix[flat]
+    if _WARP_BANDED:
+        # tile-banded Pallas gather (ops/warp.py): per output tile, DMA
+        # the [min, max] source-row band and row-select within it — the
+        # XLA random gather below costs ~98 ms at 4K, the band a few ms
+        # for interactive moves. Bitwise: valid lanes identical; invalid
+        # lanes read 0 here vs garbage there, and both are erased by the
+        # w=0 weight (history enters the blend only as hist * w).
+        from ..ops.warp import banded_gather
+        packed = banded_gather(packed_pix, flat, valid)
+    else:
+        packed = packed_pix[flat]
     # velocity-aware history: fast-moving pixels keep less history (their
     # reprojection error and ghost-trail length grow with screen motion)
     xd = (order % width).astype(jnp.float32)
@@ -121,10 +139,24 @@ class Renderer:
 
         self._sharding = sharding
         self._shard_mode = shard_mode
+        temporal_active = bool(
+            temporal and sharding is None and backend == "pallas"
+            and jax.default_backend() == "tpu")
         # Morton pixel order: kernel ray tiles become compact screen blocks
         # (the wavefront analog of the reference's 8x8 thread grid,
         # src/dispatch.cu:136) — primary-ray coherence for cluster culling.
-        self._pixel_order = morton_order(camera.width, camera.height)
+        # Temporal mode can opt into scanline (identity) order instead
+        # (RAYTRACER_TEMPORAL_ORDER=scanline): tiles become full-width
+        # screen strips, and the slot<->pixel maps collapse to the
+        # identity, which deletes one full-frame permutation gather from
+        # every camera move (_pack_history) — ~40+ ms at 4K.
+        self._identity_order = (
+            temporal_active and os.environ.get(
+                "RAYTRACER_TEMPORAL_ORDER", "morton") == "scanline")
+        self._pixel_order = (
+            np.arange(camera.num_pixels, dtype=np.int32)
+            if self._identity_order
+            else morton_order(camera.width, camera.height))
         self._set_rays(camera)
 
         # Adaptive pixel binning (off by default — measured net-negative):
@@ -156,9 +188,7 @@ class Renderer:
         # — move_camera() then re-projects the accumulated image into the
         # new view instead of restarting from black. Megakernel-only (the
         # depth rides its carry), so it requires the TPU pallas path.
-        self._temporal = bool(
-            temporal and sharding is None and backend == "pallas"
-            and jax.default_backend() == "tpu")
+        self._temporal = temporal_active
         self._wpix = (jnp.zeros(camera.num_pixels, jnp.float32)
                       if self._temporal else None)
         self._depth = None
@@ -373,13 +403,14 @@ class Renderer:
             return
         if self._warp_src is None:
             old_cam = build_camera(self.camera_cfg)
-            if self._inv_order is None:
+            if self._inv_order is None and not self._identity_order:
                 inv = np.zeros_like(self._pixel_order)
                 inv[self._pixel_order] = np.arange(len(self._pixel_order))
                 self._inv_order = jnp.asarray(inv, jnp.int32)
-            packed_pix = _pack_history(self.accum, self._wpix,
-                                       self._inv_order,
-                                       jnp.float32(history))
+            packed_pix = _pack_history(
+                self.accum, self._wpix,
+                None if self._identity_order else self._inv_order,
+                jnp.float32(history))
             self._warp_src = (packed_pix, old_cam.position,
                               old_cam.tl_pixel, old_cam.delta_u,
                               old_cam.delta_v)

@@ -46,7 +46,6 @@ _SLOW_TESTS = {
     "test_megakernel.py::test_mega_image_texture_matches_regen",
     "test_megakernel.py::test_mega_matches_regen_statistically",
     "test_megakernel.py::test_mega_deterministic",
-    "test_megakernel.py::test_pairmin_matches_chain",
     "test_megakernel.py::test_mega_tile_offset_shard_invariance",
     "test_megakernel.py::test_mega_hbm_paged_textures_match_vmem",
     "test_megakernel.py::test_auto_sampler_falls_back_off_tpu",

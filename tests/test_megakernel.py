@@ -118,35 +118,58 @@ def test_mega_matches_regen_statistically():
         assert abs(float(s_m) - float(s_r)) <= 1e-3 * float(s_r), (s_m, s_r)
 
 
-def test_pairmin_matches_chain(monkeypatch):
-    """PAIRMIN (sweep.py: strict-< min-tree over each UNROLL group of
-    probed candidates, one carry commit per group) must be bitwise
-    identical to the per-primitive chain: strict < at every tree level
-    preserves first-swept tie priority, and misses are +INF (never NaN),
-    so only the association of the min changes, not its value. Scene 4
-    exceeds DEFER_MIN with both pools live and a checkered floor
-    (needs_tri_uv => the 4-tuple (t, code, u, v) tri probe alongside the
-    2-tuple sphere probe against the same 4-wide defer carry)."""
-    from raytracer_tpu.ops import sweep as sweep_mod
+def test_pixpack_statistical_depth_deterministic():
+    """Pixel packing (megakernel.PIXPACK / pixpack arg): K pixels per lane,
+    path regen rolls onto the lane's next pixel. The estimator per pixel is
+    unchanged (spp samples, same draw machinery) but the pixel->(tile,
+    lane, sample) assignment is not, so radiance is held to the same
+    statistical contract as mega-vs-regen. Primary-hit DEPTH, however,
+    depends only on each pixel's primary ray geometry when antialias is
+    off (no direction jitter), so it must be bitwise identical to the
+    unpacked kernel. Runs interpret-mode off TPU.
+
+    The frame covers mega_tile * K pixels EXACTLY: packed-mode segment
+    outputs are per-LANE totals banked on pixel block 0, so with padding
+    pixels present a lane's total would include its pad pixel's segments
+    and the sums would not be comparable (verified: at 512/8192 coverage
+    packed reads 5370 vs 3322 plain — pure pad pollution, radiance and
+    depth still match)."""
+    from raytracer_tpu.ops.megakernel import (mega_tile_for,
+                                              render_sample_mean_mega)
     scene, use_sky = rt.build_scene(4, seed=0)
-    assert scene.num_spheres + scene.num_triangles >= 64  # defer engages
-    assert scene.needs_tri_uv
     settings = rt.RenderSettings(rays_per_pixel=2, reflect_limit=4,
-                                 sampler="mega").with_sky(use_sky)
-    w, h = 48, 24
+                                 antialias=False).with_sky(use_sky)
+    w, h = 128, 64
+    assert w * h == mega_tile_for(scene) * 2  # full coverage at K=2
     cam = build_camera(rt.CameraConfig(width=w, height=h))
     o, d = primary_rays(cam, w, h)
-    idx = jnp.arange(w * h, dtype=jnp.int32)
-    m_chain, s_chain = render_sample_mean(scene, settings, idx, o, d,
-                                          jax.random.key(3),
-                                          backend="pallas")
-    monkeypatch.setattr(sweep_mod, "PAIRMIN", True)
-    jax.clear_caches()        # module flag is read at trace time
-    m_tree, s_tree = render_sample_mean(scene, settings, idx, o, d,
-                                        jax.random.key(3),
-                                        backend="pallas")
-    np.testing.assert_array_equal(np.asarray(m_chain), np.asarray(m_tree))
-    assert float(s_chain) == float(s_tree)
+    oT, dT = o.T, d.T
+
+    m1, s1, dep1 = render_sample_mean_mega(
+        scene, settings, oT, dT, jax.random.key(5), want_depth=True)
+    m2, s2, dep2 = render_sample_mean_mega(
+        scene, settings, oT, dT, jax.random.key(5), want_depth=True,
+        pixpack=2)
+    # independent-key yardstick for the sampler's own noise floor
+    m1b, _, _ = render_sample_mean_mega(
+        scene, settings, oT, dT, jax.random.key(6), want_depth=True)
+    err = float(jnp.abs(m1 - m2).mean())
+    noise = float(jnp.abs(m1 - m1b).mean())
+    assert err < 2.0 * noise + 1e-3, (err, noise)
+    # depth: pure primary-ray geometry with AA off -> bitwise equal
+    np.testing.assert_array_equal(np.asarray(dep1), np.asarray(dep2))
+    # segment totals: path lengths are near-deterministic; pixels beyond
+    # the first mega_tile sit in tile 1 unpacked vs tile 0 packed, so
+    # their draw streams differ and grazing tails can flip a few
+    # (measured: 27371 vs 27372 at this size)
+    assert abs(float(s1) - float(s2)) <= 5e-3 * float(s1), (s1, s2)
+    # determinism: same key + same packing -> bitwise equal
+    m2b, s2b, dep2b = render_sample_mean_mega(
+        scene, settings, oT, dT, jax.random.key(5), want_depth=True,
+        pixpack=2)
+    np.testing.assert_array_equal(np.asarray(m2), np.asarray(m2b))
+    assert float(s2) == float(s2b)
+    np.testing.assert_array_equal(np.asarray(dep2), np.asarray(dep2b))
 
 
 def test_mega_deterministic():
@@ -230,9 +253,11 @@ def test_mega_image_texture_matches_regen(earth):
     one-hot texel fetch must agree with the wavefront pipeline's atlas
     gather within Monte-Carlo noise. earth=None uses the scene-2 default —
     the checked-in 256x512 assets/earth.png (1024 packed rows, column
-    blocks + range-clamped row select on a REAL image asset); earth=64
-    pins the small procedural texture (static unrolled row select);
-    earth=128 a 128x256 one (256 rows, clamped fori_loop select)."""
+    blocks, static unrolled row select since IMG_STATIC_ROWS went to
+    1024 on a REAL image asset); earth=64 pins a small procedural texture
+    and earth=128 a 128x256 one (256 rows) — all static-select sizes now;
+    the clamped fori_loop select is covered bitwise by
+    test_fetch_image_wide_texture_matches_atlas_gather."""
     if earth is None:
         scene, use_sky = rt.build_scene(2)
     else:
@@ -263,25 +288,33 @@ def test_mega_image_texture_matches_regen(earth):
     assert err < 2.0 * noise + 1e-3, (err, noise)
 
 
-@pytest.mark.parametrize("h_img,w_img,use_mask", [
-    (24, 320, False),   # 72 packed rows -> clamped fori_loop row select
-    (16, 96, False),    # 16 packed rows -> static unrolled row select
-    (96, 1024, True),   # 768 rows, 8 column blocks; masked range bounds
+@pytest.mark.parametrize("h_img,w_img,use_mask,static_rows", [
+    (24, 320, False, 16),   # 72 packed rows -> clamped fori_loop select
+    (16, 96, False, None),  # 16 packed rows -> static unrolled select
+    (96, 1024, True, 16),   # 768 rows, 8 column blocks; masked bounds
 ])
 def test_fetch_image_wide_texture_matches_atlas_gather(h_img, w_img,
-                                                       use_mask):
+                                                       use_mask,
+                                                       static_rows,
+                                                       monkeypatch):
     """Column-block packing (images wider than 128 texels): the in-kernel
     fetch must reproduce the wavefront atlas gather bitwise on both row
     selects (static unroll and the clamped fori_loop), with and without
-    the is-image lane mask feeding the range bounds."""
+    the is-image lane mask feeding the range bounds. ``static_rows`` pins
+    IMG_STATIC_ROWS below the image so the clamped path stays covered now
+    that the production threshold is 1024 (the static sweep measured 3.9x
+    faster at 1024 rows — see the IMG_STATIC_ROWS comment)."""
     import numpy as np
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from raytracer_tpu.models.materials import Material, Texture
     from raytracer_tpu.models.scene import SceneBuilder
+    import raytracer_tpu.ops.megakernel as mk
     from raytracer_tpu.ops.megakernel import (_fetch_image, pack_textures,
                                               supports)
 
+    if static_rows is not None:
+        monkeypatch.setattr(mk, "IMG_STATIC_ROWS", static_rows)
     rng = np.random.default_rng(11)
     img = rng.uniform(0, 1, (h_img, w_img, 3)).astype(np.float32)
     b = SceneBuilder()
