@@ -156,6 +156,9 @@ def main() -> None:
     inv = jnp.asarray(np.argsort(np.asarray(order)), jnp.int32)
     _timed("pack_history", lambda: _pack_history(
         accum, wpix, inv, jnp.float32(8.0)))
+    # the elementwise half alone (scanline mode skips the permutation)
+    _timed("pack_history_no_reorder", lambda: _pack_history(
+        accum, wpix, None, jnp.float32(8.0)))
 
     packed = _pack_history(accum, wpix, inv, jnp.float32(8.0))
     cam_b = build_camera(cfg)
@@ -164,6 +167,28 @@ def main() -> None:
         w, h, order, o_, d_, dep, pk, cam_b.position, cam_b.tl_pixel,
         cam_b.delta_u, cam_b.delta_v))
     _timed("gather_history", lambda: gath(o, d, depth, packed))
+
+    # the banded Pallas warp kernel on the same projection (a small-move
+    # band: the production case)
+    import raytracer_tpu.runtime.renderer as _rd
+    orig = _rd._WARP_BANDED
+    _rd._WARP_BANDED = True
+    try:
+        gath_b = jax.jit(lambda o_, d_, dep, pk: _gather_history(
+            w, h, order, o_, d_, dep, pk, cam_b.position, cam_b.tl_pixel,
+            cam_b.delta_u, cam_b.delta_v))
+        _timed("gather_history_banded", lambda: gath_b(o, d, depth, packed))
+    finally:
+        _rd._WARP_BANDED = orig
+
+    # calibration: a trivial full-frame op — the dispatch + HBM-alloc floor
+    # every phase above also pays (phases are jit-per-piece; the production
+    # steps fuse several pieces into one launch)
+    calib = jax.jit(lambda a: a + 1.0)
+    accum3n = jnp.zeros((3, n), jnp.float32)
+    _timed("calib_add_3n", lambda: calib(accum3n))
+    calib_n3 = jax.jit(lambda a: a + 1.0)
+    _timed("calib_add_n3", lambda: calib_n3(accum))
 
 
 if __name__ == "__main__":
