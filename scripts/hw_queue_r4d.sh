@@ -36,6 +36,8 @@ done
 
 step 3600 03_tpu_warp_tests env RAYTRACER_TEST_TPU=1 \
   python -m pytest tests/test_warp.py \
-  "tests/test_megakernel.py::test_pixpack_statistical_depth_deterministic" -q
+  "tests/test_megakernel.py::test_pixpack_statistical_depth_deterministic" \
+  "tests/test_interactive.py::test_run_interactive_temporal_scanline_banded_tpu" \
+  -q
 
 echo "=== $(date -u +%FT%TZ) QUEUE DONE" | tee -a "$LOG_DIR/queue.log"

@@ -76,3 +76,29 @@ def test_run_interactive_temporal_tpu():
     w = np.asarray(r._wpix)
     # moves warped history instead of restarting: weights survive > 1
     assert (w > 1).mean() > 0.3, f"only {(w > 1).mean():.2f} pixels kept"
+
+
+def test_run_interactive_temporal_scanline_banded_tpu(monkeypatch):
+    """TPU-only: the temporal warp with the round-4 fast path — scanline
+    (identity) pixel order plus the banded Pallas warp gather — must
+    fly through with history surviving moves, exactly like the Morton +
+    XLA-gather test above."""
+    import jax
+    if jax.default_backend() != "tpu":
+        pytest.skip("temporal mode needs the megakernel (TPU)")
+    import raytracer_tpu.runtime.renderer as rd
+    os.environ["SDL_VIDEODRIVER"] = "dummy"
+    monkeypatch.setenv("RAYTRACER_TEMPORAL_ORDER", "scanline")
+    monkeypatch.setattr(rd, "_WARP_BANDED", True)
+    scene, use_sky = rt.build_scene(1)
+    settings = rt.RenderSettings(rays_per_pixel=2,
+                                 reflect_limit=3).with_sky(use_sky)
+    r = rt.Renderer(scene, rt.CameraConfig(width=128, height=64), settings,
+                    temporal=True)
+    assert r._temporal and r._identity_order
+    frames = run_interactive(
+        r, event_source=[set(), set(), {"w"}, {"left"}, {"w"}], quiet=True)
+    assert frames == 5
+    w = np.asarray(r._wpix)
+    assert (w > 1).mean() > 0.3, f"only {(w > 1).mean():.2f} pixels kept"
+    assert np.isfinite(np.asarray(r.accum)).all()
