@@ -34,6 +34,15 @@ for i in 1 2; do
         RAYTRACER_PIXPACK=4 $FLY
 done
 
+# 4. pixel packing on the HEADLINE: mean lane activity at 20 spp is ~74%
+#    (ARCHITECTURE ablations) — K=2 halves the relative retirement tail,
+#    so the structural ceiling is ~+15% minus the K-select overhead.
+for i in 1 2; do
+  step 1500 04_bench_pp2_$i env RAYTRACER_PIXPACK=2 python bench.py
+  step 1500 04_bench_default_$i python bench.py
+  step 1500 04_bench_pp4_$i env RAYTRACER_PIXPACK=4 python bench.py
+done
+
 step 3600 03_tpu_warp_tests env RAYTRACER_TEST_TPU=1 \
   python -m pytest tests/test_warp.py \
   "tests/test_megakernel.py::test_pixpack_statistical_depth_deterministic" \
