@@ -857,8 +857,11 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
               ax_ = nx + gx * gflip
               ay_ = ny + gy * gflip
               az_ = nz + gz * gflip
-              dinv = jax.lax.rsqrt(jnp.maximum(
-                  ax_ * ax_ + ay_ * ay_ + az_ * az_, 1e-24))
+              # |n + g·flip|^2 = 2 + 2|g·n| since both are unit (triangle
+              # normals precomputed unit, sphere normal r*rmag, g is the
+              # unit sphere_dir) — one abs+fma instead of the 3-square dot,
+              # and never degenerate (>= 2), so no epsilon clamp needed.
+              dinv = jax.lax.rsqrt(2.0 + 2.0 * jnp.abs(gdotn))
               dfx, dfy, dfz = ax_ * dinv, ay_ * dinv, az_ * dinv  # diffuse
               ddn = dx * nx + dy * ny + dz * nz
               sx = dx - 2.0 * ddn * nx
@@ -873,7 +876,7 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
 
               if not has_refractive:
                   # no glass in the scene (static): the Snell/Schlick block
-                  # below (2 sqrt + rsqrt + 4 divides) is dead weight —
+                  # below (2 sqrt + 2 divides) is dead weight —
                   # skip it the way the reference's need_uv flag skips UV
                   # math (src/material.cu:142). fres_u stays drawn so the
                   # RNG stream is identical with the block on or off.
@@ -906,12 +909,15 @@ def _kernel(seed_ref, sphf_ref, sphi_ref, trif_ref, trii_ref,
               pfx = (dx - rnx * cos1) * inv_s1
               pfy = (dy - rny * cos1) * inv_s1
               pfz = (dz - rnz * cos1) * inv_s1
+              # rn is unit and pf = (d - rn*cos1)/sin1 is the unit
+              # perpendicular component (orthogonal to rn), so
+              # rn*cos2 + pf*sin2 is unit BY CONSTRUCTION (cos2^2+sin2^2=1);
+              # the sin1==0 guard degenerates to rf = rn (cos2=1) which is
+              # unit too. The old renormalising rsqrt only corrected
+              # rounding — dropped (statistical contract, like inv_s1).
               rfx = rnx * cos2 + pfx * sin2
               rfy = rny * cos2 + pfy * sin2
               rfz = rnz * cos2 + pfz * sin2
-              rfinv = jax.lax.rsqrt(jnp.maximum(
-                  rfx * rfx + rfy * rfy + rfz * rfz, 1e-24))
-              rfx, rfy, rfz = rfx * rfinv, rfy * rfinv, rfz * rfinv
 
               is_refr = mtype == float(MAT_REFRACTIVE)
               use_refr = is_refr & ~do_reflect
