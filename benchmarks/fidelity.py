@@ -42,10 +42,12 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(255.0 ** 2 / mse)
 
 
-def render_scene0(frames: int, seed: int, **scene_kwargs) -> np.ndarray:
+def render_scene0(frames: int, seed: int, reflect_limit: int = 5,
+                  antialias: bool = True, **scene_kwargs) -> np.ndarray:
     scene, use_sky = rt.build_scene(0, **scene_kwargs)
-    settings = rt.RenderSettings(rays_per_pixel=100, reflect_limit=5,
-                                 antialias=True).with_sky(use_sky)
+    settings = rt.RenderSettings(rays_per_pixel=100,
+                                 reflect_limit=reflect_limit,
+                                 antialias=antialias).with_sky(use_sky)
     cam = rt.CameraConfig(width=990, height=792)
     r = rt.Renderer(scene, cam, settings, seed=seed)
     r.render_frame(block=True)
@@ -116,10 +118,45 @@ def ablate(frames: int) -> None:
           f"mean |delta| {np.abs(a - b).mean():.2f}/255")
 
 
+def ablate_bounces(frames: int) -> None:
+    """H3: the screenshot's reflect_limit is unknown — the reference names
+    it a changeable setting (src/main.cu:318-330, default 5). In a closed
+    box with quirk-faithful emissive non-termination, bounces past 5 keep
+    adding energy exactly where the residual sits (the light glow), so
+    sweep the limit and see whether raw/corrected PSNR vs image0.png rises.
+    An antialias=off arm rides along (the per-bounce direction jitter is
+    the other named-changeable knob that shifts pixel statistics).
+    """
+    from PIL import Image
+    ref = np.asarray(Image.open(REF_IMAGE).convert("RGB"))
+    rmean = ref.reshape(-1, 3).mean(axis=0)
+
+    print(f"# bounce-limit ablation, scene 0 @ 990x792, {frames * 100} spp")
+    print(f"ref mean rgb {rmean[0]:.1f}/{rmean[1]:.1f}/{rmean[2]:.1f}")
+    for name, kw in (
+        ("bounces=5 (default)", dict(reflect_limit=5)),
+        ("bounces=8", dict(reflect_limit=8)),
+        ("bounces=12", dict(reflect_limit=12)),
+        ("bounces=20", dict(reflect_limit=20)),
+        ("bounces=5, antialias=off", dict(reflect_limit=5, antialias=False)),
+    ):
+        img = render_scene0(frames, seed=0, **kw)
+        raw = psnr(img, ref)
+        gamma, gg, p_gg = fit_gain_gamma(img, ref)
+        mean = img.reshape(-1, 3).mean(axis=0)
+        print(f"{name}: raw {raw:.2f} dB | gain+gamma "
+              f"(gamma={gamma:.2f}, g={gg:.3f}) -> {p_gg:.2f} dB | "
+              f"mean rgb {mean[0]:.1f}/{mean[1]:.1f}/{mean[2]:.1f}",
+              flush=True)
+
+
 def main() -> None:
     from PIL import Image
     frames = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() \
         else 40
+    if "--ablate-bounces" in sys.argv:
+        ablate_bounces(frames)
+        return
     if "--ablate" in sys.argv:
         ablate(frames)
         return
