@@ -82,6 +82,20 @@ class RenderSettings:
     fix_exit_ior: bool = False
     gamma: Optional[float] = None
 
+    # Megakernel pixel packing: K pixels per lane, so path regeneration
+    # rolls a finished path onto the lane's next PIXEL and the per-tile
+    # retirement tail (a tile runs until its slowest lane drains its
+    # budget) is paid once per K pixels instead of once per pixel.
+    # None = auto at the Renderer layer: K=4 when rays_per_pixel <= 32
+    # (measured on one v5e: headline 20 spp 642 -> ~710 Mrays/s, 4K
+    # temporal 1 spp 11.4 -> 12.4 fps; docs/TESTLOG.md session 7), K=1
+    # above, where regeneration already fills the tail and the win was
+    # never measured. Explicit int forces K everywhere. The estimator per
+    # pixel is unchanged; the pixel->(tile, lane) assignment is not, so
+    # K != 1 renders differ bitwise from K=1 under the same statistical
+    # contracts as any sampler change. Ignored by the wavefront samplers.
+    pixpack: Optional[int] = None
+
     # Russian roulette (deviation — the reference always traces to
     # reflect_limit, src/raytracer.cu:71). 0 = off (reference-faithful).
     # N >= 1: after a path has completed N bounces it survives each further

@@ -97,9 +97,15 @@ FAST_DIV = os.environ.get("RAYTRACER_FAST_DIV", "1") == "1"
 # per pixel is unchanged (spp samples, same per-iteration draw streams);
 # the pixel->(tile, lane, sample) assignment changes, so renders differ
 # bitwise from K=1 but are held to the same statistical contracts as any
-# sampler change. Off (1) by default; pointless at high spp (regen
-# already fills the tail). The K=1 path emits exactly the original ops.
-PIXPACK = int(os.environ.get("RAYTRACER_PIXPACK", "1"))
+# sampler change. Pointless at high spp (regen already fills the tail).
+# The K=1 path emits exactly the original ops. Resolution order: explicit
+# ``pixpack`` arg > this env flag (A/B override) > settings.pixpack > 1.
+# The production auto policy (K=4 at spp <= 32, measured: headline 20 spp
+# +10%, 4K temporal 1 spp 11.4 -> 12.4 fps) lives at the Renderer layer,
+# which materialises it into settings.pixpack — direct ops-layer callers
+# (tests, bound artifacts) keep the original K=1 assignment by default.
+_PIXPACK_ENV = os.environ.get("RAYTRACER_PIXPACK")
+PIXPACK = int(_PIXPACK_ENV) if _PIXPACK_ENV else None
 # Tile-coherent scatter sampling: one shared random triple per loop
 # iteration (instead of per lane). Each pixel's marginal distribution is
 # exactly unchanged — a pixel's successive samples still draw fresh
@@ -1135,14 +1141,20 @@ def render_sample_mean_mega(
     ids under shard_map so multi-chip renders stay deterministic.
     ``lane_segs=True`` returns the per-pixel segment counts instead of their
     sum — the cost signal the Renderer's adaptive pixel binning sorts by.
-    ``pixpack`` (default: the RAYTRACER_PIXPACK env flag) packs K pixels
-    per lane — see the PIXPACK module comment. Forced to 1 for lane_segs
-    (per-pixel costs are undefined when a lane spans K pixels); K > 1
-    changes the pixel->tile assignment, so use the same K on every shard
-    of a sharded render (the temporal fly-through path, its only
-    production caller, is unsharded).
+    ``pixpack`` packs K pixels per lane — see the PIXPACK module comment;
+    default resolution is env flag > settings.pixpack > 1. Forced to 1
+    for lane_segs (per-pixel costs are undefined when a lane spans K
+    pixels); K > 1 changes the pixel->tile assignment, so use the same K
+    on every shard of a sharded render (settings-driven resolution makes
+    that automatic).
     """
-    K = PIXPACK if pixpack is None else int(pixpack)
+    if pixpack is not None:
+        K = int(pixpack)
+    elif PIXPACK is not None:
+        K = PIXPACK
+    else:
+        sp = getattr(settings, "pixpack", None)
+        K = 1 if sp is None else int(sp)
     if lane_segs:
         K = 1
     if K > 1 and _ABLATE:

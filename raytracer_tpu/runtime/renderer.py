@@ -41,8 +41,13 @@ from ..ops.integrator import render_frame
 # never quantised) and the capped frame-count weight takes the low 5 bits.
 _HIST_MAX = 8.0
 # Temporal warp gather backend: the banded Pallas kernel (ops/warp.py) vs
-# the plain XLA gather. Opt-in until the hardware A/B lands.
-_WARP_BANDED = os.environ.get("RAYTRACER_WARP_BANDED", "0") == "1"
+# the plain XLA gather. Tri-state: None (env unset) lets the caller pick —
+# the Renderer turns it on exactly when the temporal pixel order is
+# scanline (hardware A/B, docs/TESTLOG.md session 7: banded wins 11.4 vs
+# 9.2 fps under scanline, loses 139.9 vs 102.3 ms under Morton, whose
+# pixel order destroys the source-row bands). "1"/"0" forces it.
+_WB_ENV = os.environ.get("RAYTRACER_WARP_BANDED")
+_WARP_BANDED = None if _WB_ENV is None else _WB_ENV == "1"
 
 
 @jax.jit
@@ -60,7 +65,7 @@ def _pack_history(accum, wpix, inv_order, history):
 
 
 def _gather_history(width, height, order, o, d, depth, packed_pix,
-                    pos, tl, du, dv):
+                    pos, tl, du, dv, banded: bool = False):
     """Inverse-warp the previous accumulation into the current view.
 
     For each *current* pixel, projects its primary-hit world point (depth
@@ -87,7 +92,7 @@ def _gather_history(width, height, order, o, d, depth, packed_pix,
     valid = (hit & (vn > 1e-9) & (xi >= 0) & (xi < width)
              & (yi >= 0) & (yi < height))
     flat = jnp.clip(yi * width + xi, 0, width * height - 1)
-    if _WARP_BANDED:
+    if banded if _WARP_BANDED is None else _WARP_BANDED:
         # tile-banded Pallas gather (ops/warp.py): per output tile, DMA
         # the [min, max] source-row band and row-select within it — the
         # XLA random gather below costs ~98 ms at 4K, the band a few ms
@@ -130,6 +135,15 @@ class Renderer:
     ):
         self.scene = scene
         self.camera_cfg = camera
+        if settings.pixpack is None:
+            # Production auto policy (see RenderSettings.pixpack): pack 4
+            # pixels per megakernel lane in the low-spp regime where the
+            # per-tile retirement tail dominates. Materialised here so
+            # every step this Renderer builds — standard, sharded,
+            # temporal — resolves the same K from settings.
+            import dataclasses as _dc
+            settings = _dc.replace(
+                settings, pixpack=4 if settings.rays_per_pixel <= 32 else 1)
         self.settings = settings
         if backend is None:
             # Pallas sweep kernel on real TPUs; XLA matmul path elsewhere
@@ -145,14 +159,18 @@ class Renderer:
         # Morton pixel order: kernel ray tiles become compact screen blocks
         # (the wavefront analog of the reference's 8x8 thread grid,
         # src/dispatch.cu:136) — primary-ray coherence for cluster culling.
-        # Temporal mode can opt into scanline (identity) order instead
-        # (RAYTRACER_TEMPORAL_ORDER=scanline): tiles become full-width
-        # screen strips, and the slot<->pixel maps collapse to the
-        # identity, which deletes one full-frame permutation gather from
-        # every camera move (_pack_history) — ~40+ ms at 4K.
+        # Temporal mode defaults to scanline (identity) order instead:
+        # tiles become full-width screen strips, the slot<->pixel maps
+        # collapse to the identity (deleting one full-frame permutation
+        # gather from every camera move, ~40+ ms at 4K), and — decisively —
+        # the megakernel at temporal spp is within noise of Morton while
+        # the warp/pack machinery collapses (hardware A/B, docs/TESTLOG.md
+        # session 7: 4K fly-through 5.8 fps Morton vs 9.1-9.3 scanline,
+        # 11.3-11.5 with the banded warp). RAYTRACER_TEMPORAL_ORDER=morton
+        # restores the old order.
         self._identity_order = (
             temporal_active and os.environ.get(
-                "RAYTRACER_TEMPORAL_ORDER", "morton") == "scanline")
+                "RAYTRACER_TEMPORAL_ORDER", "scanline") == "scanline")
         self._pixel_order = (
             np.arange(camera.num_pixels, dtype=np.int32)
             if self._identity_order
@@ -352,7 +370,7 @@ class Renderer:
                     scene, settings, o.T, d.T, fkey, want_depth=True)
                 hist, w = _gather_history(
                     width, height, order, o, d, depth, packed_pix,
-                    pos, tl, du, dv)
+                    pos, tl, du, dv, banded=self._identity_order)
                 wcol = w[:, None]
                 accum2 = (mean.T + hist * wcol) / (wcol + 1.0)
                 return accum2, w + 1.0, segs, depth

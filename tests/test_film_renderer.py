@@ -79,6 +79,23 @@ def test_stats_jsonl(tmp_path):
     assert '"frame": 1' in lines[0]
 
 
+def test_renderer_auto_pixpack_policy():
+    """RenderSettings.pixpack=None resolves at the Renderer layer: K=4 in
+    the measured low-spp regime (headline 20 spp +10%, 4K temporal 1 spp
+    11.4 -> 12.4 fps on v5e — docs/TESTLOG.md session 7), K=1 above it;
+    an explicit value is preserved. Ops-layer callers that never pass
+    through a Renderer keep the original K=1 assignment."""
+    assert _small_renderer().settings.pixpack == 4  # spp=2
+    scene, use_sky = rt.build_scene(1)
+    cam = rt.CameraConfig(width=32, height=16)
+    hi = rt.Renderer(scene, cam, rt.RenderSettings(
+        rays_per_pixel=100, reflect_limit=3).with_sky(use_sky))
+    assert hi.settings.pixpack == 1
+    forced = rt.Renderer(scene, cam, rt.RenderSettings(
+        rays_per_pixel=2, reflect_limit=3, pixpack=2).with_sky(use_sky))
+    assert forced.settings.pixpack == 2
+
+
 def test_debug_helpers():
     from raytracer_tpu.utils.debug import check_finite, finite_fraction
     import pytest

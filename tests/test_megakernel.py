@@ -170,6 +170,14 @@ def test_pixpack_statistical_depth_deterministic():
     np.testing.assert_array_equal(np.asarray(m2), np.asarray(m2b))
     assert float(s2) == float(s2b)
     np.testing.assert_array_equal(np.asarray(dep2), np.asarray(dep2b))
+    # settings-driven resolution (the Renderer's auto policy materialises
+    # into settings.pixpack) selects the same kernel as the explicit arg
+    import dataclasses
+    m2c, s2c, dep2c = render_sample_mean_mega(
+        scene, dataclasses.replace(settings, pixpack=2), oT, dT,
+        jax.random.key(5), want_depth=True)
+    np.testing.assert_array_equal(np.asarray(m2), np.asarray(m2c))
+    assert float(s2) == float(s2c)
 
 
 def test_mega_deterministic():
