@@ -39,4 +39,8 @@ step 3600 04_tpu_temporal_tests env RAYTRACER_TEST_TPU=1 \
   "tests/test_interactive.py::test_run_interactive_temporal_scanline_banded_tpu" \
   -q
 
+# Full hardware suite on the fused-pack tree (the round's final-tree
+# green run; compile cache makes this mostly incremental after queue E).
+step 7200 05_make_test_tpu make test-tpu
+
 echo "=== $(date -u +%FT%TZ) QUEUE DONE" | tee -a "$LOG_DIR/queue.log"
