@@ -50,18 +50,22 @@ _WB_ENV = os.environ.get("RAYTRACER_WARP_BANDED")
 _WARP_BANDED = None if _WB_ENV is None else _WB_ENV == "1"
 
 
-@jax.jit
-def _pack_history(accum, wpix, inv_order, history):
+def _pack_history_body(accum, wpix, inv_order, history):
     """(slot-ordered accum, weights) -> pixel-ordered packed history.
 
     ``inv_order=None`` means the slot order IS pixel order (scanline
     temporal mode): the permutation gather — the expensive half of this
-    function at 4K — is skipped entirely."""
+    function at 4K — is skipped entirely. Plain function so the warp step
+    can inline it (a standalone pack launch costs ~29 ms at 4K even when
+    it is pure elementwise — the full-frame dispatch + HBM floor)."""
     w = jnp.clip(jnp.minimum(wpix, history), 0.0, 31.0).astype(jnp.int32)
     q = jnp.round(jnp.sqrt(jnp.clip(accum / _HIST_MAX, 0.0, 1.0))
                   * 511.0).astype(jnp.int32)
     packed = (q[:, 0] << 23) | (q[:, 1] << 14) | (q[:, 2] << 5) | w
     return packed if inv_order is None else packed[inv_order]
+
+
+_pack_history = jax.jit(_pack_history_body)
 
 
 def _gather_history(width, height, order, o, d, depth, packed_pix,
@@ -359,15 +363,20 @@ class Renderer:
                 accum2 = (mean.T + accum * w) / (w + 1.0)
                 return accum2, wpix + 1.0, segs, depth
 
-            @jax.jit
-            def _tstep_warp(scene, cam, order, packed_pix,
-                            pos, tl, du, dv, fkey):
+            @functools.partial(jax.jit, donate_argnums=(3, 4))
+            def _tstep_warp(scene, cam, order, old_accum, old_wpix,
+                            inv_order, hist_cap, pos, tl, du, dv, fkey):
                 # first frame after a camera move: render the new view,
-                # then gather the old accumulation into it (inverse warp —
-                # see _gather_history) in the same launch
+                # pack the old accumulation, and gather it into the new
+                # view (inverse warp — see _gather_history) all in ONE
+                # launch. The pack used to be its own launch at
+                # move_camera time; even pure-elementwise (scanline) it
+                # cost ~29 ms at 4K — the full-frame dispatch floor.
                 o, d = primary_rays(cam, width, height, pixel_order=order)
                 mean, segs, depth = render_sample_mean_mega(
                     scene, settings, o.T, d.T, fkey, want_depth=True)
+                packed_pix = _pack_history_body(
+                    old_accum, old_wpix, inv_order, hist_cap)
                 hist, w = _gather_history(
                     width, height, order, o, d, depth, packed_pix,
                     pos, tl, du, dv, banded=self._identity_order)
@@ -383,11 +392,12 @@ class Renderer:
         if getattr(self, "_order_dev", None) is None:
             self._order_dev = jnp.asarray(self._pixel_order, jnp.int32)
         if self._warp_src is not None:
-            packed_pix, pos, tl, du, dv = self._warp_src
+            (old_accum, old_wpix, inv_order, hist_cap,
+             pos, tl, du, dv) = self._warp_src
             self._warp_src = None
             self.accum, self._wpix, segs, self._depth = self._tstep_warp(
-                self.scene, cam, self._order_dev, packed_pix,
-                pos, tl, du, dv, fkey)
+                self.scene, cam, self._order_dev, old_accum, old_wpix,
+                inv_order, hist_cap, pos, tl, du, dv, fkey)
         else:
             self.accum, self._wpix, segs, self._depth = self._tstep(
                 self.scene, cam, self._order_dev, self.accum, self._wpix,
@@ -425,11 +435,13 @@ class Renderer:
                 inv = np.zeros_like(self._pixel_order)
                 inv[self._pixel_order] = np.arange(len(self._pixel_order))
                 self._inv_order = jnp.asarray(inv, jnp.int32)
-            packed_pix = _pack_history(
-                self.accum, self._wpix,
-                None if self._identity_order else self._inv_order,
-                jnp.float32(history))
-            self._warp_src = (packed_pix, old_cam.position,
+            # Deferred pack: the raw accumulation (and weights) ride the
+            # stash and are packed INSIDE the next warp frame's launch
+            # (_tstep_warp donates them), deleting a standalone full-frame
+            # pack dispatch (~29 ms at 4K) from every camera move.
+            self._warp_src = (self.accum, self._wpix,
+                              None if self._identity_order else self._inv_order,
+                              jnp.float32(history), old_cam.position,
                               old_cam.tl_pixel, old_cam.delta_u,
                               old_cam.delta_v)
             self._wpix = jnp.zeros(self.camera_cfg.num_pixels, jnp.float32)

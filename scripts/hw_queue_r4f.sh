@@ -43,4 +43,8 @@ step 3600 04_tpu_temporal_tests env RAYTRACER_TEST_TPU=1 \
 # green run; compile cache makes this mostly incremental after queue E).
 step 7200 05_make_test_tpu make test-tpu
 
+# Re-queued from queue E (sys.path fix): five-scene end-to-end drive on
+# hardware, PNGs -> /tmp/scene{i}.png.
+step 7200 06_verify_drive python scripts/verify_drive.py
+
 echo "=== $(date -u +%FT%TZ) QUEUE DONE" | tee -a "$LOG_DIR/queue.log"

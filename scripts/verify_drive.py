@@ -7,7 +7,12 @@ far past an interactive wait). PNGs land in /tmp/scene{i}.png for
 inspection. Reference scenes: src/main.cu:100-122.
 """
 
+import os
 import sys
+
+# Run as `python scripts/verify_drive.py`: sys.path[0] is scripts/, so the
+# package root must be added explicitly.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import raytracer_tpu as rt
 
