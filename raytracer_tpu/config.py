@@ -86,11 +86,11 @@ class RenderSettings:
     # rolls a finished path onto the lane's next PIXEL and the per-tile
     # retirement tail (a tile runs until its slowest lane drains its
     # budget) is paid once per K pixels instead of once per pixel.
-    # None = auto at the Renderer layer: K=4 when rays_per_pixel <= 32
-    # (measured on one v5e: headline 20 spp 642 -> ~710 Mrays/s, 4K
-    # temporal 1 spp 11.4 -> 12.4 fps; docs/TESTLOG.md session 7), K=1
-    # above, where regeneration already fills the tail and the win was
-    # never measured. Explicit int forces K everywhere. The estimator per
+    # None = auto at the Renderer layer: K=8 when rays_per_pixel <= 32
+    # (measured on one v5e: headline 20 spp 642 -> 741-757 Mrays/s, 4K
+    # temporal 1 spp 11.4 -> 12.5 fps; K=8 vs the earlier K=4 default
+    # +4.4% headline, docs/TESTLOG.md sessions 7+9), K=1 above, where
+    # regeneration already fills the tail and the win was never measured. Explicit int forces K everywhere. The estimator per
     # pixel is unchanged; the pixel->(tile, lane) assignment is not, so
     # K != 1 renders differ bitwise from K=1 under the same statistical
     # contracts as any sampler change. Ignored by the wavefront samplers.

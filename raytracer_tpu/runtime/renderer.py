@@ -140,14 +140,17 @@ class Renderer:
         self.scene = scene
         self.camera_cfg = camera
         if settings.pixpack is None:
-            # Production auto policy (see RenderSettings.pixpack): pack 4
+            # Production auto policy (see RenderSettings.pixpack): pack 8
             # pixels per megakernel lane in the low-spp regime where the
-            # per-tile retirement tail dominates. Materialised here so
-            # every step this Renderer builds — standard, sharded,
-            # temporal — resolves the same K from settings.
+            # per-tile retirement tail dominates (K=8 beat the session-7
+            # K=4 default on both flagship configs: headline 741/757 vs
+            # 711/723 Mrays/s, 4K fly 12.46/12.49 vs 12.27/12.41 fps —
+            # docs/TESTLOG.md session 9). Materialised here so every step
+            # this Renderer builds — standard, sharded, temporal —
+            # resolves the same K from settings.
             import dataclasses as _dc
             settings = _dc.replace(
-                settings, pixpack=4 if settings.rays_per_pixel <= 32 else 1)
+                settings, pixpack=8 if settings.rays_per_pixel <= 32 else 1)
         self.settings = settings
         if backend is None:
             # Pallas sweep kernel on real TPUs; XLA matmul path elsewhere

@@ -24,6 +24,12 @@ export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/root/.jax_cache}
 
 hwq_preamble
 
+# Five-scene end-to-end drive on the flipped tree first (the verify
+# recipe): K=8 kernels cold-compile for the 250x200 scene shapes here, so
+# the PNGs prove the flipped default renders every reference scene before
+# the A/B arms run. PNGs -> /tmp/scene{i}.png.
+step 7200 00_verify_drive python scripts/verify_drive.py
+
 for i in 1 2; do
   step 1500 01_bench_k8_$i python bench.py
   step 1500 01_bench_k4_$i env RAYTRACER_PIXPACK=4 python bench.py

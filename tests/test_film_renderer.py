@@ -80,12 +80,13 @@ def test_stats_jsonl(tmp_path):
 
 
 def test_renderer_auto_pixpack_policy():
-    """RenderSettings.pixpack=None resolves at the Renderer layer: K=4 in
-    the measured low-spp regime (headline 20 spp +10%, 4K temporal 1 spp
-    11.4 -> 12.4 fps on v5e — docs/TESTLOG.md session 7), K=1 above it;
-    an explicit value is preserved. Ops-layer callers that never pass
-    through a Renderer keep the original K=1 assignment."""
-    assert _small_renderer().settings.pixpack == 4  # spp=2
+    """RenderSettings.pixpack=None resolves at the Renderer layer: K=8 in
+    the measured low-spp regime (headline 20 spp 741-757 Mrays/s vs
+    711-723 at K=4, 4K temporal 1 spp 12.5 fps on v5e — docs/TESTLOG.md
+    sessions 7+9), K=1 above it; an explicit value is preserved.
+    Ops-layer callers that never pass through a Renderer keep the
+    original K=1 assignment."""
+    assert _small_renderer().settings.pixpack == 8  # spp=2
     scene, use_sky = rt.build_scene(1)
     cam = rt.CameraConfig(width=32, height=16)
     hi = rt.Renderer(scene, cam, rt.RenderSettings(
