@@ -100,8 +100,10 @@ FAST_DIV = os.environ.get("RAYTRACER_FAST_DIV", "1") == "1"
 # sampler change. Pointless at high spp (regen already fills the tail).
 # The K=1 path emits exactly the original ops. Resolution order: explicit
 # ``pixpack`` arg > this env flag (A/B override) > settings.pixpack > 1.
-# The production auto policy (K=4 at spp <= 32, measured: headline 20 spp
-# +10%, 4K temporal 1 spp 11.4 -> 12.4 fps) lives at the Renderer layer,
+# The production auto policy (K=8 at spp <= 32, measured: headline 20 spp
+# 642 -> 741-766, 4K temporal 1 spp 11.4 -> 12.5 fps; K=8 vs K=4 +4-6%
+# on headline, stress10k AND every verify scene — docs/TESTLOG.md
+# sessions 7+9+10) lives at the Renderer layer,
 # which materialises it into settings.pixpack — direct ops-layer callers
 # (tests, bound artifacts) keep the original K=1 assignment by default.
 _PIXPACK_ENV = os.environ.get("RAYTRACER_PIXPACK")
