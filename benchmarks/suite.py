@@ -145,18 +145,37 @@ def main():
             2, earth_image=procedural_earth_texture(size)))
 
     earth_2048 = earth(1024)
+    # earth512 (1024 rows) sits below IMG_AUTO_MAX_ROWS: auto == in-kernel.
     run_config("earth512_in_kernel_1000x800_20spp", earth(256),
                rt.CameraConfig(width=1000, height=800),
                spp=5 if q else 20, bounces=5, frames=2)
+    # The bigger planes exceed the auto cliff, so their in-kernel/paged
+    # arms pin sampler='mega' (capability record); the _auto arms measure
+    # what pure defaults now deliver (expected == the wavefront number).
     run_config("earth1024_in_kernel_1000x800_20spp", earth(512),
+               rt.CameraConfig(width=1000, height=800),
+               spp=2 if q else 20, bounces=5, frames=2, sampler="mega")
+    run_config("earth1024_auto_1000x800_20spp", earth(512),
                rt.CameraConfig(width=1000, height=800),
                spp=2 if q else 20, bounces=5, frames=2)
     run_config("earth2048_hbm_paged_1000x800_20spp", earth_2048,
+               rt.CameraConfig(width=1000, height=800),
+               spp=2 if q else 20, bounces=5, frames=2, sampler="mega")
+    run_config("earth2048_auto_1000x800_20spp", earth_2048,
                rt.CameraConfig(width=1000, height=800),
                spp=2 if q else 20, bounces=5, frames=2)
     run_config("earth2048_wavefront_1000x800_20spp", earth_2048,
                rt.CameraConfig(width=1000, height=800),
                spp=2 if q else 20, bounces=5, frames=2, sampler="regen")
+    # The auto cliff itself (2172 rows, just past IMG_AUTO_MAX_ROWS=2048):
+    # forced in-kernel vs the auto wavefront route — the session-10 A/B
+    # that pins the crossover side.
+    run_config("earth1448_in_kernel_1000x800_20spp", earth(362),
+               rt.CameraConfig(width=1000, height=800),
+               spp=2 if q else 20, bounces=5, frames=2, sampler="mega")
+    run_config("earth1448_auto_1000x800_20spp", earth(362),
+               rt.CameraConfig(width=1000, height=800),
+               spp=2 if q else 20, bounces=5, frames=2)
 
     monkey = _Lazy(bench_scenes.monkey_light_scene)
     run_config("monkey_1920x1080_100spp", monkey,

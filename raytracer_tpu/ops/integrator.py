@@ -389,9 +389,12 @@ def render_sample_mean(
         # Pallas interpret mode (with a counter-hash RNG replacing the
         # on-core PRNG), which is correct but far slower than the regen
         # sampler's compiled XLA — interpret mega is for tests, opted into
-        # explicitly with sampler='mega'.
-        from .megakernel import supports
-        use_mega = (backend == "pallas" and supports(scene)
+        # explicitly with sampler='mega'. auto_prefers_mega also routes
+        # scenes past the measured big-texture cliff (img_rows >
+        # IMG_AUTO_MAX_ROWS) to the wavefront pipeline, where the XLA
+        # atlas gather beats the in-kernel row select 2-8x.
+        from .megakernel import auto_prefers_mega
+        use_mega = (backend == "pallas" and auto_prefers_mega(scene)
                     and jax.default_backend() == "tpu")
         sampler = "mega" if use_mega else "regen"
     if sampler == "mega":

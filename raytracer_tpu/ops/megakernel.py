@@ -182,6 +182,29 @@ def supports(scene: SceneArrays) -> bool:
     return 0 < scene.img_rows <= IMG_HBM_MAX_ROWS
 
 
+# Auto-routing cliff for big image textures (VERDICT round-4 item 4): the
+# in-kernel row-select fetch WINS at earth512's 1024 packed rows (191 vs
+# the wavefront atlas gather, docs/TESTLOG.md session 8) but LOSES 2.2x at
+# 4096 rows (earth1024: 12.7 in-kernel vs 28.0 wavefront) and 8.3x on the
+# HBM-paged path (earth2048: 3.2 vs 28.0). Under sampler='auto' scenes
+# whose packed plane exceeds this row count route to the wavefront
+# pipeline (regen sampler, XLA atlas gather); sampler='mega' still forces
+# the in-kernel capability. Default sits at the measured crossover's safe
+# side (2172 rows measured in-kernel-loses on hardware — session 10).
+IMG_AUTO_MAX_ROWS = int(os.environ.get("RAYTRACER_IMG_AUTO_MAX_ROWS",
+                                       "2048"))
+
+
+def auto_prefers_mega(scene: SceneArrays) -> bool:
+    """True when the 'auto' sampler should pick the megakernel for this
+    scene — ``supports()`` minus the measured big-texture cliff."""
+    if not supports(scene):
+        return False
+    if not scene.has_image_tex:
+        return True
+    return scene.img_rows <= IMG_AUTO_MAX_ROWS
+
+
 def pack_textures(scene: SceneArrays) -> jax.Array:
     """Image textures -> packed colour30 texel plane (img_rows, 128).
 

@@ -38,6 +38,13 @@ def gather_image(accum: jax.Array):
     With a pixel-sharded accumulator this is the only cross-host transfer in
     the render loop — the analog of the reference's per-frame managed-memory
     copy (src/dispatch.cu:144-146), but on demand instead of every frame.
+    Under multi-process JAX the accumulator's shards live on devices this
+    process cannot address, so the fetch is a cross-host allgather over DCN;
+    every process returns the full image (tests/test_distributed.py).
     """
     import numpy as np
+    if not accum.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(accum,
+                                                            tiled=True))
     return np.asarray(jax.device_get(accum))

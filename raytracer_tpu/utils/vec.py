@@ -9,14 +9,19 @@ worth of rays is one VPU-friendly tensor op.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 # Sentinel distance for "no hit". The reference uses ``1 << 30`` by accident
 # (src/objects.cu:6, see SURVEY.md quirk #1); we use a large finite float so
-# that masked arithmetic never produces inf*0 NaNs.
-INF = jnp.float32(1e30)
+# that masked arithmetic never produces inf*0 NaNs. Host-side numpy scalars
+# (NOT jnp): a jnp scalar here would run a device computation at import
+# time, initialising the XLA backend before multi-process users can call
+# jax.distributed.initialize (tests/test_distributed.py). Both are
+# strongly-typed float32 in jnp arithmetic.
+INF = np.float32(1e30)
 
 # Self-intersection guard threshold (reference: src/objects.cu:7).
-EPS = jnp.float32(1e-6)
+EPS = np.float32(1e-6)
 
 
 def dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -2,11 +2,17 @@
 
 Compares a low-res quirk-faithful render of scene 0 against a downscaled
 ``/root/reference/images/image0.png`` (the only shipped render reproducible
-from the reference source — see docs/FIDELITY.md). The threshold is far
-above what any structural mismatch (wrong wall colour, flipped UV, wrong
-light strength, broken mirror) can reach, while comfortably below the
-Monte-Carlo noise of the low sample count, so the test is stable yet
-catches real regressions. Skipped when the reference images are absent.
+from the reference source — see docs/FIDELITY.md). Pinned to the H3
+best-explanation anchor (docs/TESTLOG.md session 8, VERDICT round-4 item 6):
+the screenshot behaves like a ``reflect_limit ~= 8`` render — reflect_limit
+is one of the reference's named changeable settings (src/main.cu:318-330) —
+so rendered at bounces=8 the RAW comparison lands at ~21.9 dB and the
+best-fit global (gain, gamma) transform collapses to ~identity
+(measured gamma 0.96-0.98, gain 1.03 at these test settings). The guard
+asserts both: raw PSNR with margin, and the fitted transform staying near
+identity — a radiometric drift would move the fit away from (1, 1) long
+before it dents the mirrored-image structural floor (~12 dB).
+Skipped when the reference images are absent.
 """
 
 import os
@@ -28,9 +34,13 @@ def _psnr(a, b):
                     reason="reference render not available")
 def test_scene0_matches_reference_render():
     from PIL import Image
+
+    from benchmarks.fidelity import fit_gain_gamma
     w, h = 165, 132  # 990x792 / 6, same 1.25 aspect as the reference window
     scene, use_sky = rt.build_scene(0)
-    settings = rt.RenderSettings(rays_per_pixel=24, reflect_limit=5,
+    # reflect_limit=8: the H3 anchor (the shipped default is 5; 8 is the
+    # value the screenshot's energy matches — see module docstring).
+    settings = rt.RenderSettings(rays_per_pixel=24, reflect_limit=8,
                                  antialias=True).with_sky(use_sky)
     r = rt.Renderer(scene, rt.CameraConfig(width=w, height=h), settings)
     r.render_frame(block=True)
@@ -46,20 +56,20 @@ def test_scene0_matches_reference_render():
         (dw, dh), Image.Resampling.BOX))
 
     p = _psnr(ours_s, ref_s)
-    # The raw comparison carries a systematic global radiometric offset
-    # quantified in docs/FIDELITY.md: the screenshot is brighter by a
-    # smooth gamma-like transform (fitted once at 4000 spp:
-    # ref ~ 255 * 1.038 * (ours/255)^0.80; emissive-smoothness UB was
-    # measured at only ~0.5% mean and is NOT the cause). Applying that
-    # fixed transform removes the known scale difference so the bound can
-    # sit >= 2 dB below the measured value (21.5 dB at these settings)
-    # while still catching every structural error (mirrored scores ~12 dB).
-    ours_c = np.clip(255.0 * 1.038 * (ours_s / 255.0) ** 0.80, 0, 255)
-    p_corr = _psnr(ours_c, ref_s)
+    # Measured at these settings (seeds 0/1): raw 21.81 / 21.95 dB.
+    assert p > 20.5, f"raw PSNR vs CUDA reference too low: {p:.2f} dB"
+
+    # The best-fit global transform ref/255 ~ g * (ours/255)^gamma must be
+    # near identity: measured gamma 0.96/0.98, g 1.029/1.036. A wall-colour
+    # or light-strength regression shows up here as a fitted gain/gamma
+    # excursion even when raw PSNR survives.
+    gamma, g, p_fit = fit_gain_gamma(ours_s, ref_s)
+    assert abs(gamma - 1.0) <= 0.10, (
+        f"fitted gamma {gamma:.2f} drifted from identity (raw {p:.2f} dB)")
+    assert abs(g - 1.0) <= 0.10, (
+        f"fitted gain {g:.3f} drifted from identity (raw {p:.2f} dB)")
+    assert p_fit >= p - 0.01  # the fit can only explain variance away
+
     # sanity: a structurally broken image (mirrored) must score much worse
     p_broken = _psnr(ours_s[:, ::-1], ref_s)
-    assert p_corr > 19.4, (
-        f"gain/gamma-corrected PSNR vs CUDA reference too low: "
-        f"{p_corr:.2f} dB (raw {p:.2f})")
-    assert p > 17.0, f"raw PSNR vs CUDA reference too low: {p:.2f} dB"
     assert p > p_broken + 3.0, (p, p_broken)

@@ -55,6 +55,37 @@ def test_supports_flags():
         mk.IMG_HBM_MAX_ROWS = orig
 
 
+def test_auto_routes_big_textures_to_wavefront():
+    """The auto-sampler texture cliff (VERDICT round-4 item 4): scenes
+    whose packed image plane exceeds IMG_AUTO_MAX_ROWS route to the
+    wavefront pipeline under 'auto' (the XLA atlas gather beats the
+    in-kernel row select 2.2-8.3x there — docs/TESTLOG.md session 8)
+    while staying fully supported under explicit sampler='mega'."""
+    import numpy as np
+    from raytracer_tpu.models.materials import Material, Texture
+    from raytracer_tpu.models.scene import SceneBuilder
+    from raytracer_tpu.ops.megakernel import (IMG_AUTO_MAX_ROWS,
+                                              auto_prefers_mega)
+
+    def scene_with_rows(h, w):
+        b = SceneBuilder()
+        tex = Texture.from_image(np.zeros((h, w, 3), np.float32))
+        b.add_sphere((0, 0, 2), 1.0, Material.standard(tex, 0))
+        return b.build()
+
+    small = scene_with_rows(256, 512)        # 256*4 = 1024 rows
+    assert small.img_rows <= IMG_AUTO_MAX_ROWS
+    assert supports(small) and auto_prefers_mega(small)
+
+    big = scene_with_rows(512, 1024)         # 512*8 = 4096 rows
+    assert big.img_rows > IMG_AUTO_MAX_ROWS
+    assert supports(big)                     # mega capability intact
+    assert not auto_prefers_mega(big)        # but auto routes to wavefront
+
+    plain, _ = rt.build_scene(1)             # no image textures: unaffected
+    assert auto_prefers_mega(plain)
+
+
 def test_pack_materials_shape():
     scene, _ = rt.build_scene(1)
     mat = pack_materials(scene)
