@@ -645,24 +645,43 @@ class SceneBuilder:
         if (os.environ.get("RAYTRACER_LANE") != "1"
                 or os.environ.get("RAYTRACER_NO_LANE")):
             lane_min = 1 << 30
-        _LANE_MAX_CL = 124  # 4 x 31-bit per-lane mask words
+        # Chunked lane pools (VERDICT round-4 item 3): the round-3 lane
+        # path capped lane clusters at 124 (4 x 31-bit mask words, one
+        # 128-lane gather plane), which forced stress10k's pool to a
+        # COARSE 84-prim lane leaf — each pop swept 84 prims and the
+        # footprint saving vanished (measured 11.7 hybrid vs 12.5 shared).
+        # Chunks of 124 clusters (each with its own 128-wide fetch plane
+        # and mask words; sweep.lane_traverse loops them statically) keep
+        # the lane leaf at the shared sweep's own granularity: every
+        # per-lane fetch stays ONE lane-gather, and the per-lane footprint
+        # matches divergence_bound.py's 32-leaf numbers (stress10k:
+        # per-lane max 31 clusters vs tile union 172).
+        _LANE_CHUNK_CL = 124
+        lane_chunks_max = int(os.environ.get("RAYTRACER_LANE_CHUNKS", "4"))
         # Leaf cap: the lane sweep's inner loop is statically unrolled, so
-        # pool size is bounded by 124 * max_leaf (= 15,872 at the default);
-        # beyond that the HBM-streamed blocked kernel takes over anyway.
+        # pool size is bounded by chunks * 124 * max_leaf; beyond that the
+        # HBM-streamed blocked kernel takes over anyway.
         lane_max_leaf = int(os.environ.get("RAYTRACER_LANE_MAX_LEAF", "128"))
         sph_lane_clusters = np.zeros((0, 8), np.float32)
         tri_lane_clusters = np.zeros((0, 8), np.float32)
         sph_lane_leaf = 0
         tri_lane_leaf = 0
-        if (s_clustered and s >= lane_min
-                and -(-s // _LANE_MAX_CL) <= lane_max_leaf):
-            sph_lane_leaf = _round_up(-(-s // _LANE_MAX_CL), UNROLL)
+
+        def lane_leaf_for(n):
+            # Finest leaf (>= the shared sweep's own leaf_size) whose
+            # cluster count fits the chunk budget; 0 = pool too big.
+            lf = max(leaf_size(n),
+                     _round_up(-(-n // (_LANE_CHUNK_CL * lane_chunks_max)),
+                               UNROLL))
+            return lf if lf <= lane_max_leaf else 0
+
+        if s_clustered and s >= lane_min and lane_leaf_for(s):
+            sph_lane_leaf = lane_leaf_for(s)
             pmin = sph_center[:s] - sph_radius[:s, None]
             pmax = sph_center[:s] + sph_radius[:s, None]
             sph_lane_clusters = _cut_exact_leaves(pmin, pmax, sph_lane_leaf)
-        if (t_clustered and t >= lane_min
-                and -(-t // _LANE_MAX_CL) <= lane_max_leaf):
-            tri_lane_leaf = _round_up(-(-t // _LANE_MAX_CL), UNROLL)
+        if t_clustered and t >= lane_min and lane_leaf_for(t):
+            tri_lane_leaf = lane_leaf_for(t)
             v1 = tri_v0[:t] + tri_e1[:t]
             v2 = tri_v0[:t] + tri_e2[:t]
             pmin = np.minimum(np.minimum(tri_v0[:t], v1), v2)

@@ -331,9 +331,15 @@ def _kernel_blocked(sphc_ref, tric_ref, sphs_ref, tris_ref, bbox_ref,
                 num_tri_clusters=tc_rows if tri_blocks > 0 else 0,
                 # per-block super level over the block's leaf clusters:
                 # an entered block costs ss_rows super gates up front, not
-                # sc_rows cluster gates (measured 0.7 -> see ARCHITECTURE)
-                num_sph_supers=ss_rows if sph_blocks > 0 else 0,
-                num_tri_supers=ts_rows if tri_blocks > 0 else 0,
+                # sc_rows cluster gates (measured 0.7 -> see ARCHITECTURE).
+                # The "nosupers" ablation gates every cluster directly
+                # (bitwise-identical results — gates are conservative), so
+                # (default - nosupers) isolates the super level's worth in
+                # the stress100k cost attribution (VERDICT round-4 item 9).
+                num_sph_supers=(ss_rows if sph_blocks > 0
+                                and _abl != "nosupers" else 0),
+                num_tri_supers=(ts_rows if tri_blocks > 0
+                                and _abl != "nosupers" else 0),
                 has_one_way=has_one_way, needs_tri_uv=needs_tri_uv,
                 sph_leaf=sph_leaf, tri_leaf=tri_leaf,
                 sget_f=lambda r, s: sphf_s[r * s_chunks + (s >> 7), s & 127],
@@ -814,6 +820,11 @@ def _run_kernel(o: jax.Array, d: jax.Array, scene: SceneArrays,
             bytes_accessed=n_pad * 4 * 15,
             transcendentals=n_pad * num_spheres,
         ),
+        # Lane traversal mask planes can exceed Mosaic's default 16 MiB
+        # scoped-vmem stack on multi-chunk pools (see megakernel.py).
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)
+            if (sph_lane or tri_lane) else None),
         interpret=_interpret(),
     )(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
       sph_order, tri_order, cell_grid, slcl, tlcl,

@@ -1298,6 +1298,14 @@ def render_sample_mean_mega(
                         for _ in range(5)),
         scratch_shapes=([pltpu.VMEM((IMG_PAGE, LANES), jnp.int32),
                          pltpu.SemaphoreType.DMA] if img_hbm else []),
+        # The lane traversal's while carry holds lane_words(n_cl) int32 mask
+        # planes per pool; past ~2 chunks that blows Mosaic's default 16 MiB
+        # scoped-vmem stack (measured: stress10k lane-forced needs 17.2 MiB).
+        # Raise the cap only when lane pools ride along — the default path
+        # keeps the compiler's own budget.
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)
+            if (sph_lane or tri_lane) else None),
         interpret=_interpret(),
     )(seed, sphf, sphi, trif, trii, sphc, tric, sphs, tris,
       sph_order, tri_order, cell_grid, mat, slcl, tlcl, matv,

@@ -157,12 +157,16 @@ def decode_smooth_mat(pb):
 # beyond the 128-wide lane-dimension dynamic gather, so the TPU-native
 # equivalent restructures the problem until that one gather suffices:
 #
-# - the BVH-ordered pool is cut into <= 124 "lane clusters" (scene build),
-#   so a cluster index addresses one 128-lane plane row and the per-lane
-#   set of entered clusters packs into four 31-bit int32 mask words;
+# - the BVH-ordered pool is cut into "lane clusters" (scene build) in
+#   CHUNKS of 124 (so each chunk's cluster indices address one 128-lane
+#   plane and pack into four 31-bit int32 mask words; pools up to
+#   RAYTRACER_LANE_CHUNKS x 124 clusters keep the shared sweep's own leaf
+#   granularity instead of coarsening — the round-4 fix for the coarse
+#   84-prim lane leaves that erased stress10k's footprint saving);
 # - primitive parameters are laid out param-major as (param * leaf + j,
-#   cluster) planes, so ALL lanes fetch the j-th primitive of *their own*
-#   cluster with one dynamic gather per parameter;
+#   chunk * 128 + cluster-in-chunk) planes, so ALL lanes fetch the j-th
+#   primitive of *their own* cluster with one dynamic gather per parameter
+#   per chunk (a chunk-id select chain combines multi-chunk fetches);
 # - phase 1 slab-tests every lane cluster against the tile with shared SMEM
 #   broadcasts (no reduces, no branches), building the per-lane masks and
 #   the per-lane nearest entered cluster;
@@ -174,6 +178,19 @@ def decode_smooth_mat(pb):
 # of the union-over-lanes footprint that dominates post-diffuse bounces.
 
 LANE_WORD_BITS = 31   # bits used per int32 mask word (sign bit unused)
+# Clusters per lane chunk: each chunk owns one 128-lane fetch plane
+# (columns 124-127 padded; 124 = 4 x 31 keeps chunk boundaries aligned to
+# the 31-bit mask words, which remain one global ceil(n_cl/31)-word list).
+# Pools of up to RAYTRACER_LANE_CHUNKS x 124 clusters traverse per-lane at
+# the shared sweep's own leaf granularity — the round-5 fix for the
+# coarse-leaf lane pools that erased stress10k's footprint saving
+# (see models/scene.py).
+LANE_CHUNK_CL = 124
+
+
+def lane_chunks(n_cl: int) -> int:
+    """Number of 124-cluster lane chunks a pool of n_cl clusters needs."""
+    return max(1, -(-n_cl // LANE_CHUNK_CL))
 LANE_NEAR_FIRST = os.environ.get("RAYTRACER_LANE_NEAR_FIRST", "1") == "1"
 # Hybrid dispatch: tiles whose squared direction-resultant exceeds this take
 # the shared gate sweep (coherent => tight union footprint); below it the
@@ -416,10 +433,12 @@ def pack_scene(scene):
 def pack_lane_planes(scene):
     """Param-major per-lane fetch planes for the lane traversal.
 
-    Layout: row ``p * leaf + j``, lane ``c`` holds parameter ``p`` of the
-    pool primitive ``c * leaf + j`` (the j-th primitive of lane cluster
-    ``c``) — so all 128 lanes fetch their *own* cluster's j-th primitive
-    with one lane-dimension dynamic gather per parameter. Values are the
+    Layout: row ``p * leaf + j``, column ``q * 128 + r`` holds parameter
+    ``p`` of the j-th primitive of lane cluster ``q * LANE_CHUNK_CL + r``
+    (r < 124; columns 124-127 of each chunk are padding) — so within a
+    chunk all 128 lanes fetch their *own* cluster's j-th primitive with
+    one lane-dimension dynamic gather per parameter, and pools bigger
+    than one chunk loop chunks statically (lane_traverse). Values are the
     exact pack_scene pool values (same poisoning), so lane-path results
     are bitwise identical to the shared sweep's.
 
@@ -435,9 +454,20 @@ def pack_lane_planes(scene):
             if poison_row is not None:
                 mat = mat.at[poison_row, n:].set(_INF)
         mat = mat[:, :total].reshape(p, n_cl, leaf).transpose(0, 2, 1)
-        out = mat.reshape(p * leaf, n_cl)
-        if n_cl < LANES:
-            out = jnp.pad(out, ((0, 0), (0, LANES - n_cl)))
+        pm = mat.reshape(p * leaf, n_cl)
+        ch = lane_chunks(n_cl)
+        out = jnp.zeros((p * leaf, ch * LANES), pm.dtype)
+        if poison_row is not None:
+            # chunk pad columns (124-127 and the last chunk's tail) are
+            # only ever gathered by dead lanes (live=False masks their
+            # results), but poison them anyway so a future caller bug
+            # reads a guaranteed miss instead of garbage
+            out = out.at[poison_row * leaf:(poison_row + 1) * leaf, :].set(
+                _INF)
+        for q in range(ch):
+            c0 = q * LANE_CHUNK_CL
+            w = min(LANE_CHUNK_CL, n_cl - c0)
+            out = out.at[:, q * LANES:q * LANES + w].set(pm[:, c0:c0 + w])
         return out
 
     dummy_f = jnp.zeros((8, LANES), jnp.float32)
@@ -604,19 +634,44 @@ def sweep_tile(sphf, sphi, trif, trii, sphc, tric, sphs, tris,
         (the TPU equivalent of the reference's per-thread stack DFS,
         src/objects.cu:487-532)."""
         shape = ox.shape
+        ch = lane_chunks(n_cl)
 
-        def gf(ref, p, c, j):
+        def gf(ref, p, c, j, sel):
             row = p * leaf + j
-            return jnp.take_along_axis(
-                jnp.broadcast_to(ref[row:row + 1, :], shape), c, axis=1)
+            if ch == 1:
+                return jnp.take_along_axis(
+                    jnp.broadcast_to(ref[row:row + 1, :], shape), c, axis=1)
+            # Chunked pool (> LANE_CHUNK_CL lane clusters): the VPU's
+            # dynamic gather reaches 128 lanes, so each chunk owns its own
+            # 128-wide plane; fetch = one lane-gather per chunk + a select
+            # chain on the lane's chunk id (sel, hoisted once per visit).
+            hot, rloc = sel
+            val = None
+            for q in range(ch):
+                v = jnp.take_along_axis(
+                    jnp.broadcast_to(
+                        ref[row:row + 1, q * LANES:(q + 1) * LANES], shape),
+                    rloc, axis=1)
+                val = v if val is None else jnp.where(hot[q], v, val)
+            return val
 
         def visit(c, live, cr):
             if stats_ref is not None:
                 stats_ref[:] = stats_ref[:] + jnp.where(
                     live, float(leaf), 0.0)
+            sel = None
+            if ch > 1:
+                # per-lane chunk id without integer division: ch <= a few,
+                # so a compare-accumulate chain is cheaper and Mosaic-safe
+                q_lane = zero_i
+                for q in range(1, ch):
+                    q_lane = q_lane + (
+                        c >= q * LANE_CHUNK_CL).astype(jnp.int32)
+                rloc = c - q_lane * LANE_CHUNK_CL
+                sel = ([q_lane == q for q in range(ch)], rloc)
             for j in range(leaf):
-                cr = body_at(lambda p, j=j, c=c: gf(pf_ref, p, c, j),
-                             lambda p, j=j, c=c: gf(pi_ref, p, c, j),
+                cr = body_at(lambda p, j=j, c=c: gf(pf_ref, p, c, j, sel),
+                             lambda p, j=j, c=c: gf(pi_ref, p, c, j, sel),
                              (c * leaf + j) * 2 + code_bit, cr, live)
             return cr
 

@@ -447,3 +447,57 @@ def test_lane_traversal_matches_shared_sweep(monkeypatch):
                   (sh1.normal, sh2.normal), (sh1.colour, sh2.colour),
                   (sh1.mat_id, sh2.mat_id), (sh1.smooth, sh2.smooth)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_lane_traversal_chunked_matches_shared_sweep(monkeypatch):
+    """Chunked lane pools (> sweep.LANE_CHUNK_CL lane clusters => several
+    128-wide fetch planes, one lane-gather per chunk + a chunk-id select
+    chain) must stay BITWISE identical to the shared gate sweep. Pins a
+    small LEAF_TARGET so moderate pools cut to >= 2 chunks without a
+    5k-primitive interpret run (at the default leaf 32 the chunk frontier
+    is ~4k primitives per pool)."""
+    from raytracer_tpu.models.materials import Material, Texture
+    from raytracer_tpu.models.scene import SceneBuilder
+    from raytracer_tpu.ops import sweep as sweep_mod
+    monkeypatch.setattr(sweep_mod, "LANE_FORCE", True)
+    monkeypatch.setattr(sweep_mod, "LEAF_TARGET", 8)
+
+    def build(lane: bool):
+        if lane:
+            monkeypatch.setenv("RAYTRACER_LANE", "1")
+            monkeypatch.delenv("RAYTRACER_NO_LANE", raising=False)
+        else:
+            monkeypatch.delenv("RAYTRACER_LANE", raising=False)
+            monkeypatch.setenv("RAYTRACER_NO_LANE", "1")
+        rng = np.random.default_rng(11)
+        b = SceneBuilder()
+        b.add_spheres(
+            rng.uniform(-10, 10, (1200, 3)), rng.uniform(0.1, 0.6, 1200),
+            Material.standard(Texture.checkerboard((1, 1, 1), (0, 0, 0), 4),
+                              0.3))
+        green = Material.standard(Texture.const_colour((0.2, 0.9, 0.1)), 0)
+        for _ in range(1000):
+            p = rng.uniform(-10, 10, 3)
+            b.add_triangle(p, p + rng.uniform(-1, 1, 3),
+                           p + rng.uniform(-1, 1, 3), green)
+        return b.build()
+
+    s_lane = build(True)
+    assert s_lane.sph_lane_leaf > 0 and s_lane.tri_lane_leaf > 0
+    # the point of the test: BOTH pools span >= 2 lane chunks
+    assert sweep_mod.lane_chunks(
+        int(s_lane.sph_lane_clusters.shape[0])) >= 2
+    assert sweep_mod.lane_chunks(
+        int(s_lane.tri_lane_clusters.shape[0])) >= 2
+    s_flat = build(False)
+    assert s_flat.sph_lane_leaf == 0 and s_flat.tri_lane_leaf == 0
+
+    o, d = _rand_rays(1024, seed=12, spread=12.0)
+    rec1, sh1 = hit_and_resolve_pallas(o, d, s_lane)
+    rec2, sh2 = hit_and_resolve_pallas(o, d, s_flat)
+    assert np.asarray(rec1.hit).sum() > 100  # the comparison has teeth
+    for a, b_ in ((rec1.t, rec2.t), (rec1.idx, rec2.idx),
+                  (sh1.u, sh2.u), (sh1.v, sh2.v),
+                  (sh1.normal, sh2.normal), (sh1.colour, sh2.colour),
+                  (sh1.mat_id, sh2.mat_id), (sh1.smooth, sh2.smooth)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
