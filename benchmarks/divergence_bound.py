@@ -290,6 +290,70 @@ def main():
             }
     out["sublane_groups"] = sub
 
+    # Chunked-lane cost model (round 5, sweep.lane_traverse with
+    # LANE_CHUNK_CL chunks): predicted vector-op counts per tile-iteration
+    # for the per-lane traversal vs the shared union sweep, on the same
+    # measured footprints. Per visited primitive the lane path pays
+    # params x chunks lane-gathers (+ chunks-1 selects per param) + the
+    # body test; mask building slab-tests every lane cluster twice
+    # (near-first bootstrap + best-t rebuild); each pop costs ~6 ops per
+    # 31-bit mask word. The shared sweep pays the tile-union footprint at
+    # broadcast cost. Ratios > 1 predict a lane-path win on the sweep
+    # portion (scalar gate syncs, which the lane path avoids, are NOT in
+    # the model — treat it as the conservative side).
+    n_params = 4 if args.scene == "stress" else 13   # cx/cy/cz/cr2 vs Woop
+    body_ops = 12 if args.scene == "stress" else 24
+    # per-primitive bounds in BVH pool order, to re-cut exact lane leaves
+    if args.scene == "monkey":
+        t_n = int(np.sum(np.asarray(scene.tri_v0)[:, 0] < 1e29))
+        v0 = np.asarray(scene.tri_v0)[:t_n]
+        v1 = v0 + np.asarray(scene.tri_e1)[:t_n]
+        v2 = v0 + np.asarray(scene.tri_e2)[:t_n]
+        pmin = np.minimum(np.minimum(v0, v1), v2)
+        pmax = np.maximum(np.maximum(v0, v1), v2)
+    else:
+        r_ = np.asarray(scene.sph_radius)
+        s_n = int(np.sum(r_ > 0))
+        c_ = np.asarray(scene.sph_center)[:s_n]
+        pmin = c_ - r_[:s_n, None]
+        pmax = c_ + r_[:s_n, None]
+
+    def cut_boxes(lf):
+        ncl = -(-pmin.shape[0] // lf)
+        bx = np.full((ncl, 8), 0.0, np.float32)
+        for i in range(ncl):
+            sl = slice(i * lf, min((i + 1) * lf, pmin.shape[0]))
+            bx[i, 0:3] = pmin[sl].min(axis=0)
+            bx[i, 3:6] = pmax[sl].max(axis=0)
+        return bx
+
+    lane_model = {}
+    for chunks_max in (1, 2, 3, 4):
+        lane_leaf = max(leaf, int(np.ceil(
+            np.ceil(pmin.shape[0] / (124.0 * chunks_max)) / 4) * 4))
+        lbx = cut_boxes(lane_leaf)
+        lane_cl = lbx.shape[0]
+        ch = int(np.ceil(lane_cl / 124.0))
+        # EXACT per-lane footprint at this leaf (not a scaled estimate —
+        # coarser leaves lose more to pool-order locality than a pure
+        # prims/leaf scaling predicts; round-3's 84-prim lane leaf
+        # measured ~flat vs shared for exactly that reason)
+        _, tmax, _ = tile_stats(so, sd, st, lbx)
+        gather = n_params * (ch + max(ch - 1, 0))
+        visit_ops = tmax * lane_leaf * (gather + body_ops)
+        mask_ops = lane_cl * 15 * 2
+        pop_ops = tmax * 6 * int(np.ceil(lane_cl / 31.0))
+        lane_ops = visit_ops + mask_ops + pop_ops
+        shared_ops = sec[2] * leaf * body_ops
+        lane_model[f"chunks{chunks_max}"] = {
+            "lane_leaf": lane_leaf, "lane_clusters": lane_cl,
+            "chunks": ch, "tile_max_entered": round(float(tmax), 1),
+            "ops_per_tile_iter": round(lane_ops),
+            "shared_ops_per_tile_iter": round(shared_ops),
+            "predicted_sweep_ratio": round(shared_ops / lane_ops, 2),
+        }
+    out["lane_chunk_model_secondary"] = lane_model
+
     if args.json:
         print(json.dumps(out))
         return
@@ -318,6 +382,14 @@ def main():
               f"tile-union {v['tile_union']:>6}  "
               f"ceiling {v['sweep_ceiling']:>5}x  "
               f"syncs x{v['gate_sync_multiplier']}")
+    print("\n# chunked-lane cost model (secondary regen tiles; gather = "
+          "params x chunks per prim):")
+    for k, v in lane_model.items():
+        print(f"  {k:<8} leaf {v['lane_leaf']:>3} x {v['lane_clusters']:>3}"
+              f" cl ({v['chunks']} ch)  tmax {v['tile_max_entered']:>5}"
+              f"  lane-ops {v['ops_per_tile_iter']:>7}"
+              f"  shared-ops {v['shared_ops_per_tile_iter']:>7}"
+              f"  ratio {v['predicted_sweep_ratio']:>5}x")
     print("\n# reading: a shared tile sweep pays union_prims primitive "
           "tests + the scheme's syncs;\n# a perfect per-ray traversal "
           "pays per_ray_entered x leaf; the per-lane traversal pays\n"
