@@ -190,7 +190,8 @@ def supports(scene: SceneArrays) -> bool:
 # whose packed plane exceeds this row count route to the wavefront
 # pipeline (regen sampler, XLA atlas gather); sampler='mega' still forces
 # the in-kernel capability. Default sits at the measured crossover's safe
-# side (2172 rows measured in-kernel-loses on hardware — session 10).
+# side (2172 rows measured in-kernel-loses on hardware: 23.5 vs 28.4
+# Mrays/s — docs/TESTLOG.md session 11).
 IMG_AUTO_MAX_ROWS = int(os.environ.get("RAYTRACER_IMG_AUTO_MAX_ROWS",
                                        "2048"))
 
