@@ -32,6 +32,15 @@ per diffuse-secondary tile (vs ~25 blocks / >100k prims broken). On this
 footprint the near-first pops are a small refinement (primaries -5%
 prims, secondaries only with in-block cluster_nf), not the main lever.
 
+Hardware attribution (docs/TESTLOG.md session 11, RAYTRACER_BLOCKED_ABLATE
+timing arms ×2): the measured frame splits into per-tile bootstrap ~2.3%
+(neverenter 72/74 ms vs default 3144/3147 ms), block DMA ~4-6% (dmaonly
+250/196 ms — the double-buffered streams already hide most of it), and
+entered-block gating + sweeps ~92%; the per-block super level saves ~19%
+(nosupers 3861/3865 ms). So the lever this sim should guide next is the
+gate/sweep term — deeper in-block hierarchy or tighter per-block unions —
+not DMA overlap and not bootstrap amortisation.
+
 Runs on the CPU backend; ~15-25 min at the default --tiles 8 (the oracle
 per-(lane, cluster) table over 100k spheres dominates).
 

@@ -301,6 +301,17 @@ def main():
     # broadcast cost. Ratios > 1 predict a lane-path win on the sweep
     # portion (scalar gate syncs, which the lane path avoids, are NOT in
     # the model — treat it as the conservative side).
+    #
+    # HARDWARE OUTCOME (docs/TESTLOG.md session 11): the prediction's
+    # DIRECTION was wrong — chunks3 predicted a 1.53x sweep-side win on
+    # stress10k secondaries, but the built path measured -24% (hybrid
+    # 10.55/10.56 vs default 13.88) and monkey's 1-chunk config -46%.
+    # Vector-op counting cannot see what actually dominates: the per-chunk
+    # lane-gather dependency chains (each take_along_axis serialises
+    # against the chunk-select), the 17.2 MiB multi-chunk mask carry's
+    # VMEM pressure, and the double slab pass. Keep this model as the
+    # op-count *floor* it is; do not use it to green-light lane-path
+    # builds without a hardware A/B.
     n_params = 4 if args.scene == "stress" else 13   # cx/cy/cz/cr2 vs Woop
     body_ops = 12 if args.scene == "stress" else 24
     # per-primitive bounds in BVH pool order, to re-cut exact lane leaves
